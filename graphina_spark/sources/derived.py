@@ -1,0 +1,120 @@
+"""Deterministic graphs derived from the driver's testdata tables.
+
+The correctness gate compares our Spark operators against DuckDB oracle SQL
+over the same parquet tables, so the *edge derivation itself* must be exactly
+reproducible in both engines.  We therefore derive edges from the ``customer``
+table (contiguous keys 0..n-1) with pure modular arithmetic — no hashing, no
+RNG — and ship the identical formulas twice:
+
+- as Spark DataFrame expressions (:func:`web_graph`, :func:`block_graph`)
+- as DuckDB SQL CTE fragments (``WEB_EDGES_CTE``, ``BLOCK_EDGES_CTE``)
+
+Two shapes:
+
+``web_graph``
+    A skewed directed "web-like" graph: 3 affine multiplier rings + a hub rule
+    (``dst = id % 16`` → 16 hubs with in-degree ~n/16, a stand-in for Zipf
+    hub skew), deterministic integer weights 1..5, and dangling vertices
+    (every ``id % 23 == 0`` has its out-edges removed) so PageRank's
+    dangling-mass redistribution path is exercised
+    (reference semantics: src/centrality/pagerank.rs:93-100).
+
+``block_graph``
+    100-vertex blocks, each a ring + chord (connected within, disconnected
+    across) → exactly ``n/100`` components/communities, for connected
+    components and label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+MULTIPLIERS = [(7, 3), (13, 5), (31, 17)]
+N_HUBS = 16
+DANGLING_MOD = 23
+BLOCK = 100
+
+
+def _customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+
+
+def web_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    ids = _customer_ids(spark, sf_dir)
+    n = ids.agg(F.count("*").alias("n"))
+    v = ids.crossJoin(F.broadcast(n))
+    parts = [
+        v.select(F.col("id").alias("src"), ((F.col("id") * a + b) % F.col("n")).alias("dst"))
+        for a, b in MULTIPLIERS
+    ]
+    parts.append(ids.select(F.col("id").alias("src"), (F.col("id") % N_HUBS).alias("dst")))
+    e0 = parts[0]
+    for p in parts[1:]:
+        e0 = e0.unionAll(p)
+    edges = (
+        e0.where((F.col("src") != F.col("dst")) & (F.col("src") % DANGLING_MOD != 0))
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+        )
+    )
+    return LinkGraph(vertices=ids, edges=edges, directed=True)
+
+
+def block_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    ids = _customer_ids(spark, sf_dir)
+    g = F.floor(F.col("id") / BLOCK)
+    pos = F.col("id") % BLOCK
+    ring = ids.select(
+        F.col("id").alias("src"), (g * BLOCK + (pos + 1) % BLOCK).alias("dst")
+    )
+    chord = ids.select(
+        F.col("id").alias("src"), (g * BLOCK + (pos * 7 + 3) % BLOCK).alias("dst")
+    )
+    edges = (
+        ring.unionAll(chord)
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return LinkGraph(vertices=ids, edges=edges, directed=False)
+
+
+# ---------------------------------------------------------------- DuckDB side
+# CTE fragments; the driver pre-registers `customer` as a view.
+
+_mult_selects = "\n      UNION ALL ".join(
+    f"SELECT id AS src, (id*{a}+{b}) % n AS dst FROM v, nn" for a, b in MULTIPLIERS
+)
+
+WEB_EDGES_CTE = f"""
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  nn AS (SELECT count(*) AS n FROM v),
+  e0 AS (
+      {_mult_selects}
+      UNION ALL SELECT id AS src, id % {N_HUBS} AS dst FROM v
+  ),
+  edges AS (
+      SELECT DISTINCT src, dst, CAST((src+dst) % 5 + 1 AS DOUBLE) AS weight
+      FROM e0 WHERE src <> dst AND src % {DANGLING_MOD} <> 0
+  )"""
+
+BLOCK_EDGES_CTE = f"""
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  e0 AS (
+      SELECT id AS src, (id // {BLOCK}) * {BLOCK} + (id % {BLOCK} + 1) % {BLOCK} AS dst FROM v
+      UNION ALL
+      SELECT id AS src, (id // {BLOCK}) * {BLOCK} + ((id % {BLOCK}) * 7 + 3) % {BLOCK} AS dst FROM v
+  ),
+  edges AS (
+      SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst, 1.0 AS weight
+      FROM e0 WHERE src <> dst
+  )"""

@@ -1,0 +1,178 @@
+"""Tiny self-contained numpy reference implementations replicating the
+Graphina conventions pinned in SURVEY.md §2.1, used as the oracle for the
+random-graph corpus tests (the reference's own oracle design:
+/root/reference/tests/oracle_centrality_tests.rs replays NetworkX-computed
+corpora; ours replays these).
+
+Semantics sources:
+- pagerank: /root/reference/src/centrality/pagerank.rs:26-136 (weighted
+  out-degree, uniform dangling redistribution, (1-d)/n teleport, L1 tol)
+- components: /root/reference/src/community/connected_components.rs:19-117
+  (compared as sorted partitions, :219-230)
+- triangles: /root/reference/src/parallel/triangles.rs:32-66
+- transitivity: /root/reference/src/metrics/graph_metrics.rs:146-215
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def ref_pagerank(
+    n,
+    edges,
+    weights=None,
+    directed=True,
+    damping=0.85,
+    max_iter=100,
+    tol=1e-6,
+    nstart=None,
+    personalization=None,
+    fixed_iters=None,
+):
+    """edges: list[(u, v)]; returns list of ranks summing to 1."""
+    if weights is None:
+        weights = [1.0] * len(edges)
+    adj = defaultdict(list)  # u -> [(v, w)]
+    w_out = [0.0] * n
+    for (u, v), w in zip(edges, weights):
+        adj[u].append((v, w))
+        w_out[u] += w
+        if not directed:
+            adj[v].append((u, w))
+            w_out[v] += w
+
+    if personalization is not None:
+        s = sum(personalization)
+        p = [x / s for x in personalization] if s > 0 else [1.0 / n] * n
+    else:
+        p = [1.0 / n] * n
+
+    if nstart is not None:
+        s = sum(nstart)
+        if s == 0:
+            raise ValueError("nstart sums to zero")
+        pr = [x / s for x in nstart]
+    else:
+        pr = [1.0 / n] * n
+
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    d = damping
+    for _ in range(iters):
+        dang = sum(pr[u] for u in range(n) if w_out[u] == 0.0)
+        new = [(1.0 - d) * p[i] + d * dang * p[i] for i in range(n)]
+        for u in range(n):
+            if w_out[u] > 0:
+                for v, w in adj[u]:
+                    new[v] += d * pr[u] * w / w_out[u]
+        delta = sum(abs(a - b) for a, b in zip(new, pr))
+        pr = new
+        if fixed_iters is None and delta < tol:
+            break
+    return pr
+
+
+def ref_components(n, edges):
+    """Undirected/WCC components as a sorted partition (list of sorted lists),
+    plus per-node min-member labels."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    groups = defaultdict(list)
+    for i in range(n):
+        groups[find(i)].append(i)
+    partition = sorted([sorted(g) for g in groups.values()])
+    labels = [0] * n
+    for grp in partition:
+        m = min(grp)
+        for x in grp:
+            labels[x] = m
+    return partition, labels
+
+
+def ref_triangles(n, edges):
+    """Per-node triangle counts over the simple undirected graph (self-loops
+    dropped, parallel edges collapsed)."""
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    tri = [0] * n
+    for v in range(n):
+        ns = sorted(nbrs[v])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if ns[j] in nbrs[ns[i]]:
+                    tri[v] += 1
+    return tri
+
+
+def ref_transitivity(n, edges):
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    tri = sum(ref_triangles(n, edges))  # counts each triangle 3x
+    triples = sum(len(nbrs[v]) * (len(nbrs[v]) - 1) // 2 for v in range(n))
+    return tri / triples if triples > 0 else 0.0
+
+
+def ref_sync_lpa(n, edges, max_iter=10, fixed_iters=None):
+    """Synchronous label propagation with deterministic
+    (count desc, label asc) tie-break — OUR pinned semantics (the reference's
+    async/seeded-RNG variant, label_propagation.rs:34-97, is not reproducible
+    distributedly; its own test only asserts shape)."""
+    nbrs = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    labels = list(range(n))
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    for _ in range(iters):
+        new = labels[:]
+        for v in range(n):
+            if not nbrs[v]:
+                continue
+            counts = defaultdict(int)
+            for u in nbrs[v]:
+                counts[labels[u]] += 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        if new == labels and fixed_iters is None:
+            break
+        labels = new
+    return labels
+
+
+def ref_degrees(n, edges, directed=True):
+    """Raw degree counts; self-loop counts 2 when undirected."""
+    deg = [0] * n
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    return deg
+
+
+def random_graph(rng, n, density, directed=False, max_w=10):
+    """Seeded ER-style corpus graph (mirrors scripts/gen_oracle_fixtures.py:38-46)."""
+    edges, weights = [], []
+    for u in range(n):
+        for v in range(n):
+            if u == v:
+                continue
+            if not directed and u > v:
+                continue
+            if rng.random() < density:
+                edges.append((u, v))
+                weights.append(float(rng.randint(1, max_w)))
+    return edges, weights
