@@ -64,21 +64,87 @@ def _q_in_degree_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return in_degree_centrality(_web(spark, sf_dir))
 
 
+def _block(spark: SparkSession, sf_dir: str):
+    from graphina_spark.sources.derived import block_graph
+
+    return block_graph(spark, sf_dir)
+
+
+def _q_components_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.components import connected_components
+
+    return connected_components(_block(spark, sf_dir))
+
+
+def _q_wcc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.components import weakly_connected_components
+
+    return weakly_connected_components(_web(spark, sf_dir))
+
+
+def _q_lpa_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.lpa import label_propagation
+
+    return label_propagation(_block(spark, sf_dir), fixed_iters=4)
+
+
+def _q_triangles_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.triangles import triangles
+
+    return triangles(_web(spark, sf_dir))
+
+
+def _q_clustering_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(_web(spark, sf_dir)).select(
+        "id", F.round("clustering", ROUND).alias("clustering")
+    )
+
+
+def _q_transitivity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.triangles import transitivity
+
+    val = transitivity(_web(spark, sf_dir))
+    return spark.createDataFrame([(round(val, ROUND),)], "transitivity double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": _q_pagerank_web,
         "degree_web": _q_degree_web,
         "out_degree_web": _q_out_degree_web,
         "in_degree_web": _q_in_degree_web,
+        "components_block": _q_components_block,
+        "wcc_web": _q_wcc_web,
+        "lpa_block": _q_lpa_block,
+        "triangles_web": _q_triangles_web,
+        "clustering_web": _q_clustering_web,
+        "transitivity_web": _q_transitivity_web,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from graphina_spark.oracles import degree_web_sql, pagerank_web_sql
+    from graphina_spark.oracles import (
+        clustering_web_sql,
+        components_block_sql,
+        degree_web_sql,
+        lpa_block_sql,
+        pagerank_web_sql,
+        transitivity_web_sql,
+        triangles_web_sql,
+        wcc_web_sql,
+    )
 
     return {
         "pagerank_web": pagerank_web_sql(),
         "degree_web": degree_web_sql("total"),
         "out_degree_web": degree_web_sql("out"),
         "in_degree_web": degree_web_sql("in"),
+        "components_block": components_block_sql(),
+        "wcc_web": wcc_web_sql(),
+        "lpa_block": lpa_block_sql(),
+        "triangles_web": triangles_web_sql(),
+        "clustering_web": clustering_web_sql(),
+        "transitivity_web": transitivity_web_sql(),
     }

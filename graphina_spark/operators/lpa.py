@@ -1,0 +1,92 @@
+"""Label propagation — synchronous, deterministic tie-break.
+
+Reference: src/community/label_propagation.rs:34-97 — init ``labels[i] = i``
+(:70), symmetrized adjacency (:62-68), per iteration take the most frequent
+neighbor label, stop on no change or max_iter (:91-95).  The reference updates
+*asynchronously* in a seeded-RNG shuffled node order with an unspecified
+HashMap tie-break (:76-89) — unreproducible distributedly; its own test only
+asserts shape (:101-126).  We pin the distributed-friendly variant:
+
+- **synchronous** supersteps (all nodes update from the previous labeling)
+- argmax tie broken deterministically by **(count desc, label asc)**
+
+so results are identical across partitionings, parallelism levels and reruns.
+Comparisons against the reference are partition-equality on fixtures whose
+converged partition is unambiguous (cliques / planted partitions), the same
+strategy the reference's oracle uses for Louvain (modularity, not labels).
+
+Superstep = join labels→edges, groupBy(dst,label).count(), window row_number
+— two shuffles, both with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.checkpoint import CheckpointManager
+
+
+def label_propagation(
+    g: LinkGraph,
+    max_iter: int = 20,
+    fixed_iters: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """(id: long, label: long).  Errors on empty graph / max_iter == 0,
+    matching the reference (label_propagation.rs:44-51)."""
+    if fixed_iters is None and max_iter <= 0:
+        raise ValueError("max_iter must be positive")
+    spark = g.vertices.sparkSession
+    if g.vertices.isEmpty():
+        raise ValueError("label propagation on empty graph")
+
+    sym = g.undirected_view().select("src", "dst").repartition("src").cache()
+    n_iters = fixed_iters if fixed_iters is not None else max_iter
+
+    start_iter = 0
+    labels = None
+    if checkpoint is not None and resume:
+        found = checkpoint.latest(spark)
+        if found is not None:
+            it0, labels, _ = found
+            start_iter = it0 + 1
+    if labels is None:
+        labels = g.vertices.select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for it in range(start_iter, n_iters):
+        freq = (
+            labels.alias("l")
+            .join(sym.alias("e"), F.col("l.id") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("id"), F.col("l.label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        new = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if fixed_iters is None:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+        else:
+            changed = None
+        if checkpoint is not None:
+            new = checkpoint.save(spark, new, it, extra={"changed": changed})
+        labels = new
+        if changed == 0:
+            break
+    return labels

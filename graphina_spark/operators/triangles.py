@@ -1,0 +1,108 @@
+"""Triangle counting, clustering coefficients, transitivity.
+
+Reference semantics:
+- per-node triangle counts: adjacent neighbor pairs that are themselves
+  adjacent (src/parallel/triangles.rs:32-66; single-node
+  src/metrics/node_metrics.rs:65-87)
+- transitivity = 3·T / Σ C(deg,2) via degree-ordered forward counting
+  (src/metrics/graph_metrics.rs:146-215)
+- local clustering = tri(v) / C(deg v, 2), 0 when deg < 2
+  (node_metrics.rs:35-59)
+
+Spark formulation — the degree-ordered orientation trick the reference itself
+uses (graph_metrics.rs:161-210), which is also the scalable distributed shape
+(each triangle materializes exactly once, and the join fan-out is bounded by
+the *oriented* out-degree ≤ O(√m) instead of the raw degree, so hub vertices
+don't explode the 2-path join):
+
+1. canonicalize: undirected simple edges (src < dst, loops dropped, deduped)
+2. rank r(v) = (deg(v), v); orient each edge from lower to higher rank
+3. triangles = E→ e1 ⋈ E→ e2 on (e1.dst = e2.src) ⋈ E→ e3 closing
+   (e1.src, e2.dst)
+4. per-node counts = explode the 3 corners + groupBy(id).count()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+
+def _oriented_edges(g: LinkGraph) -> tuple[DataFrame, DataFrame]:
+    """(edir(s, d) oriented by (deg, id) rank, cdeg(id, deg) simple degrees)."""
+    canon = g.canonical_undirected_edges()
+    cdeg = (
+        canon.select(F.col("src").alias("id"))
+        .unionAll(canon.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = cdeg.select(F.col("id").alias("src"), F.col("deg").alias("dsrc"))
+    db = cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst"))
+    fwd = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    edir = (
+        canon.join(da, "src")
+        .join(db, "dst")
+        .select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("d"),
+        )
+    )
+    return edir, cdeg
+
+
+def triangle_corners(g: LinkGraph) -> DataFrame:
+    """Each triangle once as (a, b, c) corner ids."""
+    edir, _ = _oriented_edges(g)
+    edir = edir.cache()
+    e1 = edir.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = edir.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = edir.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"])
+
+
+def triangles(g: LinkGraph) -> DataFrame:
+    """(id: long, triangles: long) per-node counts, zeros included
+    (parallel/triangles.rs:32-66)."""
+    corners = triangle_corners(g)
+    per = (
+        corners.select(F.col("a").alias("id"))
+        .unionAll(corners.select(F.col("b").alias("id")))
+        .unionAll(corners.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("t"))
+    )
+    return g.vertices.select("id").join(per, "id", "left").select(
+        "id", F.coalesce("t", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+def transitivity(g: LinkGraph) -> float:
+    """3·T / Σ C(deg, 2); 0.0 when no triples (graph_metrics.rs:146-215)."""
+    t = triangle_corners(g).count()
+    _, cdeg = _oriented_edges(g)
+    triples = cdeg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2)).first()[0] or 0
+    return 3.0 * t / float(triples) if triples else 0.0
+
+
+def clustering_coefficients(g: LinkGraph) -> DataFrame:
+    """(id, clustering) local clustering coefficient; 0 when deg < 2
+    (node_metrics.rs:35-59)."""
+    tri = triangles(g)
+    _, cdeg = _oriented_edges(g)
+    return (
+        tri.join(cdeg, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.col("triangles") / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -52,6 +52,110 @@ def pagerank_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     )
 
 
+def components_block_sql() -> str:
+    """Min-id component labels via recursive-CTE transitive closure on the
+    block graph — the oracle twin of hash-min label exchange (components are
+    compared as canonical min-member labels on both sides, matching the
+    reference's sorted-partition comparison, connected_components.rs:219-230)."""
+    return f"""WITH RECURSIVE {BLOCK_EDGES_CTE.strip()},
+ sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+ reach(id, r) AS (
+   SELECT id, id AS r FROM v
+   UNION
+   SELECT s.dst AS id, reach.r FROM reach JOIN sym s ON reach.id = s.src
+ )
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+
+
+def wcc_web_sql() -> str:
+    """Weakly connected components of the directed web graph
+    (connected_components.rs:83-117)."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},
+ sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+ reach(id, r) AS (
+   SELECT id, id AS r FROM v
+   UNION
+   SELECT s.dst AS id, reach.r FROM reach JOIN sym s ON reach.id = s.src
+ )
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+
+
+LPA_ITERS = 4
+
+
+def lpa_block_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled synchronous LPA with (count desc, label asc) tie-break on the
+    block graph — matches label_propagation(fixed_iters=iters)."""
+    ctes = [
+        BLOCK_EDGES_CTE.strip(),
+        "sym AS (SELECT src, dst FROM edges UNION ALL"
+        " SELECT dst AS src, src AS dst FROM edges)",
+        "l0 AS (SELECT id, id AS label FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS (
+  SELECT l.id, coalesce(b.new_label, l.label) AS label
+  FROM {p} l LEFT JOIN (
+    SELECT id, label AS new_label FROM (
+      SELECT e.dst AS id, l2.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, l2.label ASC) AS rn
+      FROM sym e JOIN {p} l2 ON e.src = l2.id
+      GROUP BY e.dst, l2.label
+    ) t WHERE rn = 1
+  ) b ON l.id = b.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
+
+
+# shared triangle fragments (web graph as a simple undirected graph)
+_TRI_CTES = """
+ canon AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+           FROM edges WHERE src <> dst),
+ cdeg AS (SELECT id, count(*) AS deg FROM
+            (SELECT src AS id FROM canon UNION ALL SELECT dst AS id FROM canon) u
+          GROUP BY id),
+ edir AS (
+   SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.src < c.dst)
+               THEN c.src ELSE c.dst END AS s,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.src < c.dst)
+               THEN c.dst ELSE c.src END AS d
+   FROM canon c JOIN cdeg da ON c.src = da.id JOIN cdeg db ON c.dst = db.id),
+ tris AS (
+   SELECT e1.s AS a, e1.d AS b, e2.d AS c
+   FROM edir e1 JOIN edir e2 ON e1.d = e2.s
+   JOIN edir e3 ON e3.s = e1.s AND e3.d = e2.d),
+ percnt AS (
+   SELECT id, count(*) AS t FROM (
+     SELECT a AS id FROM tris UNION ALL SELECT b AS id FROM tris
+     UNION ALL SELECT c AS id FROM tris) u
+   GROUP BY id)"""
+
+
+def triangles_web_sql() -> str:
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES}
+SELECT vv.id, CAST(coalesce(p.t, 0) AS BIGINT) AS triangles
+FROM v vv LEFT JOIN percnt p ON vv.id = p.id"""
+
+
+def clustering_web_sql() -> str:
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES}
+SELECT vv.id,
+       round(CASE WHEN coalesce(d.deg, 0) >= 2
+                  THEN coalesce(p.t, 0) / (d.deg * (d.deg - 1) / 2.0)
+                  ELSE 0.0 END, {ROUND}) AS clustering
+FROM v vv LEFT JOIN cdeg d ON vv.id = d.id LEFT JOIN percnt p ON vv.id = p.id"""
+
+
+def transitivity_web_sql() -> str:
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES}
+SELECT round(3.0 * (SELECT count(*) FROM tris)
+             / (SELECT sum(deg * (deg - 1) / 2.0) FROM cdeg), {ROUND}) AS transitivity"""
+
+
 def degree_web_sql(kind: str = "total") -> str:
     """Raw degree counts on the directed web graph (degree.rs:50-114)."""
     out = "SELECT src AS id, count(*) AS c FROM edges GROUP BY src"

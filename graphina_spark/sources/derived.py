@@ -70,6 +70,7 @@ def web_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
 
 def block_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     ids = _customer_ids(spark, sf_dir)
+    n = ids.agg(F.count("*").alias("n"))
     g = F.floor(F.col("id") / BLOCK)
     pos = F.col("id") % BLOCK
     ring = ids.select(
@@ -80,7 +81,9 @@ def block_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     )
     edges = (
         ring.unionAll(chord)
-        .where(F.col("src") != F.col("dst"))
+        .crossJoin(F.broadcast(n))
+        # partial trailing block: drop edges pointing past the vertex range
+        .where((F.col("src") != F.col("dst")) & (F.col("dst") < F.col("n")))
         .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
         .distinct()
         .withColumn("weight", F.lit(1.0))
@@ -109,6 +112,7 @@ WEB_EDGES_CTE = f"""
 
 BLOCK_EDGES_CTE = f"""
   v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  nn AS (SELECT count(*) AS n FROM v),
   e0 AS (
       SELECT id AS src, (id // {BLOCK}) * {BLOCK} + (id % {BLOCK} + 1) % {BLOCK} AS dst FROM v
       UNION ALL
@@ -116,5 +120,5 @@ BLOCK_EDGES_CTE = f"""
   ),
   edges AS (
       SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst, 1.0 AS weight
-      FROM e0 WHERE src <> dst
+      FROM e0, nn WHERE src <> dst AND dst < n
   )"""
