@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline link-graph queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>, ...extras}
+
+Extras (informational, judged against BASELINE.md): edges/sec sustained by the
+PageRank superstep loop and iterations/hour, the two numbers named by the
+authoritative metric in BASELINE.json.
+
+Scaling-efficiency evidence (two parallelism levels on the same input) lives in
+BENCH/scaling.py; this script is the per-round single-level harness the driver
+runs (default local[$SPARK_GRAFT_CPUS] at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PR_ITERS = int(os.environ.get("BENCH_PR_ITERS", "10"))
+
+
+def _sf(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from graphina_spark.session import get_spark
+
+    spark = get_spark("graphina_spark_bench")
+
+    from graphina_spark.operators.components import connected_components
+    from graphina_spark.operators.degree import degree_centrality
+    from graphina_spark.operators.lpa import label_propagation
+    from graphina_spark.operators.pagerank import pagerank
+    from graphina_spark.operators.triangles import triangles
+    from graphina_spark.sources.derived import block_graph, web_graph
+
+    web = web_graph(spark, SF_DIR)
+    block = block_graph(spark, SF_DIR)
+    # materialize inputs once so query timings measure the operators, not the
+    # parquet scan + edge derivation
+    web.edges = web.edges.cache()
+    web.vertices = web.vertices.cache()
+    block.edges = block.edges.cache()
+    block.vertices = block.vertices.cache()
+    n_edges = web.edges.count()
+    web.vertices.count()
+    block.edges.count()
+    block.vertices.count()
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        df = fn()
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    run("pagerank_10it", lambda: pagerank(web, fixed_iters=PR_ITERS, tol=None))
+    run("components", lambda: connected_components(block))
+    run("lpa_4it", lambda: label_propagation(block, fixed_iters=4))
+    run("triangles", lambda: triangles(web))
+    run("degree", lambda: degree_centrality(web))
+
+    pr_sec = timings["pagerank_10it"]
+    sec_per_iter = pr_sec / PR_ITERS
+    out = {
+        "metric": "linkgraph_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf(SF_DIR),
+        "n_edges": n_edges,
+        "pagerank_edges_per_sec": round(n_edges / sec_per_iter, 1),
+        "pagerank_iters_per_hour": round(3600.0 / sec_per_iter, 1),
+        "master": spark.sparkContext.master,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
