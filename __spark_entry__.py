@@ -109,6 +109,38 @@ def _q_transitivity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(val, ROUND),)], "transitivity double")
 
 
+def _pages_graph(spark: SparkSession, sf_dir: str):
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.sources.derived import pages_from_customer
+
+    return LinkGraph.from_pages(pages_from_customer(spark, sf_dir))
+
+
+def _q_page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html → Arrow link-parsing UDF → (src, dst) id edge list."""
+    g = _pages_graph(spark, sf_dir)
+    return g.edges.select("src", "dst")
+
+
+def _q_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html → frozen Arrow text-extraction UDF → (url, text); byte-identical
+    invariant checked against a pure-SQL reconstruction."""
+    from graphina_spark.functions.extract import extract_text_udf
+    from graphina_spark.sources.derived import pages_from_customer
+
+    pages = pages_from_customer(spark, sf_dir)
+    return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
+
+
+def _q_pagerank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingestion path: pages html → parsed edges → PageRank."""
+    from graphina_spark.operators.pagerank import pagerank
+
+    g = _pages_graph(spark, sf_dir)
+    pr = pagerank(g, damping=0.85, fixed_iters=5, tol=None)
+    return pr.select("id", F.round("rank", ROUND).alias("pr"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": _q_pagerank_web,
@@ -121,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_web": _q_triangles_web,
         "clustering_web": _q_clustering_web,
         "transitivity_web": _q_transitivity_web,
+        "page_links": _q_page_links,
+        "page_text": _q_page_text,
+        "pagerank_pages": _q_pagerank_pages,
     }
 
 
@@ -130,6 +165,9 @@ def oracle_sql() -> dict[str, str]:
         components_block_sql,
         degree_web_sql,
         lpa_block_sql,
+        page_links_sql,
+        page_text_sql,
+        pagerank_pages_sql,
         pagerank_web_sql,
         transitivity_web_sql,
         triangles_web_sql,
@@ -147,4 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_web": triangles_web_sql(),
         "clustering_web": clustering_web_sql(),
         "transitivity_web": transitivity_web_sql(),
+        "page_links": page_links_sql(),
+        "page_text": page_text_sql(),
+        "pagerank_pages": pagerank_pages_sql(),
     }

@@ -12,18 +12,25 @@ arithmetic the Spark side computes in graphina_spark/sources/derived.py.
 
 from __future__ import annotations
 
-from graphina_spark.sources.derived import BLOCK_EDGES_CTE, WEB_EDGES_CTE
+from graphina_spark.sources.derived import (
+    BLOCK_EDGES_CTE,
+    PAGES_EDGES_CTE,
+    PAGES_TEXT_CTE,
+    WEB_EDGES_CTE,
+)
 
 PR_ITERS = 5
 PR_DAMPING = 0.85
 ROUND = 6
 
 
-def pagerank_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+def pagerank_web_sql(
+    iters: int = PR_ITERS, d: float = PR_DAMPING, edges_cte: str = WEB_EDGES_CTE
+) -> str:
     """Unrolled weighted PageRank with dangling-mass redistribution
     (reference semantics, src/centrality/pagerank.rs:92-128)."""
     ctes = [
-        WEB_EDGES_CTE.strip(),
+        edges_cte.strip(),
         "verts AS (SELECT id FROM v)",
         "nn2 AS (SELECT count(*) AS n FROM verts)",
         "wout AS (SELECT src AS id, sum(weight) AS w_out FROM edges GROUP BY src)",
@@ -50,6 +57,24 @@ def pagerank_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(pr, {ROUND}) AS pr FROM r{iters}"
     )
+
+
+def pagerank_pages_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """PageRank over the edge set recovered by html link parsing (weight 1.0);
+    the Spark side derives its edges exclusively from the html bytes."""
+    return pagerank_web_sql(iters=iters, d=d, edges_cte=PAGES_EDGES_CTE)
+
+
+def page_links_sql() -> str:
+    """The (src, dst) edge set the Arrow link-parsing UDF must recover from
+    the generated pages' html."""
+    return f"WITH {PAGES_EDGES_CTE.strip()}\nSELECT src, dst FROM edges"
+
+
+def page_text_sql() -> str:
+    """The frozen text extraction's exact output per url — byte-identical
+    invariant under the oracle gate."""
+    return f"WITH {PAGES_TEXT_CTE.strip()}\nSELECT url, text FROM page_text"
 
 
 def components_block_sql() -> str:

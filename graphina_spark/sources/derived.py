@@ -91,6 +91,18 @@ def block_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(vertices=ids, edges=edges, directed=False)
 
 
+def pages_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint-shaped pages table derived from customer ids: one web
+    page per id, html anchors following the same modular rule as
+    :func:`web_graph` (weightless).  Parsing these pages through the Arrow
+    UDFs reproduces the arithmetic edge set — the DuckDB oracle twin is
+    PAGES_EDGES_CTE / PAGES_TEXT_CTE below."""
+    from graphina_spark.sources.pages import pages_from_ids
+
+    ids = _customer_ids(spark, sf_dir)
+    return pages_from_ids(ids, n=None)
+
+
 # ---------------------------------------------------------------- DuckDB side
 # CTE fragments; the driver pre-registers `customer` as a view.
 
@@ -109,6 +121,41 @@ WEB_EDGES_CTE = f"""
       SELECT DISTINCT src, dst, CAST((src+dst) % 5 + 1 AS DOUBLE) AS weight
       FROM e0 WHERE src <> dst AND src % {DANGLING_MOD} <> 0
   )"""
+
+# weightless twin of WEB_EDGES_CTE — what link parsing recovers from the html
+PAGES_EDGES_CTE = f"""
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  nn AS (SELECT count(*) AS n FROM v),
+  e0 AS (
+      {_mult_selects}
+      UNION ALL SELECT id AS src, id % {N_HUBS} AS dst FROM v
+  ),
+  edges AS (
+      SELECT DISTINCT src, dst, 1.0 AS weight
+      FROM e0 WHERE src <> dst AND src % {DANGLING_MOD} <> 0
+  )"""
+
+# the frozen text extraction (functions/extract.py v1) applied to the
+# generated html, reproduced as pure string SQL: title + h1 + body paragraph
+# (&amp; decoded) + anchor texts in sorted-target order, single-space joined
+PAGES_TEXT_CTE = (
+    PAGES_EDGES_CTE
+    + """,
+  z AS (SELECT id, lpad(CAST(id AS VARCHAR), 8, '0') AS pz FROM v),
+  anchors AS (
+      SELECT src AS id,
+             string_agg(' link ' || lpad(CAST(dst AS VARCHAR), 8, '0'), ''
+                        ORDER BY dst) AS links
+      FROM edges GROUP BY src
+  ),
+  page_text AS (
+      SELECT 'https://ex.com/p' || z.pz AS url,
+             'Page ' || z.pz || ' Page ' || z.pz || ' Crawled page ' || z.pz
+             || ' of the synthetic corpus & link graph.'
+             || coalesce(a.links, '') AS text
+      FROM z LEFT JOIN anchors a ON z.id = a.id
+  )"""
+)
 
 BLOCK_EDGES_CTE = f"""
   v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
