@@ -51,6 +51,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     lineage_cut: int = 5,
+    shards: "AdjShards | None" = None,
 ) -> DataFrame:
     """Return ``(id: long, rank: double)``, Σ rank = 1.
 
@@ -70,14 +71,21 @@ def pagerank(
         return g.vertices.select(F.col("id"), F.lit(0.0).alias("rank"))
     n_iters = fixed_iters if fixed_iters is not None else max_iter
 
-    sym = g.symmetric_edges()
-    wout = sym.groupBy("src").agg(F.sum("weight").alias("w_out"))
-    edges_norm = (
-        sym.join(wout, "src")
-        .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("w_norm"))
-        .repartition("src")
-        .cache()
-    )
+    if shards is not None:
+        # salted CSR adjacency path (plans/shards.py): the join moves one row
+        # per (src, salt) instead of one per edge, and hub scatter is spread
+        # across salt rows — the 100 TB layout
+        wout = shards.wout.select("src", "w_out")
+        edges_norm = None
+    else:
+        sym = g.symmetric_edges()
+        wout = sym.groupBy("src").agg(F.sum("weight").alias("w_out"))
+        edges_norm = (
+            sym.join(wout, "src")
+            .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("w_norm"))
+            .repartition("src")
+            .cache()
+        )
 
     # teleport vector p: personalization L1-normalized (uniform fallback when
     # Σ<=0, personalized_pagerank.rs:51-63) else uniform 1/n
@@ -137,16 +145,19 @@ def pagerank(
                 ranks.join(dangling_ids, "id", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
             )
-        gathered = (
-            ranks.alias("r")
-            .join(edges_norm.alias("e"), F.col("r.id") == F.col("e.src"))
-            .select(
-                F.col("e.dst").alias("id"),
-                (F.col("r.rank") * F.col("e.w_norm")).alias("c"),
+        if shards is not None:
+            gathered = shards.gather(ranks, value="rank")
+        else:
+            gathered = (
+                ranks.alias("r")
+                .join(edges_norm.alias("e"), F.col("r.id") == F.col("e.src"))
+                .select(
+                    F.col("e.dst").alias("id"),
+                    (F.col("r.rank") * F.col("e.w_norm")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("gather"))
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("gather"))
-        )
         joined = vinfo.join(gathered, "id", "left")
         if has_dangling:
             joined = joined.crossJoin(F.broadcast(dang_df))

@@ -1,0 +1,144 @@
+"""Salted, src-bucketed CSR-style adjacency shards — the scale layout.
+
+North-star storage: ``adj(bucket, salt, src, dst_list: array<long>,
+w_list: array<double>, degree: long)``.  The reference's analogue is the
+position-space CSR snapshot it builds before every hot loop
+(/root/reference/src/core/paths.rs:767-801, sprs CsMat round-trip at
+types.rs:570-606); ours is a distributed DataFrame with two extra design
+points the in-memory version doesn't need:
+
+1. **Row capping** — ``collect_list`` over a 10^6-out-degree hub would
+   concentrate one group's entire adjacency in a single aggregation buffer
+   and a single join row.  Every (src, salt) row holds at most ``salt_cap``
+   neighbors — an exact bound: ``salt = (row_number over src, ordered by
+   (dst, weight)) / salt_cap``, so a hub with out-degree D is split across
+   exactly ``ceil(D / salt_cap)`` salt rows.  The build-time window sort is a
+   one-off cost; the deterministic order also makes shard contents
+   reproducible across runs/cluster sizes.
+
+2. **Skew-proof gather** — the per-superstep join replicates each hub's rank
+   row once per salt (broadcast hub-salt map + ``explode(sequence(...))`` —
+   no shuffle), then joins on (src, salt) so a hub's scatter work spreads
+   across as many tasks as it has salt rows.  Message aggregation
+   (``groupBy(dst).sum``) gets map-side partial aggregation from Spark, which
+   defuses *in*-degree hubs symmetrically.
+
+Why shards beat the plain per-edge join at scale: the rank⋈adjacency join
+moves one row per (src, salt) — ~|V| rows — instead of one row per edge
+(~|E| = 10–100×|V|), and the edge fan-out happens *after* the join via
+``explode(arrays_zip(...))`` inside the same stage (whole-stage codegen,
+JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+DEFAULT_SALT_CAP = 100_000
+
+
+@dataclass
+class AdjShards:
+    """Materialized adjacency shards + the hub-salt replication map."""
+
+    shards: DataFrame  # (bucket, salt, src, dst_list, w_list, degree, w_out)
+    salt_map: DataFrame  # (src, n_salt) — hubs only (n_salt > 1); broadcast side
+    wout: DataFrame  # (src, w_out, degree) — all scatter-active vertices
+    salt_cap: int
+
+    def unpersist(self) -> None:
+        for df in (self.shards, self.salt_map, self.wout):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def gather(self, ranks: DataFrame, value: str = "rank") -> DataFrame:
+        """One superstep's message wave: Σ_{u→v} value[u]·w_norm(u,v) → (id,
+        gather).  ``ranks`` is (id, <value>)."""
+        replicated = (
+            ranks.join(F.broadcast(self.salt_map), ranks["id"] == self.salt_map["src"], "left")
+            .select(
+                ranks["id"].alias("src"),
+                F.col(value).alias("_v"),
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+                ).alias("salt"),
+            )
+        )
+        return (
+            self.shards.join(replicated, ["src", "salt"])
+            .select(
+                F.explode(F.arrays_zip("dst_list", "w_list")).alias("z"),
+                F.col("_v"),
+            )
+            .select(
+                F.col("z.dst_list").alias("id"),
+                (F.col("_v") * F.col("z.w_list")).alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("gather"))
+        )
+
+
+def build_adj_shards(
+    g: LinkGraph,
+    salt_cap: int = DEFAULT_SALT_CAP,
+    n_buckets: int | None = None,
+    normalize: bool = True,
+) -> AdjShards:
+    """Group the (symmetrized) edge set into capped, salted CSR rows.
+
+    ``normalize=True`` stores w_list as w(u,v)/w_out(u) (the PageRank scatter
+    weights); ``False`` stores raw weights (matvec kernels: eigenvector/Katz).
+    """
+    spark = g.edges.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = g.symmetric_edges()
+    wout = (
+        sym.groupBy("src")
+        .agg(F.sum("weight").alias("w_out"), F.count("*").alias("degree"))
+        .cache()
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("src").orderBy("dst", "weight"))
+    e = (
+        sym.join(wout, "src")
+        .select(
+            "src",
+            "dst",
+            "weight",
+            (
+                (F.col("weight") / F.col("w_out")) if normalize else F.col("weight")
+            ).alias("w_norm"),
+            "degree",
+            "w_out",
+        )
+        .withColumn("salt", ((rn - 1) / F.lit(salt_cap)).cast("int"))
+        .drop("weight")
+    )
+    shards = (
+        e.groupBy("src", "salt")
+        .agg(
+            F.collect_list("dst").alias("dst_list"),
+            F.collect_list("w_norm").alias("w_list"),
+            F.first("degree").alias("degree"),
+            F.first("w_out").alias("w_out"),
+        )
+        .withColumn("bucket", F.pmod(F.hash("src"), F.lit(n_buckets)))
+        .repartition(n_buckets, "src", "salt")
+        .cache()
+    )
+    salt_map = (
+        wout.where(F.col("degree") > salt_cap)
+        .select("src", F.ceil(F.col("degree") / F.lit(salt_cap)).cast("int").alias("n_salt"))
+        .cache()
+    )
+    return AdjShards(shards=shards, salt_map=salt_map, wout=wout, salt_cap=salt_cap)

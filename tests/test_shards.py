@@ -1,0 +1,79 @@
+"""Salted CSR adjacency shards: structure invariants + PageRank equivalence
+between the per-edge join path and the sharded gather path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphina_spark.operators.pagerank import pagerank
+from graphina_spark.plans.shards import build_adj_shards
+from graphina_spark.sources.derived import web_graph
+from tests.conftest import make_graph
+
+
+def _pr_map(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_shard_rows_capped_and_complete(spark, sf_dir):
+    # undirected: the 16 in-degree hubs symmetrize into out-degree hubs,
+    # exercising the salt split
+    gd = web_graph(spark, sf_dir)
+    from graphina_spark.graph import LinkGraph
+
+    g = LinkGraph(vertices=gd.vertices, edges=gd.edges, directed=False)
+    adj = build_adj_shards(g, salt_cap=5)
+    rows = adj.shards.collect()
+    # cap respected
+    assert all(len(r["dst_list"]) <= 5 for r in rows)
+    assert all(len(r["dst_list"]) == len(r["w_list"]) for r in rows)
+    # every symmetrized edge present exactly once across salt rows
+    n_edges = g.symmetric_edges().count()
+    assert sum(len(r["dst_list"]) for r in rows) == n_edges
+    # hubs split across multiple salts; salt_map covers exactly the split srcs
+    split = {r["src"] for r in rows if r["salt"] > 0}
+    hubs = {r["src"] for r in adj.salt_map.collect()}
+    assert split <= hubs and len(hubs) > 0
+    # normalized weights: per-src Σ w_norm == 1
+    sums = (
+        adj.shards.select(F.col("src"), F.explode("w_list").alias("w"))
+        .groupBy("src")
+        .agg(F.sum("w").alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    adj.unpersist()
+
+
+def test_sharded_pagerank_matches_plain(spark, sf_dir):
+    g = web_graph(spark, sf_dir)
+    plain = _pr_map(pagerank(g, fixed_iters=5, tol=None))
+    adj = build_adj_shards(g, salt_cap=3)  # force heavy salting
+    sharded = _pr_map(pagerank(g, fixed_iters=5, tol=None, shards=adj))
+    assert plain.keys() == sharded.keys()
+    assert all(abs(plain[k] - sharded[k]) < 1e-9 for k in plain)
+    adj.unpersist()
+
+
+def test_sharded_pagerank_undirected_weighted(spark):
+    g = make_graph(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 3)],
+        n=5,
+        directed=False,
+        weights=[1.0, 2.0, 0.5, 4.0, 1.0],
+    )
+    plain = _pr_map(pagerank(g, fixed_iters=8, tol=None))
+    adj = build_adj_shards(g, salt_cap=2)
+    sharded = _pr_map(pagerank(g, fixed_iters=8, tol=None, shards=adj))
+    assert all(abs(plain[k] - sharded[k]) < 1e-12 for k in plain)
+    assert abs(sum(sharded.values()) - 1.0) < 1e-9
+    adj.unpersist()
+
+
+def test_convergence_with_shards(spark, sf_dir):
+    g = web_graph(spark, sf_dir)
+    adj = build_adj_shards(g)
+    pr = pagerank(g, tol=1e-8, max_iter=200, shards=adj)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+    adj.unpersist()
