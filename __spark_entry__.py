@@ -141,6 +141,117 @@ def _q_pagerank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", ROUND).alias("pr"))
 
 
+def _communities7(g):
+    return g.vertices.select("id", (F.col("id") % 7).alias("community"))
+
+
+def _mk_links_query(measure: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from graphina_spark.operators import links as L
+
+        g = _web(spark, sf_dir)
+        if measure == "cn":
+            return L.common_neighbors(g)
+        if measure == "jaccard":
+            df = L.jaccard_coefficient(g)
+            return df.select("u", "v", F.round("jaccard", ROUND).alias("jaccard"))
+        if measure == "aa":
+            return L.adamic_adar_index(g).select(
+                "u", "v", F.round("aa", ROUND).alias("aa")
+            )
+        if measure == "ra":
+            return L.resource_allocation_index(g).select(
+                "u", "v", F.round("ra", ROUND).alias("ra")
+            )
+        if measure == "pa":
+            return L.preferential_attachment(g)
+        if measure == "cn_sh":
+            return L.cn_soundarajan_hopcroft(g, _communities7(g))
+        if measure == "ra_sh":
+            return L.ra_index_soundarajan_hopcroft(g, _communities7(g)).select(
+                "u", "v", F.round("ra_sh", ROUND).alias("ra_sh")
+            )
+        if measure == "wic":
+            return L.within_inter_cluster(g, _communities7(g)).select(
+                "u", "v", F.round("wic", ROUND).alias("wic")
+            )
+        if measure == "ccpa":
+            return L.common_neighbor_centrality(g).select(
+                "u", "v", F.round("ccpa", ROUND).alias("ccpa")
+            )
+        raise KeyError(measure)
+
+    return q
+
+
+_LINK_MEASURES = ["cn", "jaccard", "aa", "ra", "pa", "cn_sh", "ra_sh", "wic", "ccpa"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.functions.textstats import with_text_stats
+
+    return with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "punct",
+        "lang_pred",
+        F.round("quality", ROUND).alias("quality"),
+        "fingerprint",
+    )
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return df.select("a", "b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return df.select("a", "b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.dedup import simhash_sketches
+
+    return simhash_sketches(_docs(spark, sf_dir))
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.ann import cosine_topk
+
+    df = cosine_topk(_embs(spark, sf_dir), k=5)
+    return df.select(
+        "query_id", "neighbor_id", F.round("cosine", ROUND).alias("cosine"), "rank"
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.ann import lsh_cosine_topk
+
+    df = lsh_cosine_topk(_embs(spark, sf_dir), k=5, planes=8)
+    return df.select(
+        "query_id", "neighbor_id", F.round("cosine", ROUND).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": _q_pagerank_web,
@@ -156,6 +267,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_links": _q_page_links,
         "page_text": _q_page_text,
         "pagerank_pages": _q_pagerank_pages,
+        **{f"links_{m}_web": _mk_links_query(m) for m in _LINK_MEASURES},
+        "text_stats": _q_text_stats,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
     }
 
 
@@ -164,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         clustering_web_sql,
         components_block_sql,
         degree_web_sql,
+        links_web_sql,
         lpa_block_sql,
         page_links_sql,
         page_text_sql,
@@ -188,4 +308,20 @@ def oracle_sql() -> dict[str, str]:
         "page_links": page_links_sql(),
         "page_text": page_text_sql(),
         "pagerank_pages": pagerank_pages_sql(),
+        **{f"links_{m}_web": links_web_sql(m) for m in _LINK_MEASURES},
+        **_text_oracles(),
+    }
+
+
+def _text_oracles() -> dict[str, str]:
+    from graphina_spark import oracles_text as T
+
+    return {
+        "text_stats": T.text_stats_sql(),
+        "exact_dedup": T.exact_dedup_sql(),
+        "ngram_jaccard": T.ngram_jaccard_sql(threshold=0.2),
+        "minhash_lsh": T.minhash_lsh_sql(threshold=0.2),
+        "simhash": T.simhash_sql(),
+        "ann_cosine_topk": T.ann_cosine_topk_sql(kk=5),
+        "ann_lsh_topk": T.ann_lsh_topk_sql(kk=5, planes=8),
     }

@@ -26,6 +26,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_dense_ids(
+    df: DataFrame, key: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """(key) → (id, key): dense 0-based ids equal to the global sort rank of
+    ``key`` — deterministic and scalable.
+
+    A single global ``row_number`` window would funnel every row through one
+    task; instead: range-partition by key (ranges are ordered), rank within
+    each partition (parallel windows keyed by partition id), then add
+    broadcast per-partition offsets.  The result is independent of the range
+    boundaries the sampler picks, so ids are reproducible across runs and
+    cluster sizes (reference analogue: the attribute-keyed node dedupe +
+    stable id map, /root/reference/src/core/io.rs:113-118,
+    pygraphina/src/core/id_map.rs)."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        df.select(key)
+        .distinct()
+        .repartitionByRange(p, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = parted.groupBy("_pid").count().collect()
+    offsets, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(key)
+    return (
+        parted.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select((F.col("_off") + F.col("_rn") - 1).alias("id"), key)
+    )
+
+
 @dataclass
 class LinkGraph:
     vertices: DataFrame  # (id: long, ...)
@@ -77,18 +115,16 @@ class LinkGraph:
         """
         from graphina_spark.functions.extract import parse_links_udf
 
+        # persist parsed links: they feed both id assignment and the edge
+        # build, and re-running the html parse is the expensive part
         links = pages.select(
             F.col("url").alias("src_url"),
             F.explode(parse_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
-        )
-        w = Window.orderBy("url")
-        vertices = (
-            pages.select("url")
-            .unionAll(links.select(F.col("dst_url").alias("url")))
-            .distinct()
-            .withColumn("id", F.row_number().over(w).cast("long") - 1)
-            .select("id", "url")
-        )
+        ).persist()
+        vertices = assign_dense_ids(
+            pages.select("url").unionAll(links.select(F.col("dst_url").alias("url"))),
+            key="url",
+        ).select(F.col("id").cast("long"), "url")
         edges = (
             links.join(vertices.withColumnRenamed("url", "src_url"), "src_url")
             .withColumnRenamed("id", "src")

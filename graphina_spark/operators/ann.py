@@ -1,0 +1,159 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over ``(vec_id: long, embedding: array<float>)``:
+
+- **Brute-force cosine top-k** (the exactness baseline): block-nested-loop
+  self-join with the smaller side broadcast; dot products via
+  ``zip_with``/``aggregate`` — JVM-side, whole-stage codegen, no Python.
+  O(n²·d) — correct at any scale but only affordable for moderate n or as
+  the per-bucket kernel below.
+
+- **Hyperplane-LSH cosine** (the scale path): P deterministic random
+  hyperplanes (entries ±1 derived from md5 bytes in the *driver*, embedded
+  as literals so the DuckDB oracle sees the identical matrix); bucket =
+  P-bit sign pattern; exact cosine + top-k within each bucket.  Recall is
+  traded for a shuffle keyed by bucket instead of a cross join; multi-probe
+  = union of runs with different ``seed``.
+
+Cosine convention: dot/(‖a‖·‖b‖); pairs with a zero-norm side are dropped.
+Ties in top-k break on neighbor id ascending (deterministic).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5 bytes (pure function of
+    (dim, planes, seed) — reproducible anywhere, embeddable as SQL literals)."""
+    mat = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0]
+            row.append(1 if h % 2 else -1)
+        mat.append(row)
+    return mat
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): exact top-k cosine neighbors
+    of every query vector (default: all vectors, self excluded)."""
+    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    q = (queries or df).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    pairs = q.crossJoin(F.broadcast(base)).where(F.col("qid") != F.col("nid"))
+    den = _norm(F.col("qvec")) * _norm(F.col("nvec"))
+    # ANSI-safe: zero-norm vectors yield NULL (dropped), not a divide error
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.when(den > 0, _dot(F.col("qvec"), F.col("nvec")) / den).alias("cosine"),
+    ).where(F.col("cosine").isNotNull())
+    # rank on round(cosine, 9): full-precision ordering could flip between
+    # engines on last-bit fp differences; 9 dp is far below any real margin
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def lsh_bucket(vec: Column, mat: list[list[int]]) -> Column:
+    """P-bit sign-pattern bucket id for a vector under the hyperplane matrix."""
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(mat):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in row]),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): approximate top-k — exact
+    cosine ranking *within* each hyperplane bucket."""
+    first = df.select(F.col(vec_col).alias("v")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    mat = hyperplanes(len(first["v"]), planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), mat).alias("bucket"),
+    )
+    den = _norm(F.col("x.vec")) * _norm(F.col("y.vec"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.col("x.id").alias("qid"),
+            F.col("y.id").alias("nid"),
+            F.when(den > 0, _dot(F.col("x.vec"), F.col("y.vec")) / den).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nid")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

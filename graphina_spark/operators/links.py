@@ -1,0 +1,208 @@
+"""Link-prediction operators — common-neighbor join family.
+
+Reference semantics (all over the *simple undirected* neighbor sets):
+
+- Jaccard:    |N∩| / (|N(u)| + |N(v)| - |N∩|), 0 when union empty
+  (/root/reference/src/links/similarity.rs:29-55)
+- Adamic-Adar: Σ_{w∈N∩, deg(w)>1} 1/ln(deg w)     (similarity.rs:59-89)
+- Common neighbors: |N∩|                           (similarity.rs:93-100)
+- Resource allocation: Σ_{w∈N∩, deg(w)>0} 1/deg w (allocation.rs:29-55)
+- Preferential attachment: deg(u)·deg(v)           (attachment.rs:24-43)
+- CN Soundarajan-Hopcroft: |{w∈N∩ : comm(u)=comm(v)=comm(w)}|
+  (soundarajan_hopcroft.rs:26-52)
+- RA Soundarajan-Hopcroft: Σ over those w of 1/deg(w) (allocation.rs:60-97)
+- Within-inter cluster: (within + δ)/(inter + δ)   (cluster.rs:27-56)
+- Common neighbor centrality (CCPA): |N∩|^α        (links/centrality.rs:25-46)
+
+Execution shape: one 2-path self-join ``sym(u, w) ⋈ sym(w, v)`` on the
+shared endpoint produces every (u, v, w) wedge with u < v, then one
+``groupBy(u, v)`` aggregates all measures — a single shuffle for the whole
+family.  Degrees come from a broadcast-or-shuffle join against the
+neighbor-set-size table.
+
+The reference's default ebunch is ALL unordered vertex pairs
+(similarity.rs:13-25) — O(n²) rows, meaningless at 10^12 vertices.  Our
+default is the sparse support: pairs with ≥1 common neighbor (every omitted
+pair scores 0 for the N∩-based measures).  Pass ``ebunch`` (u, v) to score an
+explicit candidate set instead — zero-common-neighbor pairs then appear with
+their exact reference score (0, or deg·deg for PA).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+
+def _simple_adj(g: LinkGraph) -> DataFrame:
+    """Both directions of the deduped, loop-free undirected edge set."""
+    c = g.canonical_undirected_edges(dedup=True)
+    return c.unionAll(c.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _neighbor_set_sizes(adj: DataFrame) -> DataFrame:
+    return adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("nsz"))
+
+
+def _wedges(adj: DataFrame) -> DataFrame:
+    """(u, v, w): w adjacent to both u and v, u < v."""
+    a = adj.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+    b = adj.select(F.col("src").alias("w2"), F.col("dst").alias("v"))
+    return (
+        a.join(b, F.col("w") == F.col("w2"))
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v", "w")
+    )
+
+
+def _pair_stats(g: LinkGraph, communities: DataFrame | None = None) -> DataFrame:
+    """(u, v, cn, aa, ra[, cn_sh, ra_sh]) for every pair with ≥1 common
+    neighbor — the shared kernel of the whole family."""
+    adj = _simple_adj(g)
+    nsz = _neighbor_set_sizes(adj)
+    wedges = _wedges(adj).join(
+        nsz.select(F.col("id").alias("w"), F.col("nsz").alias("wdeg")), "w"
+    )
+    aggs = [
+        F.count("*").alias("cn"),
+        F.sum(F.when(F.col("wdeg") > 1, 1.0 / F.log(F.col("wdeg")))).alias("aa"),
+        F.sum(F.when(F.col("wdeg") > 0, 1.0 / F.col("wdeg"))).alias("ra"),
+    ]
+    if communities is not None:
+        com = communities.select("id", "community")
+        wedges = (
+            wedges.join(com.select(F.col("id").alias("u"), F.col("community").alias("cu")), "u")
+            .join(com.select(F.col("id").alias("v"), F.col("community").alias("cv")), "v")
+            .join(com.select(F.col("id").alias("w"), F.col("community").alias("cw")), "w")
+        )
+        same = (F.col("cu") == F.col("cw")) & (F.col("cv") == F.col("cw"))
+        aggs += [
+            F.sum(F.when(same, 1).otherwise(0)).alias("cn_sh"),
+            F.sum(F.when(same & (F.col("wdeg") > 0), 1.0 / F.col("wdeg")).otherwise(0.0)).alias(
+                "ra_sh"
+            ),
+        ]
+    stats = wedges.groupBy("u", "v").agg(*aggs)
+    return stats.select(
+        "u",
+        "v",
+        "cn",
+        F.coalesce("aa", F.lit(0.0)).alias("aa"),
+        F.coalesce("ra", F.lit(0.0)).alias("ra"),
+        *(["cn_sh", "ra_sh"] if communities is not None else []),
+    )
+
+
+def _with_ebunch(g: LinkGraph, stats: DataFrame, ebunch: DataFrame | None) -> DataFrame:
+    if ebunch is None:
+        return stats
+    eb = ebunch.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    )
+    joined = eb.join(stats, ["u", "v"], "left")
+    fill = {c: 0 for c in stats.columns if c not in ("u", "v")}
+    return joined.fillna(fill)
+
+
+def common_neighbors(g: LinkGraph, ebunch: DataFrame | None = None) -> DataFrame:
+    """(u, v, cn) — |N(u) ∩ N(v)| (similarity.rs:93-100)."""
+    return _with_ebunch(g, _pair_stats(g), ebunch).select("u", "v", "cn")
+
+
+def jaccard_coefficient(g: LinkGraph, ebunch: DataFrame | None = None) -> DataFrame:
+    """(u, v, jaccard) (similarity.rs:29-55)."""
+    nsz = _neighbor_set_sizes(_simple_adj(g))
+    stats = _with_ebunch(g, _pair_stats(g), ebunch)
+    return (
+        stats.join(nsz.select(F.col("id").alias("u"), F.col("nsz").alias("du")), "u", "left")
+        .join(nsz.select(F.col("id").alias("v"), F.col("nsz").alias("dv")), "v", "left")
+        .select(
+            "u",
+            "v",
+            F.when(
+                F.coalesce("du", F.lit(0)) + F.coalesce("dv", F.lit(0)) - F.col("cn") > 0,
+                F.col("cn")
+                / (F.coalesce("du", F.lit(0)) + F.coalesce("dv", F.lit(0)) - F.col("cn")),
+            )
+            .otherwise(0.0)
+            .alias("jaccard"),
+        )
+    )
+
+
+def adamic_adar_index(g: LinkGraph, ebunch: DataFrame | None = None) -> DataFrame:
+    """(u, v, aa) (similarity.rs:59-89)."""
+    return _with_ebunch(g, _pair_stats(g), ebunch).select("u", "v", "aa")
+
+
+def resource_allocation_index(g: LinkGraph, ebunch: DataFrame | None = None) -> DataFrame:
+    """(u, v, ra) (allocation.rs:29-55)."""
+    return _with_ebunch(g, _pair_stats(g), ebunch).select("u", "v", "ra")
+
+
+def preferential_attachment(g: LinkGraph, ebunch: DataFrame | None = None) -> DataFrame:
+    """(u, v, pa) = deg(u)·deg(v) (attachment.rs:24-43).  With the default
+    sparse ebunch this scores pairs having ≥1 common neighbor; pass an
+    explicit ebunch for arbitrary pairs."""
+    nsz = _neighbor_set_sizes(_simple_adj(g))
+    if ebunch is None:
+        pairs = _pair_stats(g).select("u", "v")
+    else:
+        pairs = ebunch.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+    return (
+        pairs.join(nsz.select(F.col("id").alias("u"), F.col("nsz").alias("du")), "u", "left")
+        .join(nsz.select(F.col("id").alias("v"), F.col("nsz").alias("dv")), "v", "left")
+        .select(
+            "u",
+            "v",
+            (F.coalesce("du", F.lit(0)).cast("double") * F.coalesce("dv", F.lit(0))).alias("pa"),
+        )
+    )
+
+
+def cn_soundarajan_hopcroft(
+    g: LinkGraph, communities: DataFrame, ebunch: DataFrame | None = None
+) -> DataFrame:
+    """(u, v, cn_sh): common neighbors w with comm(u)=comm(v)=comm(w)
+    (soundarajan_hopcroft.rs:26-52).  ``communities`` is (id, community)."""
+    return _with_ebunch(g, _pair_stats(g, communities), ebunch).select(
+        "u", "v", F.col("cn_sh").cast("double").alias("cn_sh")
+    )
+
+
+def ra_index_soundarajan_hopcroft(
+    g: LinkGraph, communities: DataFrame, ebunch: DataFrame | None = None
+) -> DataFrame:
+    """(u, v, ra_sh) (allocation.rs:60-97)."""
+    return _with_ebunch(g, _pair_stats(g, communities), ebunch).select("u", "v", "ra_sh")
+
+
+def within_inter_cluster(
+    g: LinkGraph,
+    communities: DataFrame,
+    ebunch: DataFrame | None = None,
+    delta: float = 0.001,
+) -> DataFrame:
+    """(u, v, wic) = (within + δ)/(inter + δ) (cluster.rs:27-56)."""
+    if delta <= 0:
+        raise ValueError("delta must be positive")
+    stats = _with_ebunch(g, _pair_stats(g, communities), ebunch)
+    return stats.select(
+        "u",
+        "v",
+        (
+            (F.col("cn_sh") + F.lit(delta))
+            / (F.col("cn") - F.col("cn_sh") + F.lit(delta))
+        ).alias("wic"),
+    )
+
+
+def common_neighbor_centrality(
+    g: LinkGraph, ebunch: DataFrame | None = None, alpha: float = 0.8
+) -> DataFrame:
+    """(u, v, ccpa) = |N∩|^α (links/centrality.rs:25-46)."""
+    return _with_ebunch(g, _pair_stats(g), ebunch).select(
+        "u", "v", F.pow(F.col("cn").cast("double"), F.lit(alpha)).alias("ccpa")
+    )

@@ -181,6 +181,49 @@ SELECT round(3.0 * (SELECT count(*) FROM tris)
              / (SELECT sum(deg * (deg - 1) / 2.0) FROM cdeg), {ROUND}) AS transitivity"""
 
 
+# link-prediction family: one wedge-join CTE shared by every measure
+# (mirrors operators/links.py::_pair_stats)
+_LINKS_CTES = """
+ canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+           FROM edges WHERE src <> dst),
+ adj AS (SELECT s AS src, d AS dst FROM canon
+         UNION ALL SELECT d AS src, s AS dst FROM canon),
+ nsz AS (SELECT src AS id, count(*) AS nsz FROM adj GROUP BY src),
+ wedge AS (SELECT a.dst AS u, b.dst AS v, a.src AS w
+           FROM adj a JOIN adj b ON a.src = b.src WHERE a.dst < b.dst),
+ stats AS (
+   SELECT u, v, count(*) AS cn,
+          coalesce(sum(CASE WHEN n.nsz > 1 THEN 1.0 / ln(n.nsz) END), 0.0) AS aa,
+          coalesce(sum(CASE WHEN n.nsz > 0 THEN 1.0 / n.nsz END), 0.0) AS ra,
+          sum(CASE WHEN u % 7 = w % 7 AND v % 7 = w % 7 THEN 1 ELSE 0 END) AS cn_sh,
+          sum(CASE WHEN u % 7 = w % 7 AND v % 7 = w % 7 AND n.nsz > 0
+                   THEN 1.0 / n.nsz ELSE 0.0 END) AS ra_sh
+   FROM wedge JOIN nsz n ON wedge.w = n.id GROUP BY u, v)"""
+
+_LINKS_SELECTS = {
+    "cn": "SELECT u, v, cn FROM stats",
+    "jaccard": """SELECT s.u, s.v,
+       round(CASE WHEN du.nsz + dv.nsz - s.cn > 0
+                  THEN s.cn / CAST(du.nsz + dv.nsz - s.cn AS DOUBLE)
+                  ELSE 0.0 END, {r}) AS jaccard
+     FROM stats s JOIN nsz du ON s.u = du.id JOIN nsz dv ON s.v = dv.id""",
+    "aa": "SELECT u, v, round(aa, {r}) AS aa FROM stats",
+    "ra": "SELECT u, v, round(ra, {r}) AS ra FROM stats",
+    "pa": """SELECT s.u, s.v, CAST(du.nsz * dv.nsz AS DOUBLE) AS pa
+     FROM stats s JOIN nsz du ON s.u = du.id JOIN nsz dv ON s.v = dv.id""",
+    "cn_sh": "SELECT u, v, CAST(cn_sh AS DOUBLE) AS cn_sh FROM stats",
+    "ra_sh": "SELECT u, v, round(ra_sh, {r}) AS ra_sh FROM stats",
+    "wic": "SELECT u, v, round((cn_sh + 0.001) / (cn - cn_sh + 0.001), {r})"
+    " AS wic FROM stats",
+    "ccpa": "SELECT u, v, round(pow(CAST(cn AS DOUBLE), 0.8), {r}) AS ccpa FROM stats",
+}
+
+
+def links_web_sql(measure: str) -> str:
+    sel = _LINKS_SELECTS[measure].format(r=ROUND)
+    return f"WITH {WEB_EDGES_CTE.strip()},{_LINKS_CTES}\n{sel}"
+
+
 def degree_web_sql(kind: str = "total") -> str:
     """Raw degree counts on the directed web graph (degree.rs:50-114)."""
     out = "SELECT src AS id, count(*) AS c FROM edges GROUP BY src"

@@ -1,0 +1,184 @@
+"""DuckDB oracle SQL for the training-data-pipeline operators.
+
+Each builder mirrors the Spark expression trees in functions/textstats.py,
+operators/dedup.py and operators/ann.py token-for-token: same tokenization
+regex, same md5-based hashing, same tie-breaks — so value-hash parity is
+exact, not approximate.  Tables ``documents`` / ``embeddings`` are
+pre-registered views in the driver's DuckDB gate.
+"""
+
+from __future__ import annotations
+
+from graphina_spark.functions.textstats import LANG_ORDER, STOPWORDS
+from graphina_spark.operators.ann import hyperplanes
+
+ROUND = 6
+
+_TOK = (
+    "tok AS (SELECT doc_id, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t"
+    " FROM documents)"
+)
+
+
+def _stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _stophits(lang: str) -> str:
+    return f"len(list_filter(t, x -> list_contains({_stoplist(lang)}, x)))"
+
+
+def _lang_case() -> str:
+    conds = []
+    for lang in LANG_ORDER:
+        parts = [f"c_{lang} > 0"]
+        for other in LANG_ORDER:
+            if LANG_ORDER.index(other) < LANG_ORDER.index(lang):
+                parts.append(f"c_{lang} > c_{other}")
+            elif other != lang:
+                parts.append(f"c_{lang} >= c_{other}")
+        conds.append(f"WHEN {' AND '.join(parts)} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+def text_stats_sql() -> str:
+    all_stop = "[" + ", ".join(
+        f"'{w}'" for lang in LANG_ORDER for w in STOPWORDS[lang]
+    ) + "]"
+    counts = ", ".join(f"{_stophits(lang)} AS c_{lang}" for lang in LANG_ORDER)
+    return f"""WITH {_TOK},
+ st AS (
+   SELECT d.doc_id, d.text, t.t, {counts},
+          len(list_filter(t, x -> list_contains({all_stop}, x))) AS c_any,
+          length(d.text)
+            - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct
+   FROM documents d JOIN tok t ON d.doc_id = t.doc_id)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       punct,
+       {_lang_case()} AS lang_pred,
+       round(least(1.0, len(t) / 100.0)
+             * (1.0 - least(1.0, 4.0 * punct / (length(text) + 1)))
+             * (0.2 + 0.8 * least(1.0, 2.0 * c_any / (len(t) + 1))), {ROUND})
+         AS quality,
+       md5(array_to_string(t, ' ')) AS fingerprint
+FROM st"""
+
+
+def exact_dedup_sql() -> str:
+    return """WITH h AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+ grp AS (SELECT h, min(id) AS group_id FROM h GROUP BY h)
+SELECT h.id, grp.group_id, h.id = grp.group_id AS keep
+FROM h JOIN grp ON h.h = grp.h"""
+
+
+def _shingle_cte(k: int = 3) -> str:
+    return f"""{_TOK},
+ shd AS (
+   SELECT doc_id,
+          list_distinct(CASE WHEN len(t) >= {k}
+            THEN list_transform(range(len(t) - {k - 1}),
+                                i -> array_to_string(list_slice(t, i + 1, i + {k}), ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS sh
+   FROM tok)"""
+
+
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.2) -> str:
+    return f"""WITH {_shingle_cte(k)},
+ inv AS (SELECT doc_id AS id, unnest(sh) AS s FROM shd),
+ sizes AS (SELECT doc_id AS id, len(sh) AS nsh FROM shd),
+ pairs AS (
+   SELECT x.id AS a, y.id AS b, count(*) AS inter
+   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+   GROUP BY x.id, y.id)
+SELECT a, b,
+       round(inter / CAST(na.nsh + nb.nsh - inter AS DOUBLE), {ROUND}) AS jaccard
+FROM pairs JOIN sizes na ON pairs.a = na.id JOIN sizes nb ON pairs.b = nb.id
+WHERE inter / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= {threshold}"""
+
+
+def minhash_lsh_sql(
+    k: int = 3, num_hashes: int = 12, bands: int = 4, threshold: float = 0.2
+) -> str:
+    r = num_hashes // bands
+    return f"""WITH {_shingle_cte(k)},
+ docs AS (SELECT doc_id AS id, sh FROM shd WHERE len(sh) > 0),
+ sig AS (
+   SELECT id, list_transform(range({num_hashes}),
+            i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+   FROM docs),
+ banded AS (
+   SELECT id, b,
+          md5(array_to_string(list_slice(sig, b * {r} + 1, b * {r} + {r}), '|')) AS bh
+   FROM sig, (SELECT unnest(range({bands})) AS b)),
+ cand AS (
+   SELECT DISTINCT x.id AS a, y.id AS b
+   FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id)
+SELECT a, b,
+       round(len(list_intersect(da.sh, db.sh))
+             / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE),
+             {ROUND}) AS jaccard
+FROM cand JOIN docs da ON cand.a = da.id JOIN docs db ON cand.b = db.id
+WHERE len(list_intersect(da.sh, db.sh))
+      / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) >= {threshold}"""
+
+
+def simhash_sql() -> str:
+    return f"""WITH {_TOK},
+ st AS (SELECT doc_id, unnest(t) AS tk FROM tok),
+ bits AS (
+   SELECT doc_id, b,
+          CASE WHEN sum(CASE WHEN substr(md5(tk), b + 1, 1)
+                             IN ('1','3','5','7','9','b','d','f')
+                        THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+   FROM st, (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
+ sim AS (SELECT doc_id, sum(bit * (1::BIGINT << b)) AS simhash
+         FROM bits GROUP BY doc_id)
+SELECT t.doc_id AS id, CAST(coalesce(sim.simhash, 0) AS BIGINT) AS simhash
+FROM tok t LEFT JOIN sim ON t.doc_id = sim.doc_id"""
+
+
+# cast to DOUBLE[] first: duckdb's list_dot_product on FLOAT[] accumulates in
+# float32, while the Spark side multiplies/sums doubles
+_COS = (
+    "list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))))"
+)
+
+
+def ann_cosine_topk_sql(kk: int = 5) -> str:
+    return f"""WITH scored AS (
+   SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, {_COS} AS cosine
+   FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+   WHERE {_COS} IS NOT NULL),
+ ranked AS (
+   SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+   FROM scored)
+SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {kk}"""
+
+
+def ann_lsh_topk_sql(kk: int = 5, planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    mat = hyperplanes(dim, planes, seed)
+    buckets = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+        f" CAST({row} AS DOUBLE[])) > 0 THEN {2**p} ELSE 0 END)"
+        for p, row in enumerate(mat)
+    )
+    cos = _COS.replace("x.embedding", "x.emb").replace("y.embedding", "y.emb")
+    return f"""WITH b AS (
+   SELECT vec_id AS id, embedding AS emb, {buckets} AS bucket FROM embeddings),
+ pairs AS (
+   SELECT x.id AS query_id, y.id AS neighbor_id, {cos} AS cosine
+   FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id),
+ ranked AS (
+   SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+   FROM pairs WHERE cosine IS NOT NULL)
+SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {kk}"""

@@ -1,0 +1,104 @@
+"""Link-prediction operators vs a brute-force neighbor-set reference
+(semantics pinned to /root/reference/src/links/*.rs — see operators/links.py)."""
+
+import math
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphina_spark.operators import links as L
+from tests.conftest import make_graph
+
+EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (0, 3), (6, 6)]
+N = 8  # 7 is isolated, 6 has only a self-loop
+
+
+def _nbrs():
+    nb = {i: set() for i in range(N)}
+    for s, d in EDGES:
+        if s != d:
+            nb[s].add(d)
+            nb[d].add(s)
+    return nb
+
+
+def _expected(comm=None, delta=0.001):
+    nb = _nbrs()
+    out = {}
+    for u, v in combinations(range(N), 2):
+        common = nb[u] & nb[v]
+        cn = len(common)
+        aa = sum(1.0 / math.log(len(nb[w])) for w in common if len(nb[w]) > 1)
+        ra = sum(1.0 / len(nb[w]) for w in common if len(nb[w]) > 0)
+        union = len(nb[u]) + len(nb[v]) - cn
+        jac = cn / union if union > 0 else 0.0
+        pa = float(len(nb[u]) * len(nb[v]))
+        row = {"cn": cn, "aa": aa, "ra": ra, "jaccard": jac, "pa": pa,
+               "ccpa": cn ** 0.8}
+        if comm is not None:
+            sh = [w for w in common if comm[u] == comm[w] and comm[v] == comm[w]]
+            row["cn_sh"] = float(len(sh))
+            row["ra_sh"] = sum(1.0 / len(nb[w]) for w in sh)
+            row["wic"] = (len(sh) + delta) / (cn - len(sh) + delta)
+        out[(u, v)] = row
+    return out
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return make_graph(spark, EDGES, n=N, directed=False)
+
+
+@pytest.fixture(scope="module")
+def ebunch(spark):
+    pairs = list(combinations(range(N), 2))
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _check(df, col, exp, full=False):
+    got = {(r["u"], r["v"]): r[col] for r in df.collect()}
+    for pair, row in exp.items():
+        want = row[col]
+        if pair in got:
+            assert got[pair] == pytest.approx(want, abs=1e-9), (col, pair)
+        else:
+            assert not full and want == pytest.approx(0.0), (col, pair)
+
+
+def test_links_family_sparse_default(g):
+    exp = _expected()
+    _check(L.common_neighbors(g), "cn", exp)
+    _check(L.jaccard_coefficient(g), "jaccard", exp)
+    _check(L.adamic_adar_index(g), "aa", exp)
+    _check(L.resource_allocation_index(g), "ra", exp)
+    _check(L.common_neighbor_centrality(g), "ccpa", exp)
+
+
+def test_links_family_explicit_ebunch(g, ebunch):
+    exp = _expected()
+    _check(L.common_neighbors(g, ebunch), "cn", exp, full=True)
+    _check(L.jaccard_coefficient(g, ebunch), "jaccard", exp, full=True)
+    _check(L.adamic_adar_index(g, ebunch), "aa", exp, full=True)
+    _check(L.preferential_attachment(g, ebunch), "pa", exp, full=True)
+
+
+def test_links_community_variants(g, spark, ebunch):
+    comm = {i: i % 2 for i in range(N)}
+    cdf = spark.createDataFrame(list(comm.items()), "id long, community long")
+    exp = _expected(comm=comm)
+    _check(L.cn_soundarajan_hopcroft(g, cdf, ebunch), "cn_sh", exp, full=True)
+    _check(L.ra_index_soundarajan_hopcroft(g, cdf), "ra_sh", exp)
+    wic = L.within_inter_cluster(g, cdf)
+    got = {(r["u"], r["v"]): r["wic"] for r in wic.collect()}
+    for pair, val in got.items():
+        assert val == pytest.approx(exp[pair]["wic"], abs=1e-9)
+    with pytest.raises(ValueError):
+        L.within_inter_cluster(g, cdf, delta=0.0)
+
+
+def test_self_loop_and_isolated_excluded(g):
+    """6 (self-loop only) and 7 (isolated) have empty neighbor sets: no pair
+    involving them appears in the sparse support."""
+    cn = L.common_neighbors(g)
+    assert cn.where((F.col("u").isin(6, 7)) | (F.col("v").isin(6, 7))).count() == 0

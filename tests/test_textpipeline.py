@@ -1,0 +1,133 @@
+"""Text-analysis, dedup, and ANN operators — unit semantics on hand-built
+documents (the driver's DuckDB gate covers engine parity; these pin behavior)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphina_spark.functions.textstats import with_text_stats
+from graphina_spark.operators.ann import cosine_topk, hyperplanes, lsh_cosine_topk
+from graphina_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_sketches,
+)
+
+DOCS = [
+    (0, "The cat sat on the mat and the dog ran.", "x"),
+    (1, "The cat sat on the mat and the dog ran.", "x"),  # exact dup of 0
+    (2, "The cat sat on the mat and the dog walked home.", "x"),  # near-dup
+    (3, "der hund und die katze und das haus ist nicht hier", "x"),
+    (4, "completely different words entirely unrelated topics here now", "x"),
+    (5, "", "x"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_text_stats_basics(docs):
+    rows = {r["doc_id"]: r for r in with_text_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == 10
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[3]["lang_pred"] == "de"
+    assert rows[4]["lang_pred"] == "und"
+    assert rows[5]["n_tokens"] == 0 and rows[5]["lang_pred"] == "und"
+    # identical texts → identical fingerprints; case/punct-insensitive
+    assert rows[0]["fingerprint"] == rows[1]["fingerprint"]
+    assert rows[0]["fingerprint"] != rows[2]["fingerprint"]
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+    # punctuation: the single trailing '.'
+    assert rows[0]["punct"] == 1
+
+
+def test_exact_dedup(docs):
+    got = {r["id"]: (r["group_id"], r["keep"]) for r in exact_dedup(docs).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2][1] is True  # different text → own group
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.1 < pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_recovers_dups(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    # verification step: no pair below the exact-jaccard threshold leaks
+    assert all(v >= 0.1 for v in pairs.values())
+
+
+def test_minhash_bad_bands(docs):
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=12, bands=5)
+
+
+def test_simhash_identical_texts_equal(docs):
+    got = {r["id"]: r["simhash"] for r in simhash_sketches(docs).collect()}
+    assert got[0] == got[1]
+    assert got[5] == 0  # empty doc
+    assert 0 <= got[0] < 2**32
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    # every doc shares the same hot shingle; cap=2 kills the pairing on it
+    rows = [(i, "alpha beta gamma shared shared2 shared3", "x") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    full = ngram_jaccard_pairs(df, threshold=0.9).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.9, max_shingle_freq=2).count()
+    assert full == 6 and capped == 0
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero norm → excluded
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    df = _vecs(spark)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(df, k=2).collect()
+    }
+    assert got[(0, 1)][0] == 1  # nearest to e0 is the 0.9/0.1 vector
+    assert got[(0, 1)][1] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+    # zero-norm vector appears nowhere
+    assert all(n != 4 for (n, _) in got.values())
+    assert not any(q == 4 for (q, _) in got.keys())
+
+
+def test_lsh_buckets_deterministic_and_subset(spark):
+    df = _vecs(spark)
+    mat1 = hyperplanes(4, 8, seed=42)
+    mat2 = hyperplanes(4, 8, seed=42)
+    assert mat1 == mat2
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(df, k=4).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in lsh_cosine_topk(df, k=4, planes=4).collect()
+    }
+    # approximate results are a subset of exact pairs with identical scores
+    for pair, cos in approx.items():
+        assert exact[pair] == pytest.approx(cos, abs=1e-9)
