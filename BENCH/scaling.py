@@ -38,8 +38,14 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
     from graphina_spark.session import get_spark
     from graphina_spark.sources.pages import synth_pages
 
+    # AQE off for the superstep loop: the join/agg shapes are static and
+    # pre-partitioned, and AQE's per-stage re-planning adds ~0.5 s/superstep
+    # of driver latency at local[32] (measured) without changing the plans
     spark = get_spark(
-        f"scaling_c{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+        f"scaling_c{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     t0 = time.time()
     pgs = synth_pages(spark, pages, avg_out=avg_out, partitions=cores * 2)
@@ -92,10 +98,10 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--pages", type=int, default=2_500_000)
     ap.add_argument("--avg-out", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--iters", type=int, default=9)
+    ap.add_argument("--cores", default="4,16")
     ap.add_argument("--worker-cores", type=int, default=None, help=argparse.SUPPRESS)
     a = ap.parse_args()
     if a.worker_cores:

@@ -187,6 +187,38 @@ def _mk_links_query(measure: str):
 _LINK_MEASURES = ["cn", "jaccard", "aa", "ra", "pa", "cn_sh", "ra_sh", "wic", "ccpa"]
 
 
+def _q_eigenvector_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.centrality import eigenvector_centrality
+
+    df = eigenvector_centrality(_web(spark, sf_dir), fixed_iters=5)
+    return df.select("id", F.round("eigenvector", ROUND).alias("eigenvector"))
+
+
+def _q_katz_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.centrality import katz_centrality
+    from graphina_spark.oracles import KATZ_ALPHA
+
+    df = katz_centrality(_web(spark, sf_dir), alpha=KATZ_ALPHA, fixed_iters=5)
+    return df.select("id", F.round("katz", ROUND).alias("katz"))
+
+
+def _q_laplacian_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.centrality import laplacian_centrality
+
+    return laplacian_centrality(_web(spark, sf_dir))
+
+
+def _q_voterank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 elected seeds (rows-only check: the election loop is
+    driver-iterative, not practical to unroll in SQL)."""
+    from graphina_spark.operators.centrality import voterank
+
+    seeds = voterank(_web(spark, sf_dir), 10)
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seeds)], "seed_rank int, id long"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -268,6 +300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_text": _q_page_text,
         "pagerank_pages": _q_pagerank_pages,
         **{f"links_{m}_web": _mk_links_query(m) for m in _LINK_MEASURES},
+        "eigenvector_web": _q_eigenvector_web,
+        "katz_web": _q_katz_web,
+        "laplacian_web": _q_laplacian_web,
+        "voterank_web": _q_voterank_web,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -283,6 +319,9 @@ def oracle_sql() -> dict[str, str]:
         clustering_web_sql,
         components_block_sql,
         degree_web_sql,
+        eigenvector_web_sql,
+        katz_web_sql,
+        laplacian_web_sql,
         links_web_sql,
         lpa_block_sql,
         page_links_sql,
@@ -309,6 +348,10 @@ def oracle_sql() -> dict[str, str]:
         "page_text": page_text_sql(),
         "pagerank_pages": pagerank_pages_sql(),
         **{f"links_{m}_web": links_web_sql(m) for m in _LINK_MEASURES},
+        "eigenvector_web": eigenvector_web_sql(iters=5),
+        "katz_web": katz_web_sql(iters=5),
+        "laplacian_web": laplacian_web_sql(),
+        # voterank_web intentionally omitted → driver records rows-only check
         **_text_oracles(),
     }
 

@@ -181,6 +181,79 @@ SELECT round(3.0 * (SELECT count(*) FROM tris)
              / (SELECT sum(deg * (deg - 1) / 2.0) FROM cdeg), {ROUND}) AS transitivity"""
 
 
+def eigenvector_web_sql(iters: int = 5) -> str:
+    """Unrolled directed eigenvector power iteration (shift 0, contributions
+    flow src→dst with weights, L2 normalize per step, final |x|·n/Σ|x| —
+    eigenvector.rs:30-162)."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "verts AS (SELECT id FROM v)",
+        "nn2 AS (SELECT count(*) AS n FROM verts)",
+        "x0 AS (SELECT id, 1.0 / sqrt(n) AS x FROM verts, nn2)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = f"x{k - 1}", f"x{k}"
+        ctes.append(
+            f"y{k} AS (SELECT vv.id, coalesce(g.s, 0.0) AS y FROM verts vv"
+            f" LEFT JOIN (SELECT e.dst AS id, sum(x.x * e.weight) AS s"
+            f" FROM {p} x JOIN edges e ON x.id = e.src GROUP BY e.dst) g"
+            f" ON vv.id = g.id)"
+        )
+        ctes.append(f"n{k} AS (SELECT sqrt(sum(y * y)) AS nrm FROM y{k})")
+        ctes.append(f"{c} AS (SELECT id, y / nrm AS x FROM y{k}, n{k})")
+    ctes.append(f"s AS (SELECT sum(abs(x)) AS tot FROM x{iters}")
+    ctes[-1] += ")"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT x.id, round(abs(x.x) * nn2.n / s.tot, {ROUND}) AS eigenvector"
+        f" FROM x{iters} x, nn2, s"
+    )
+
+
+KATZ_ALPHA = 1.0 / 30.0  # non-terminating decimal: with integer edge weights
+# a terminating α (e.g. 0.05) puts Katz values exactly on decimal rounding
+# half-boundaries, where the two engines' round() disagree
+
+
+def katz_web_sql(iters: int = 5, alpha: float = KATZ_ALPHA) -> str:
+    """Unrolled Katz: x'[u] = 1 + α Σ_{u→v} w·x[v] (reversed gather,
+    katz.rs:82-84), init 0."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "verts AS (SELECT id FROM v)",
+        "x0 AS (SELECT id, 0.0 AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = f"x{k - 1}", f"x{k}"
+        ctes.append(
+            f"{c} AS (SELECT vv.id, 1.0 + {alpha!r} * coalesce(g.s, 0.0) AS x"
+            f" FROM verts vv LEFT JOIN (SELECT e.src AS id, sum(x.x * e.weight) AS s"
+            f" FROM {p} x JOIN edges e ON x.id = e.dst GROUP BY e.src) g"
+            f" ON vv.id = g.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(x, {ROUND}) AS katz FROM x{iters}"
+    )
+
+
+def laplacian_web_sql() -> str:
+    """d² + d + 2·Σ neighbor degrees over the simple undirected structure
+    (other.rs:175-201)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+           FROM edges WHERE src <> dst),
+ adj AS (SELECT s AS src, d AS dst FROM canon
+         UNION ALL SELECT d AS src, s AS dst FROM canon),
+ deg AS (SELECT src AS id, count(*) AS d FROM adj GROUP BY src),
+ nsum AS (SELECT a.src AS id, sum(dd.d) AS nds
+          FROM adj a JOIN deg dd ON a.dst = dd.id GROUP BY a.src)
+SELECT vv.id,
+       CAST(coalesce(deg.d, 0) * coalesce(deg.d, 0) + coalesce(deg.d, 0)
+            + 2.0 * coalesce(nsum.nds, 0) AS DOUBLE) AS laplacian
+FROM v vv LEFT JOIN deg ON vv.id = deg.id LEFT JOIN nsum ON vv.id = nsum.id"""
+
+
 # link-prediction family: one wedge-join CTE shared by every measure
 # (mirrors operators/links.py::_pair_stats)
 _LINKS_CTES = """
