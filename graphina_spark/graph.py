@@ -174,8 +174,10 @@ class LinkGraph:
 
     def degrees(self) -> DataFrame:
         """(id, in_deg, out_deg, deg, w_out_deg) — raw counts, not normalized
-        (degree.rs:50-78).  Directed: deg = in+out.  Undirected: self-loop
-        counts 2 because symmetric_edges carries it twice."""
+        (degree.rs:44-114).  Directed: deg = in_deg + out_deg.  Undirected:
+        each incident edge counts once toward deg (= symmetrized out-degree,
+        so a self-loop counts 2 because symmetric_edges carries it twice),
+        and in_deg = out_deg = deg (degree.rs:85-114)."""
         if "degrees" in self._cache:
             return self._cache["degrees"]
         sym = self.symmetric_edges()
@@ -183,17 +185,17 @@ class LinkGraph:
             F.count("*").alias("out_deg"), F.sum("weight").alias("w_out_deg")
         )
         inn = sym.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
+        o = F.coalesce("out_deg", F.lit(0))
+        i = F.coalesce("in_deg", F.lit(0))
         deg = (
             self.vertices.select("id")
             .join(out, "id", "left")
             .join(inn, "id", "left")
             .select(
                 "id",
-                F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-                F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-                (F.coalesce("in_deg", F.lit(0)) + F.coalesce("out_deg", F.lit(0))).alias(
-                    "deg"
-                ),
+                i.alias("in_deg"),
+                o.alias("out_deg"),
+                ((i + o) if self.directed else o).alias("deg"),
                 F.coalesce("w_out_deg", F.lit(0.0)).alias("w_out_deg"),
             )
         )

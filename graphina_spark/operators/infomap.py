@@ -1,0 +1,81 @@
+"""Infomap (simplified flow-greedy variant) — weighted label propagation.
+
+Reference: /root/reference/src/community/infomap.rs:33-106 — each node joins
+the neighboring module with the largest incident *weight share* (flow), both
+endpoints accumulate (edge src↔tgt contributes to both views), async +
+seeded-shuffle order, stop on no change or max_iter; errors on empty graph /
+max_iter=0.
+
+Distributed variant (same policy as operators/lpa.py): **synchronous**
+supersteps with a deterministic tie-break (max weight share, then smallest
+module id) — the reference's async shuffle order is unreproducible across
+partitions, and its own tests only pin the partition shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+
+def infomap(
+    g: LinkGraph,
+    max_iter: int = 100,
+    fixed_iters: int | None = None,
+) -> DataFrame:
+    """(id, module) — converged flow-greedy modules."""
+    if g.vertices.isEmpty():
+        raise ValueError("Infomap: empty graph")  # infomap.rs:44-46
+    if fixed_iters is None and max_iter <= 0:
+        raise ValueError("Infomap: max_iter=0")  # infomap.rs:47-49
+
+    # both-endpoints accumulation regardless of directedness (infomap.rs:60-67)
+    adj = (
+        g.edges.select("src", "dst", "weight")
+        .unionAll(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .repartition("src")
+        .cache()
+    )
+    labels = g.vertices.select("id", F.col("id").alias("module")).localCheckpoint(
+        eager=True
+    )
+    n_rounds = fixed_iters if fixed_iters is not None else max_iter
+    for _ in range(n_rounds):
+        flows = (
+            adj.join(labels.select(F.col("id").alias("dst"), "module"), "dst")
+            .groupBy(F.col("src").alias("id"), "module")
+            .agg(F.sum("weight").alias("flow"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("flow"), F.asc("module"))
+        best = (
+            flows.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("module").alias("new_module"))
+        )
+        updated = (
+            labels.join(best, "id", "left")
+            .select(
+                "id", F.coalesce("new_module", F.col("module")).alias("module")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if fixed_iters is None:
+            changed = (
+                updated.alias("a")
+                .join(labels.alias("b"), "id")
+                .where(F.col("a.module") != F.col("b.module"))
+                .count()
+            )
+        else:
+            changed = -1
+        labels = updated
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels

@@ -1,0 +1,68 @@
+"""Graph-level metrics: density, average degree/clustering, assortativity.
+
+Reference: /root/reference/src/metrics/graph_metrics.rs — transitivity
+(:146-215, in operators/triangles.py), average clustering (:125-139),
+assortativity (:264-306, Newman symmetric Pearson with both orderings per
+edge).  Diameter/radius/average-path-length (:40-108, :224-253) are all-pairs
+BFS — non-goals at web scale (documented in SURVEY §2.2); everything here is
+one or two shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+
+def density(g: LinkGraph) -> float:
+    """E/(n(n-1)) directed, 2E/(n(n-1)) undirected; 0 for n < 2."""
+    n = g.num_vertices()
+    if n < 2:
+        return 0.0
+    e = g.num_edges()
+    d = e / (n * (n - 1))
+    return d if g.directed else 2.0 * d
+
+
+def average_degree(g: LinkGraph) -> float:
+    n = g.num_vertices()
+    if n == 0:
+        return 0.0
+    return g.degrees().agg(F.avg("deg")).first()[0] or 0.0
+
+
+def average_clustering_coefficient(g: LinkGraph) -> float:
+    """Mean of per-node local clustering coefficients (graph_metrics.rs:125-139
+    — includes degree<2 nodes as 0)."""
+    from graphina_spark.operators.triangles import clustering_coefficients
+
+    if g.vertices.isEmpty():
+        return 0.0
+    return clustering_coefficients(g).agg(F.avg("clustering")).first()[0] or 0.0
+
+
+def assortativity(g: LinkGraph) -> float:
+    """Newman degree assortativity — Pearson over the symmetric joint degree
+    distribution of edge endpoints, each edge contributing both orderings
+    (graph_metrics.rs:264-306).  One edge scan + one degree join."""
+    if g.edges.isEmpty():
+        return 0.0
+    deg = g.degrees().select("id", F.col("deg").cast("double").alias("d"))
+    jk = (
+        g.edges.select("src", "dst")
+        .join(deg.select(F.col("id").alias("src"), F.col("d").alias("j")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("k")), "dst")
+    )
+    row = jk.agg(
+        F.count("*").alias("e"),
+        F.sum(2.0 * F.col("j") * F.col("k")).alias("sum_jk"),
+        F.sum(F.col("j") + F.col("k")).alias("sum_j"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias("sum_j2"),
+    ).first()
+    m = 2.0 * row["e"]
+    num = row["sum_jk"] / m - (row["sum_j"] / m) ** 2
+    den = row["sum_j2"] / m - (row["sum_j"] / m) ** 2
+    if den == 0.0:
+        return 0.0
+    return num / den

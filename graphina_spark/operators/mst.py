@@ -1,0 +1,99 @@
+"""Minimum spanning forest — distributed Borůvka.
+
+Reference: /root/reference/src/mst/algorithms.rs (Prim :155, Kruskal :295,
+Borůvka :367; parallel Borůvka above 10k edges :38-40).  Prim/Kruskal are
+inherently sequential (heap / sorted union-find scan); Borůvka is the
+Spark-shaped member of the family (SURVEY §2.3): each round every component
+picks its minimum outgoing edge, chosen edges merge components, rounds
+halve the component count → O(log n) supersteps.
+
+Determinism: ties are broken by the total order (weight, min(src,dst),
+max(src,dst)) — equivalent to a lexicographic weight perturbation, so the
+result is a valid MSF and identical across runs/cluster sizes.  Matches the
+reference's forest weight on connected graphs (their tests compare total
+weight + edge count, not edge identity — oracle_tests.rs MST checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+
+def boruvka_msf(g: LinkGraph, max_rounds: int = 64) -> DataFrame:
+    """(src, dst, weight) edges of the minimum spanning forest (canonical
+    src < dst), one tree per connected component."""
+    from graphina_spark.operators.components import connected_components
+
+    edges = (
+        g.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))  # parallel edges: keep cheapest
+        .repartition("src")
+        .cache()
+    )
+    spark = g.vertices.sparkSession
+    labels = g.vertices.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    chosen_all: DataFrame | None = None
+    for _ in range(max_rounds):
+        lab_s = labels.select(F.col("id").alias("src"), F.col("comp").alias("cs"))
+        lab_d = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cd"))
+        cross = (
+            edges.join(lab_s, "src")
+            .join(lab_d, "dst")
+            .where(F.col("cs") != F.col("cd"))
+        )
+        if cross.isEmpty():
+            break
+        # min outgoing edge per component under the deterministic total order
+        per_comp = cross.select(
+            F.col("cs").alias("comp"), "src", "dst", "weight", "cs", "cd"
+        ).unionAll(
+            cross.select(F.col("cd").alias("comp"), "src", "dst", "weight", "cs", "cd")
+        )
+        best = per_comp.groupBy("comp").agg(
+            F.min(F.struct("weight", "src", "dst", "cs", "cd")).alias("m")
+        )
+        chosen = best.select(
+            F.col("m.src").alias("src"),
+            F.col("m.dst").alias("dst"),
+            F.col("m.weight").alias("weight"),
+            F.col("m.cs").alias("cs"),
+            F.col("m.cd").alias("cd"),
+        ).distinct()
+        picked = chosen.select("src", "dst", "weight").localCheckpoint(eager=True)
+        chosen_all = picked if chosen_all is None else chosen_all.unionAll(picked)
+        chosen_all = chosen_all.localCheckpoint(eager=True)
+        # merge: connected components over the chosen component-graph
+        comp_edges = chosen.select(
+            F.col("cs").alias("src"), F.col("cd").alias("dst")
+        ).withColumn("weight", F.lit(1.0))
+        comp_vertices = labels.select(F.col("comp").alias("id")).distinct()
+        cg = LinkGraph(vertices=comp_vertices, edges=comp_edges, directed=False)
+        merged = connected_components(cg).select(
+            F.col("id").alias("comp"), F.col("component").alias("new_comp")
+        )
+        labels = (
+            labels.join(merged, "comp")
+            .select("id", F.col("new_comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    if chosen_all is None:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    return chosen_all.distinct()
+
+
+def msf_total_weight(g: LinkGraph) -> float:
+    """Σ weight of the forest (the quantity the reference's oracle pins)."""
+    row = boruvka_msf(g).agg(F.sum("weight")).first()
+    return float(row[0] or 0.0)

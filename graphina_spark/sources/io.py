@@ -1,0 +1,87 @@
+"""Graph IO: edge-list compatibility + parquet graph persistence.
+
+Reference: /root/reference/src/core/io.rs — ``read_edge_list`` (:59-122:
+``#`` comments stripped, separator char, optional 3rd-token weight default
+1.0, nodes deduped by attribute key) and adjacency-list IO (:221-282);
+/root/reference/src/core/serialization.rs — ``SerializableGraph`` JSON/binary
+round-trip (:159-320) with a strict directedness check on load (:127-143).
+
+Here: edge lists load through ``spark.read.text`` + JVM-side split/cast
+(vertex identity IS the integer attribute key, so ids are stable without an
+id-mapper); graph persistence is two parquet directories + a JSON manifest
+(the Iceberg-shaped analogue of SerializableGraph).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+
+
+def read_edge_list(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    directed: bool = True,
+    default_weight: float = 1.0,
+    comment: str = "#",
+) -> LinkGraph:
+    """Edge-list text file → LinkGraph (io.rs:59-122 semantics)."""
+    lines = spark.read.text(path)
+    toks = (
+        lines.select(F.trim("value").alias("v"))
+        .where((F.col("v") != "") & ~F.col("v").startswith(comment))
+        .select(F.split("v", sep).alias("t"))
+    )
+    edges = toks.select(
+        F.trim(F.get(F.col("t"), 0)).cast("long").alias("src"),
+        F.trim(F.get(F.col("t"), 1)).cast("long").alias("dst"),
+        F.coalesce(
+            F.trim(F.get(F.col("t"), 2)).cast("double"), F.lit(default_weight)
+        ).alias("weight"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return LinkGraph.from_edges(edges, directed=directed)
+
+
+def write_edge_list(g: LinkGraph, path: str, sep: str = ",") -> None:
+    g.edges.select(
+        F.concat_ws(sep, F.col("src"), F.col("dst"), F.col("weight")).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def save_graph(g: LinkGraph, path: str) -> None:
+    """vertices/ + edges/ parquet + manifest.json (SerializableGraph analog)."""
+    g.vertices.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
+    g.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    manifest = {
+        "format": "graphina_spark.graph.v1",
+        "directed": g.directed,
+        "vertex_columns": g.vertices.columns,
+        "edge_columns": g.edges.columns,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def load_graph(
+    spark: SparkSession, path: str, expect_directed: bool | None = None
+) -> LinkGraph:
+    """Strict directedness check like the reference's loader
+    (serialization.rs:127-143): pass ``expect_directed`` to enforce."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if expect_directed is not None and manifest["directed"] != expect_directed:
+        raise ValueError(
+            f"graph at {path} is directed={manifest['directed']}, "
+            f"expected directed={expect_directed}"
+        )
+    return LinkGraph(
+        vertices=spark.read.parquet(os.path.join(path, "vertices")),
+        edges=spark.read.parquet(os.path.join(path, "edges")),
+        directed=manifest["directed"],
+    )
