@@ -219,6 +219,53 @@ def _q_voterank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_assortativity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import assortativity
+
+    val = assortativity(_web(spark, sf_dir))
+    return spark.createDataFrame([(round(val, ROUND),)], "assortativity double")
+
+
+def _q_avg_clustering_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import average_clustering_coefficient
+
+    val = average_clustering_coefficient(_web(spark, sf_dir))
+    return spark.createDataFrame([(round(val, ROUND),)], "avg_clustering double")
+
+
+def _q_density_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import density
+
+    val = density(_web(spark, sf_dir))
+    return spark.createDataFrame([(round(val, ROUND),)], "density double")
+
+
+def _q_reaching2_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.reaching import local_reaching_centrality
+
+    return local_reaching_centrality(_web(spark, sf_dir), 2)
+
+
+def _q_infomap_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.infomap import infomap
+
+    return infomap(_web(spark, sf_dir), fixed_iters=3)
+
+
+def _q_msf_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest on the block graph (rows-only: MST is
+    not practically expressible in DuckDB SQL; determinism is pinned by the
+    total-order tie-break and covered in tests)."""
+    from graphina_spark.operators.mst import boruvka_msf
+
+    g = _block(spark, sf_dir)
+    # deterministic distinct weights from endpoint arithmetic
+    g.edges = g.edges.withColumn(
+        "weight", ((F.col("src") * 13 + F.col("dst") * 7) % 97 + 1).cast("double")
+    )
+    return boruvka_msf(g)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -300,6 +347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_text": _q_page_text,
         "pagerank_pages": _q_pagerank_pages,
         **{f"links_{m}_web": _mk_links_query(m) for m in _LINK_MEASURES},
+        "assortativity_web": _q_assortativity_web,
+        "avg_clustering_web": _q_avg_clustering_web,
+        "density_web": _q_density_web,
+        "reaching2_web": _q_reaching2_web,
+        "infomap_web": _q_infomap_web,
+        "msf_block": _q_msf_block,
         "eigenvector_web": _q_eigenvector_web,
         "katz_web": _q_katz_web,
         "laplacian_web": _q_laplacian_web,
@@ -315,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from graphina_spark import oracles as O
     from graphina_spark.oracles import (
         clustering_web_sql,
         components_block_sql,
@@ -351,6 +405,12 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_web": eigenvector_web_sql(iters=5),
         "katz_web": katz_web_sql(iters=5),
         "laplacian_web": laplacian_web_sql(),
+        "assortativity_web": O.assortativity_web_sql(),
+        "avg_clustering_web": O.avg_clustering_web_sql(),
+        "density_web": O.density_web_sql(),
+        "reaching2_web": O.reaching2_web_sql(),
+        "infomap_web": O.infomap_web_sql(iters=3),
+        # msf_block intentionally omitted → rows-only check
         # voterank_web intentionally omitted → driver records rows-only check
         **_text_oracles(),
     }

@@ -97,6 +97,7 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 

@@ -22,9 +22,38 @@ from pyspark.sql import functions as F
 from graphina_spark.graph import LinkGraph
 
 
-def boruvka_msf(g: LinkGraph, max_rounds: int = 64) -> DataFrame:
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with min-root canonicalization."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            hi, lo = (ra, rb) if ra > rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def boruvka_msf(
+    g: LinkGraph, max_rounds: int = 64, driver_merge_threshold: int = 5_000_000
+) -> DataFrame:
     """(src, dst, weight) edges of the minimum spanning forest (canonical
-    src < dst), one tree per connected component."""
+    src < dst), one tree per connected component.
+
+    Component merging per round: the merge graph has ≤1 chosen edge per
+    component, so once the component count is ≤ ``driver_merge_threshold``
+    it is collected and union-found on the driver (a few MB), broadcast back
+    as a relabel map — replacing a nested distributed CC whose superstep
+    count dominated wall time.  Above the threshold (first rounds at true
+    web scale) the merge runs as distributed hash-min label exchange."""
     from graphina_spark.operators.components import connected_components
 
     edges = (
@@ -63,30 +92,58 @@ def boruvka_msf(g: LinkGraph, max_rounds: int = 64) -> DataFrame:
         best = per_comp.groupBy("comp").agg(
             F.min(F.struct("weight", "src", "dst", "cs", "cd")).alias("m")
         )
-        chosen = best.select(
-            F.col("m.src").alias("src"),
-            F.col("m.dst").alias("dst"),
-            F.col("m.weight").alias("weight"),
-            F.col("m.cs").alias("cs"),
-            F.col("m.cd").alias("cd"),
-        ).distinct()
-        picked = chosen.select("src", "dst", "weight").localCheckpoint(eager=True)
-        chosen_all = picked if chosen_all is None else chosen_all.unionAll(picked)
-        chosen_all = chosen_all.localCheckpoint(eager=True)
-        # merge: connected components over the chosen component-graph
-        comp_edges = chosen.select(
-            F.col("cs").alias("src"), F.col("cd").alias("dst")
-        ).withColumn("weight", F.lit(1.0))
-        comp_vertices = labels.select(F.col("comp").alias("id")).distinct()
-        cg = LinkGraph(vertices=comp_vertices, edges=comp_edges, directed=False)
-        merged = connected_components(cg).select(
-            F.col("id").alias("comp"), F.col("component").alias("new_comp")
-        )
-        labels = (
-            labels.join(merged, "comp")
-            .select("id", F.col("new_comp").alias("comp"))
+        # cut lineage before chosen fans out into three consumers (picked,
+        # comp_edges, and the nested CC kernel) — otherwise the deep
+        # cross-join plan replicates into every superstep of every round
+        chosen = (
+            best.select(
+                F.col("m.src").alias("src"),
+                F.col("m.dst").alias("dst"),
+                F.col("m.weight").alias("weight"),
+                F.col("m.cs").alias("cs"),
+                F.col("m.cd").alias("cd"),
+            )
+            .distinct()
             .localCheckpoint(eager=True)
         )
+        picked = chosen.select("src", "dst", "weight")
+        chosen_all = picked if chosen_all is None else chosen_all.unionAll(picked)
+        chosen_all = chosen_all.localCheckpoint(eager=True)
+        # merge components along the chosen edges
+        comp_edges = chosen.select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        n_merge = comp_edges.count()
+        if n_merge <= driver_merge_threshold:
+            mapping = _union_find(
+                [(r["src"], r["dst"]) for r in comp_edges.collect()]
+            )
+            spark_local = labels.sparkSession
+            map_df = spark_local.createDataFrame(
+                list(mapping.items()), "comp long, new_comp long"
+            )
+            labels = (
+                labels.join(F.broadcast(map_df), "comp", "left")
+                .select("id", F.coalesce("new_comp", "comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            comp_vertices = (
+                labels.select(F.col("comp").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            cg = LinkGraph(
+                vertices=comp_vertices,
+                edges=comp_edges.withColumn("weight", F.lit(1.0)),
+                directed=False,
+            )
+            merged = connected_components(cg).select(
+                F.col("id").alias("comp"), F.col("component").alias("new_comp")
+            )
+            labels = (
+                labels.join(merged, "comp")
+                .select("id", F.col("new_comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
     edges.unpersist()
     if chosen_all is None:
         return spark.createDataFrame([], "src long, dst long, weight double")

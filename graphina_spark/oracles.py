@@ -297,6 +297,82 @@ def links_web_sql(measure: str) -> str:
     return f"WITH {WEB_EDGES_CTE.strip()},{_LINKS_CTES}\n{sel}"
 
 
+def assortativity_web_sql() -> str:
+    """Newman symmetric degree assortativity over the directed web graph
+    (deg = in+out), graph_metrics.rs:264-306."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ outd AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+ ind AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst),
+ deg AS (SELECT vv.id,
+                CAST(coalesce(o.c, 0) + coalesce(i.c, 0) AS DOUBLE) AS d
+         FROM v vv LEFT JOIN outd o ON vv.id = o.id LEFT JOIN ind i ON vv.id = i.id),
+ jk AS (SELECT dj.d AS j, dk.d AS k FROM edges e
+        JOIN deg dj ON e.src = dj.id JOIN deg dk ON e.dst = dk.id),
+ s AS (SELECT count(*) AS e, sum(2.0*j*k) AS sjk, sum(j+k) AS sj,
+              sum(j*j + k*k) AS sj2 FROM jk)
+SELECT round((sjk/(2.0*e) - (sj/(2.0*e))*(sj/(2.0*e)))
+             / (sj2/(2.0*e) - (sj/(2.0*e))*(sj/(2.0*e))), {ROUND}) AS assortativity
+FROM s"""
+
+
+def avg_clustering_web_sql() -> str:
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES}
+SELECT round(avg(CASE WHEN coalesce(d.deg, 0) >= 2
+                 THEN coalesce(p.t, 0) / (d.deg * (d.deg - 1) / 2.0)
+                 ELSE 0.0 END), {ROUND}) AS avg_clustering
+FROM v vv LEFT JOIN cdeg d ON vv.id = d.id LEFT JOIN percnt p ON vv.id = p.id"""
+
+
+def density_web_sql() -> str:
+    return f"""WITH {WEB_EDGES_CTE.strip()}
+SELECT round((SELECT count(*) FROM edges)
+             / CAST((SELECT count(*) FROM v) * ((SELECT count(*) FROM v) - 1)
+               AS DOUBLE), {ROUND}) AS density"""
+
+
+def reaching2_web_sql() -> str:
+    """|ball(v, 2)| on the directed web graph (other.rs:24-54, distance=2)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ adj AS (SELECT DISTINCT src, dst FROM edges),
+ r AS (
+   SELECT id AS source, id FROM v
+   UNION
+   SELECT a.src AS source, a.dst AS id FROM adj a
+   UNION
+   SELECT a.src AS source, b.dst AS id FROM adj a JOIN adj b ON a.dst = b.src
+ )
+SELECT source AS id, CAST(count(*) AS DOUBLE) AS reaching FROM r GROUP BY source"""
+
+
+def infomap_web_sql(iters: int = 3) -> str:
+    """Unrolled synchronous flow-greedy module assignment (infomap.rs:33-106
+    semantics, deterministic (flow desc, module asc) tie-break; both
+    endpoints accumulate regardless of directedness, :60-67)."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "sym AS (SELECT src, dst, weight FROM edges UNION ALL"
+        " SELECT dst AS src, src AS dst, weight FROM edges)",
+        "m0 AS (SELECT id, id AS module FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"m{k - 1}"
+        ctes.append(
+            f"""m{k} AS (
+  SELECT l.id, coalesce(b.nm, l.module) AS module
+  FROM {p} l LEFT JOIN (
+    SELECT id, module AS nm FROM (
+      SELECT e.src AS id, l2.module, sum(e.weight) AS flow,
+             row_number() OVER (PARTITION BY e.src
+                                ORDER BY sum(e.weight) DESC, l2.module ASC) AS rn
+      FROM sym e JOIN {p} l2 ON e.dst = l2.id
+      GROUP BY e.src, l2.module
+    ) t WHERE rn = 1
+  ) b ON l.id = b.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, module FROM m{iters}"
+
+
 def degree_web_sql(kind: str = "total") -> str:
     """Raw degree counts on the directed web graph (degree.rs:50-114)."""
     out = "SELECT src AS id, count(*) AS c FROM edges GROUP BY src"
