@@ -19,6 +19,8 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from graphina_spark.plans.materialize import local_materialize as _mat
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,7 +31,12 @@ ROUND = 6
 def _web(spark: SparkSession, sf_dir: str):
     from graphina_spark.sources.derived import web_graph
 
-    return web_graph(spark, sf_dir)
+    g = web_graph(spark, sf_dir)
+    # flat-leaf materialization: iterative kernels re-reference the edge
+    # frame every superstep; a deep derivation plan under Long.MaxValue
+    # leaf stats makes Catalyst's per-join size product blow up
+    g.edges = g.edges.transform(_mat)
+    return g
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -67,7 +74,9 @@ def _q_in_degree_web(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _block(spark: SparkSession, sf_dir: str):
     from graphina_spark.sources.derived import block_graph
 
-    return block_graph(spark, sf_dir)
+    g = block_graph(spark, sf_dir)
+    g.edges = g.edges.transform(_mat)
+    return g
 
 
 def _q_components_block(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,6 +228,23 @@ def _q_voterank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_modularity_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import modularity
+
+    g = _block(spark, sf_dir)
+    com = g.vertices.select("id", F.floor(F.col("id") / 100).alias("community"))
+    val = modularity(g, com)
+    return spark.createDataFrame([(round(val, ROUND),)], "modularity double")
+
+
+def _q_louvain_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain communities (rows-only: label equality is not the reference's
+    own bar — modularity quality is, pinned in tests/test_louvain.py)."""
+    from graphina_spark.operators.louvain import louvain
+
+    return louvain(_block(spark, sf_dir), max_levels=3, max_rounds=8)
+
+
 def _q_assortativity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.metrics import assortativity
 
@@ -347,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_text": _q_page_text,
         "pagerank_pages": _q_pagerank_pages,
         **{f"links_{m}_web": _mk_links_query(m) for m in _LINK_MEASURES},
+        "modularity_block": _q_modularity_block,
+        "louvain_block": _q_louvain_block,
         "assortativity_web": _q_assortativity_web,
         "avg_clustering_web": _q_avg_clustering_web,
         "density_web": _q_density_web,
@@ -405,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_web": eigenvector_web_sql(iters=5),
         "katz_web": katz_web_sql(iters=5),
         "laplacian_web": laplacian_web_sql(),
+        "modularity_block": O.modularity_block_sql(),
+        # louvain_block intentionally omitted → rows-only (quality pinned in tests)
         "assortativity_web": O.assortativity_web_sql(),
         "avg_clustering_web": O.avg_clustering_web_sql(),
         "density_web": O.density_web_sql(),

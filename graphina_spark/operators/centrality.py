@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 
 
 class ConvergenceError(RuntimeError):
@@ -89,7 +90,7 @@ def eigenvector_centrality(
                 (F.lit(shift) * F.col("x") + F.coalesce("gather", F.lit(0.0))).alias("y"),
                 "x",
             )
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).first()[0] or 0.0
         if norm < 1e-10:
@@ -97,7 +98,7 @@ def eigenvector_centrality(
             return g.vertices.select("id", F.lit(1.0 / n).alias("eigenvector"))
         xn = y.select(
             "id", (F.col("y") / F.lit(norm)).alias("x"), F.col("x").alias("x_prev")
-        ).localCheckpoint(eager=True)
+        ).transform(_mat)
         if fixed_iters is None:
             deltas = xn.agg(
                 F.sqrt(F.sum(F.pow(F.col("x") - F.col("x_prev"), 2))).alias("dpos"),
@@ -152,7 +153,7 @@ def katz_centrality(
     else:
         base = g.vertices.select("id", F.lit(float(beta)).alias("beta"))
     base = base.cache()
-    x = base.select("id", F.lit(0.0).alias("x")).localCheckpoint(eager=True)
+    x = base.select("id", F.lit(0.0).alias("x")).transform(_mat)
     converged = fixed_iters is not None
     for _ in range(fixed_iters if fixed_iters is not None else max_iter):
         gathered = (
@@ -172,7 +173,7 @@ def katz_centrality(
                 ).alias("x"),
                 "x_prev",
             )
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         if fixed_iters is None:
             delta = xn.agg(
@@ -211,7 +212,7 @@ def voterank(g: LinkGraph, num_seeds: int) -> list[int]:
     out_nbrs = (g.edges if g.directed else votes).select("src", "dst")
     ability = g.vertices.select(
         "id", F.lit(1.0).alias("ability"), F.lit(False).alias("selected")
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     elected: list[int] = []
     for _ in range(min(num_seeds, n)):
         score = (
@@ -246,7 +247,7 @@ def voterank(g: LinkGraph, num_seeds: int) -> list[int]:
                 .alias("ability"),
                 (F.col("selected") | (F.col("id") == b)).alias("selected"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
     votes.unpersist()
     return elected

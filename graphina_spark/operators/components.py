@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 from graphina_spark.plans.checkpoint import CheckpointManager
 
 
@@ -59,7 +60,7 @@ def connected_components(
             start_iter = it0 + 1
     if labels is None:
         labels = g.vertices.select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(_mat)
 
     for it in range(start_iter, max_iter):
         nbr_min = (
@@ -85,7 +86,7 @@ def connected_components(
                 )
                 .select(F.col("a.id").alias("id"), F.coalesce("cc", "component").alias("component"))
             )
-        new = new.localCheckpoint(eager=True)
+        new = new.transform(_mat)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")

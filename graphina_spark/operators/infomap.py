@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 
 
 def infomap(
@@ -63,7 +64,7 @@ def infomap(
             .select(
                 "id", F.coalesce("new_module", F.col("module")).alias("module")
             )
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         if fixed_iters is None:
             changed = (

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 from graphina_spark.plans.checkpoint import CheckpointManager
 
 
@@ -55,7 +56,7 @@ def label_propagation(
             start_iter = it0 + 1
     if labels is None:
         labels = g.vertices.select("id", F.col("id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(_mat)
 
     w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
     for it in range(start_iter, n_iters):
@@ -73,7 +74,7 @@ def label_propagation(
         new = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         if fixed_iters is None:
             changed = (

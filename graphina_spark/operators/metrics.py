@@ -42,6 +42,44 @@ def average_clustering_coefficient(g: LinkGraph) -> float:
     return clustering_coefficients(g).agg(F.avg("clustering")).first()[0] or 0.0
 
 
+def modularity(g: LinkGraph, communities) -> float:
+    """Newman modularity Q = Σ_c [ Σin_c/(2m) − (Σtot_c/(2m))² ] over the
+    weighted undirected view — the quantity the reference's community oracle
+    pins (tests/oracle_community_tests.rs:150, quality not labels).
+
+    ``communities`` is a DataFrame (id, community).  Conventions: m = total
+    weight of the symmetrized edge frame / 2; Σtot = weighted degree sum
+    (self-loop counts twice); Σin = twice the intra-community weight
+    (self-loop twice).
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    sym = g.symmetric_edges()
+    com = communities.select("id", "community")
+    m2 = sym.agg(F.sum("weight")).first()[0] or 0.0  # = 2m
+    if m2 == 0:
+        return 0.0
+    lab = (
+        sym.join(com.select(F.col("id").alias("src"), F.col("community").alias("cs")), "src")
+        .join(com.select(F.col("id").alias("dst"), F.col("community").alias("cd")), "dst")
+    )
+    row = lab.agg(
+        F.sum(F.when(F.col("cs") == F.col("cd"), F.col("weight"))).alias("w_in")
+    ).first()
+    w_in = row["w_in"] or 0.0  # already both directions = 2×intra
+    tot = (
+        sym.groupBy("src")
+        .agg(F.sum("weight").alias("dw"))
+        .join(com.select(F.col("id").alias("src"), "community"), "src")
+        .groupBy("community")
+        .agg(F.sum("dw").alias("tot"))
+        .agg(F.sum(F.pow(F.col("tot") / F.lit(m2), 2)))
+        .first()[0]
+        or 0.0
+    )
+    return w_in / m2 - tot
+
+
 def assortativity(g: LinkGraph) -> float:
     """Newman degree assortativity — Pearson over the symmetric joint degree
     distribution of edge endpoints, each edge contributing both orderings

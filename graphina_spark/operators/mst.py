@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 
 
 def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -104,11 +105,11 @@ def boruvka_msf(
                 F.col("m.cd").alias("cd"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         picked = chosen.select("src", "dst", "weight")
         chosen_all = picked if chosen_all is None else chosen_all.unionAll(picked)
-        chosen_all = chosen_all.localCheckpoint(eager=True)
+        chosen_all = chosen_all.transform(_mat)
         # merge components along the chosen edges
         comp_edges = chosen.select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
         n_merge = comp_edges.count()
@@ -123,13 +124,13 @@ def boruvka_msf(
             labels = (
                 labels.join(F.broadcast(map_df), "comp", "left")
                 .select("id", F.coalesce("new_comp", "comp").alias("comp"))
-                .localCheckpoint(eager=True)
+                .transform(_mat)
             )
         else:
             comp_vertices = (
                 labels.select(F.col("comp").alias("id"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(_mat)
             )
             cg = LinkGraph(
                 vertices=comp_vertices,
@@ -142,7 +143,7 @@ def boruvka_msf(
             labels = (
                 labels.join(merged, "comp")
                 .select("id", F.col("new_comp").alias("comp"))
-                .localCheckpoint(eager=True)
+                .transform(_mat)
             )
     edges.unpersist()
     if chosen_all is None:

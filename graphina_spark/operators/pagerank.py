@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 from graphina_spark.plans.checkpoint import CheckpointManager
 
 
@@ -130,7 +131,7 @@ def pagerank(
             )
         else:
             ranks = g.vertices.select("id", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(_mat)
 
     d = damping
     dangling_ids = vinfo.where("dangling").select("id").cache()
@@ -180,7 +181,7 @@ def pagerank(
         delta = None
         if checkpoint is not None:
             if check_tol:
-                nr = new_ranks.localCheckpoint(eager=True)
+                nr = new_ranks.transform(_mat)
                 delta = (
                     nr.alias("a")
                     .join(ranks.alias("b"), "id")
@@ -192,7 +193,7 @@ def pagerank(
             else:
                 new_ranks = checkpoint.save(spark, new_ranks, it)
         else:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks = new_ranks.transform(_mat)
             if check_tol:
                 delta = (
                     new_ranks.alias("a")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 
 
 def local_reaching_centrality(g: LinkGraph, distance: int) -> DataFrame:
@@ -33,7 +34,7 @@ def local_reaching_centrality(g: LinkGraph, distance: int) -> DataFrame:
     adj = adj.distinct().repartition("src").cache()
     reached = g.vertices.select(
         F.col("id").alias("source"), F.col("id").alias("id")
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     frontier = reached
     for _ in range(distance):
         nxt = (
@@ -41,11 +42,11 @@ def local_reaching_centrality(g: LinkGraph, distance: int) -> DataFrame:
             .select("source", F.col("dst").alias("id"))
             .distinct()
             .join(reached, ["source", "id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         if nxt.isEmpty():
             break
-        reached = reached.unionAll(nxt).localCheckpoint(eager=True)
+        reached = reached.unionAll(nxt).transform(_mat)
         frontier = nxt
     adj.unpersist()
     out = reached.groupBy(F.col("source").alias("id")).agg(

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 
 
 def induced_subgraph(g: LinkGraph, nodes: DataFrame) -> LinkGraph:
@@ -56,7 +57,7 @@ def k_hop_neighbors(g: LinkGraph, sources: DataFrame, k: int) -> DataFrame:
     )
     adj = adj.distinct().repartition("src").cache()
     seen = sources.select("id").distinct().withColumn("hops", F.lit(0))
-    seen = seen.localCheckpoint(eager=True)
+    seen = seen.transform(_mat)
     frontier = seen
     for hop in range(1, k + 1):
         nxt = (
@@ -65,11 +66,11 @@ def k_hop_neighbors(g: LinkGraph, sources: DataFrame, k: int) -> DataFrame:
             .distinct()
             .join(seen.select("id"), "id", "left_anti")
             .withColumn("hops", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         if nxt.isEmpty():
             break
-        seen = seen.unionAll(nxt).localCheckpoint(eager=True)
+        seen = seen.unionAll(nxt).transform(_mat)
         frontier = nxt
     adj.unpersist()
     return seen

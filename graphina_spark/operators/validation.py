@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
 
 
 class GraphValidationError(ValueError):
@@ -61,7 +62,7 @@ def is_dag(g: LinkGraph) -> bool:
     remaining = (
         g.edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .transform(_mat)
     )
     if not g.edges.where(F.col("src") == F.col("dst")).isEmpty():
         return False
@@ -89,7 +90,7 @@ def is_bipartite(g: LinkGraph, max_iter: int = 200) -> bool:
     sym = g.undirected_view().select("src", "dst").distinct().repartition("src").cache()
     state = g.vertices.select(
         "id", F.col("id").alias("root"), F.lit(0).alias("level")
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     for _ in range(max_iter):
         cand = (
             state.join(sym, state["id"] == sym["src"])
@@ -102,7 +103,7 @@ def is_bipartite(g: LinkGraph, max_iter: int = 200) -> bool:
             .groupBy("id")
             .agg(F.min(F.struct("root", "level")).alias("s"))
             .select("id", F.col("s.root").alias("root"), F.col("s.level").alias("level"))
-            .localCheckpoint(eager=True)
+            .transform(_mat)
         )
         changed = (
             cand.alias("a")

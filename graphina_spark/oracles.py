@@ -373,6 +373,26 @@ def infomap_web_sql(iters: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, module FROM m{iters}"
 
 
+def modularity_block_sql() -> str:
+    """Newman modularity of the natural block partition (community =
+    id div 100) on the block graph — mirrors operators/metrics.py::modularity
+    (the quality functional the reference's community oracle pins)."""
+    return f"""WITH {BLOCK_EDGES_CTE.strip()},
+ sym AS (SELECT src, dst, weight FROM edges
+         UNION ALL SELECT dst, src, weight FROM edges),
+ com AS (SELECT id, id // 100 AS community FROM v),
+ m2 AS (SELECT sum(weight) AS m2 FROM sym),
+ w_in AS (SELECT sum(s.weight) AS w_in FROM sym s
+          JOIN com a ON s.src = a.id JOIN com b ON s.dst = b.id
+          WHERE a.community = b.community),
+ tot AS (SELECT sum(pow(t.tot / m2.m2, 2)) AS t2 FROM (
+           SELECT c.community, sum(d.dw) AS tot FROM
+             (SELECT src AS id, sum(weight) AS dw FROM sym GROUP BY src) d
+           JOIN com c ON d.id = c.id GROUP BY c.community) t, m2)
+SELECT round(coalesce(w_in.w_in, 0) / m2.m2 - tot.t2, {ROUND}) AS modularity
+FROM w_in, m2, tot"""
+
+
 def degree_web_sql(kind: str = "total") -> str:
     """Raw degree counts on the directed web graph (degree.rs:50-114)."""
     out = "SELECT src AS id, count(*) AS c FROM edges GROUP BY src"
