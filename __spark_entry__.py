@@ -228,6 +228,33 @@ def _q_voterank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_personalized_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.pagerank import pagerank
+
+    g = _web(spark, sf_dir)
+    pers = g.vertices.select(
+        "id", F.when(F.col("id") % 10 == 0, 1.0).otherwise(0.0).alias("p")
+    )
+    pr = pagerank(g, damping=0.85, fixed_iters=5, tol=None, personalization=pers)
+    return pr.select("id", F.round("rank", ROUND).alias("pr"))
+
+
+def _q_khop_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.subgraphs import k_hop_neighbors
+
+    g = _web(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 97 == 0).select("id")
+    return k_hop_neighbors(g, srcs, 2).select("id", F.col("hops").cast("int"))
+
+
+def _q_induced_sub_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.subgraphs import induced_subgraph
+
+    g = _web(spark, sf_dir)
+    sub = induced_subgraph(g, g.vertices.where(F.col("id") < 200).select("id"))
+    return sub.edges.select("src", "dst")
+
+
 def _q_modularity_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.metrics import modularity
 
@@ -373,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_text": _q_page_text,
         "pagerank_pages": _q_pagerank_pages,
         **{f"links_{m}_web": _mk_links_query(m) for m in _LINK_MEASURES},
+        "personalized_pagerank_web": _q_personalized_pagerank_web,
+        "khop_web": _q_khop_web,
+        "induced_sub_web": _q_induced_sub_web,
         "modularity_block": _q_modularity_block,
         "louvain_block": _q_louvain_block,
         "assortativity_web": _q_assortativity_web,
@@ -433,6 +463,9 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_web": eigenvector_web_sql(iters=5),
         "katz_web": katz_web_sql(iters=5),
         "laplacian_web": laplacian_web_sql(),
+        "personalized_pagerank_web": O.personalized_pagerank_web_sql(iters=5),
+        "khop_web": O.khop_web_sql(k=2),
+        "induced_sub_web": O.induced_sub_web_sql(below=200),
         "modularity_block": O.modularity_block_sql(),
         # louvain_block intentionally omitted → rows-only (quality pinned in tests)
         "assortativity_web": O.assortativity_web_sql(),

@@ -59,6 +59,68 @@ def pagerank_web_sql(
     )
 
 
+def personalized_pagerank_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Unrolled personalized PageRank: teleport AND dangling mass follow the
+    normalized personalization vector p (p_i ∝ [id % 10 == 0]) — reference
+    semantics personalized_pagerank.rs:98-107."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "verts AS (SELECT id FROM v)",
+        "ps AS (SELECT count(*) AS np FROM verts WHERE id % 10 = 0)",
+        "pvec AS (SELECT id, CASE WHEN id % 10 = 0 THEN 1.0 / np ELSE 0.0 END AS p"
+        " FROM verts, ps)",
+        "nn2 AS (SELECT count(*) AS n FROM verts)",
+        "wout AS (SELECT src AS id, sum(weight) AS w_out FROM edges GROUP BY src)",
+        "en AS (SELECT e.src, e.dst, e.weight / w.w_out AS w_norm"
+        " FROM edges e JOIN wout w ON e.src = w.id)",
+        "r0 AS (SELECT id, 1.0 / n AS pr FROM verts, nn2)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = f"r{k - 1}", f"r{k}"
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum(r.pr), 0.0) AS dang FROM {p} r"
+            f" LEFT JOIN wout w ON r.id = w.id WHERE w.id IS NULL)"
+        )
+        ctes.append(
+            f"g{k} AS (SELECT en.dst AS id, sum(r.pr * en.w_norm) AS gather"
+            f" FROM {p} r JOIN en ON r.id = en.src GROUP BY en.dst)"
+        )
+        ctes.append(
+            f"{c} AS (SELECT pv.id,"
+            f" {1.0 - d} * pv.p + {d} * d{k}.dang * pv.p"
+            f" + {d} * coalesce(g{k}.gather, 0.0) AS pr"
+            f" FROM pvec pv LEFT JOIN g{k} ON pv.id = g{k}.id, d{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(pr, {ROUND}) AS pr FROM r{iters}"
+    )
+
+
+def khop_web_sql(k: int = 2, src_mod: int = 97) -> str:
+    """Min-hop distances within ≤k hops of the sources {id % src_mod == 0}
+    (multi-source BFS, subgraphs/operations.rs:305-356 generalized)."""
+    assert k == 2, "oracle written for k=2"
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ adj AS (SELECT DISTINCT src, dst FROM edges),
+ s0 AS (SELECT id FROM v WHERE id % {src_mod} = 0),
+ h1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN s0 ON a.src = s0.id),
+ h2 AS (SELECT DISTINCT b.dst AS id FROM adj b JOIN h1 ON b.src = h1.id),
+ allr AS (
+   SELECT id, 0 AS hops FROM s0
+   UNION ALL SELECT id, 1 FROM h1
+   UNION ALL SELECT id, 2 FROM h2)
+SELECT id, CAST(min(hops) AS INT) AS hops FROM allr GROUP BY id"""
+
+
+def induced_sub_web_sql(below: int = 200) -> str:
+    """Edges of the induced subgraph on ids < below
+    (subgraphs/operations.rs:138-141)."""
+    return (
+        f"WITH {WEB_EDGES_CTE.strip()}\n"
+        f"SELECT src, dst FROM edges WHERE src < {below} AND dst < {below}"
+    )
+
+
 def pagerank_pages_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     """PageRank over the edge set recovered by html link parsing (weight 1.0);
     the Spark side derives its edges exclusively from the html bytes."""
