@@ -69,6 +69,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     run("pagerank_10it", lambda: pagerank(web, fixed_iters=PR_ITERS, tol=None))
+
+    from graphina_spark.plans.shards import build_adj_shards
+
+    adj = build_adj_shards(web)
+    adj.shards.count()
+    run(
+        "pagerank_sharded_10it",
+        lambda: pagerank(web, fixed_iters=PR_ITERS, tol=None, shards=adj),
+    )
     run("components", lambda: connected_components(block))
     run("lpa_4it", lambda: label_propagation(block, fixed_iters=4))
     run("triangles", lambda: triangles(web))
