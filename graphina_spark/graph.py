@@ -39,7 +39,17 @@ def assign_dense_ids(
     boundaries the sampler picks, so ids are reproducible across runs and
     cluster sizes (reference analogue: the attribute-keyed node dedupe +
     stable id map, /root/reference/src/core/io.rs:113-118,
-    pygraphina/src/core/id_map.rs)."""
+    pygraphina/src/core/id_map.rs).
+
+    ``parted`` is materialized ONCE (eager localCheckpoint) before the counts
+    job: ``repartitionByRange``'s reservoir sampling is nondeterministic
+    across actions, so without pinning the partitioning the offsets job and
+    later downstream jobs could see *different* range boundaries, misaligning
+    the broadcast offsets and silently corrupting ids.  Boundary-independence
+    of the final ranks only holds when every job reads the same partitioning.
+    """
+    from graphina_spark.plans.materialize import local_materialize as _mat
+
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parted = (
@@ -47,6 +57,7 @@ def assign_dense_ids(
         .distinct()
         .repartitionByRange(p, F.col(key))
         .withColumn("_pid", F.spark_partition_id())
+        .transform(_mat)
     )
     counts = parted.groupBy("_pid").count().collect()
     offsets, acc = {}, 0
@@ -114,17 +125,30 @@ class LinkGraph:
         (no monotonically_increasing_id).
         """
         from graphina_spark.functions.extract import parse_links_udf
+        from graphina_spark.plans.materialize import local_materialize as _mat
 
         # persist parsed links: they feed both id assignment and the edge
-        # build, and re-running the html parse is the expensive part
+        # build, and re-running the html parse is the expensive part.
+        # Cache lifecycle: the cached block lives until the session evicts it
+        # or the caller unpersists; long-lived sessions building many graphs
+        # should call ``graph.edges.sparkSession.catalog.clearCache()``
+        # between builds.
         links = pages.select(
             F.col("url").alias("src_url"),
             F.explode(parse_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
         ).persist()
-        vertices = assign_dense_ids(
-            pages.select("url").unionAll(links.select(F.col("dst_url").alias("url"))),
-            key="url",
-        ).select(F.col("id").cast("long"), "url")
+        # materialize the vertex table once: both the src and dst joins below
+        # re-reference it, and the id assignment must not be recomputed
+        vertices = (
+            assign_dense_ids(
+                pages.select("url").unionAll(
+                    links.select(F.col("dst_url").alias("url"))
+                ),
+                key="url",
+            )
+            .select(F.col("id").cast("long"), "url")
+            .transform(_mat)
+        )
         edges = (
             links.join(vertices.withColumnRenamed("url", "src_url"), "src_url")
             .withColumnRenamed("id", "src")

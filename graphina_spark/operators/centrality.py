@@ -255,7 +255,16 @@ def voterank(g: LinkGraph, num_seeds: int) -> list[int]:
 
 def laplacian_centrality(g: LinkGraph) -> DataFrame:
     """(id, laplacian) = d² + d + 2·Σ neighbor degrees over the simple
-    undirected neighbor structure (other.rs:175-201)."""
+    undirected neighbor structure (other.rs:175-201).
+
+    DELIBERATE DEVIATION for directed graphs: the reference's petgraph
+    ``neighbors()``/degree on a digraph follows out-edges only
+    (other.rs:175-201), which makes "Laplacian" centrality depend on edge
+    orientation.  Laplacian centrality is defined on the graph Laplacian of
+    an *undirected* graph (Qi et al. 2012), so this implementation always
+    uses the deduped undirected structure — directed inputs are treated as
+    their undirected simple projection.  Documented in COVERAGE.md; the
+    DuckDB oracle mirrors this module's convention."""
     canon = g.canonical_undirected_edges(dedup=True)
     adj = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

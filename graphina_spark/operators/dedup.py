@@ -18,7 +18,17 @@ Skew note: a shingle shared by M docs produces M² candidate pairs in the
 inverted index ("the quick brown" at web scale).  ``max_shingle_freq`` drops
 shingles more frequent than the cap before pairing — standard df-cap trick;
 dropped shingles still count in the verification denominator (the exact
-Jaccard join re-reads the full shingle sets).
+Jaccard join re-reads the full shingle sets).  The default cap is FINITE
+(``DEFAULT_MAX_SHINGLE_FREQ``) so the skew guard is on in the gated path;
+pass ``None`` to disable (exact sparse-support semantics, only safe when the
+corpus is known to have no universal shingles).
+
+Cache lifecycle: the per-document shingle frames are ``.cache()``d because
+they feed both the inverted index and the verification join.  The cached
+blocks live for the session (they are part of the returned DataFrame's
+lineage, so they cannot be unpersisted eagerly here); long-lived sessions
+running many dedup passes own the lifecycle — call
+``df.sparkSession.catalog.clearCache()`` between passes.
 """
 
 from __future__ import annotations
@@ -31,6 +41,13 @@ from graphina_spark.functions.textstats import (
     shingles_col,
     simhash32,
 )
+
+# document-frequency cap on shingles entering candidate generation: a shingle
+# in M docs makes M² candidate pairs, so an uncapped hot shingle ("the quick
+# brown" at web scale) is a quadratic blowup.  1000 caps any single shingle's
+# contribution at ~500k pairs while being far above the df of any
+# discriminative shingle.
+DEFAULT_MAX_SHINGLE_FREQ = 1000
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -58,31 +75,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
-    """(a, b, jaccard) for a < b with shingle-set Jaccard ≥ threshold."""
+    """(a, b, jaccard) for a < b with shingle-set Jaccard ≥ threshold.
+
+    Pairs are generated only from shingles with document frequency ≤
+    ``max_shingle_freq`` (skew guard, see module docstring); the Jaccard
+    value itself is exact over the FULL shingle sets.  A pair sharing only
+    hot shingles is missed — the documented recall bias of the df-cap."""
     docs = _doc_shingles(df, id_col, text_col, k).cache()
-    sizes = docs.select("id", F.size("sh").alias("nsh"))
     inv = docs.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
         freq = inv.groupBy("s").count().where(F.col("count") <= max_shingle_freq)
         inv = inv.join(freq.select("s"), "s")
-    pairs = (
+    # candidate pairs from the (capped) inverted index; the Jaccard value is
+    # then verified EXACTLY over the full shingle sets, so the cap only
+    # affects recall, never a reported value
+    cand = (
         inv.alias("x")
         .join(inv.alias("y"), F.col("x.s") == F.col("y.s"))
         .where(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
     )
     out = (
-        pairs.join(sizes.select(F.col("id").alias("a"), F.col("nsh").alias("na")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("nsh").alias("nb")), "b")
+        cand.join(docs.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(docs.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
         .select(
             "a",
             "b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
-                "jaccard"
-            ),
+            (
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb"))
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -97,9 +122,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """(a, b, jaccard): LSH candidates (≥1 equal band) verified with exact
-    shingle Jaccard ≥ threshold.  rows_per_band = num_hashes // bands."""
+    shingle Jaccard ≥ threshold.  rows_per_band = num_hashes // bands.
+
+    Skew guard: a band bucket holding M docs emits M² candidates, and at web
+    scale exact-duplicate clusters land entire clusters in one bucket.
+    Buckets with > ``max_band_freq`` members are dropped from candidate
+    generation (run :func:`exact_dedup` first — byte-identical clusters are
+    its job, and they are exactly what makes buckets hot).  The shingle sets
+    feeding signatures are NOT df-capped: MinHash estimates Jaccard over the
+    true set, so capping there would bias every signature."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -119,6 +153,14 @@ def minhash_lsh_pairs(
             )
         ).alias("z"),
     ).select("id", F.col("z.band").alias("band"), F.col("z.bh").alias("bh"))
+    if max_band_freq is not None:
+        ok = (
+            banded.groupBy("band", "bh")
+            .count()
+            .where(F.col("count") <= max_band_freq)
+            .select("band", "bh")
+        )
+        banded = banded.join(ok, ["band", "bh"])
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])

@@ -26,6 +26,16 @@ default is the sparse support: pairs with ≥1 common neighbor (every omitted
 pair scores 0 for the N∩-based measures).  Pass ``ebunch`` (u, v) to score an
 explicit candidate set instead — zero-common-neighbor pairs then appear with
 their exact reference score (0, or deg·deg for PA).
+
+Hub skew guard: a middle vertex of degree d emits d² wedge rows, so one
+10⁶-degree hub yields 10¹² rows from the 2-path self-join alone.  Middles
+with degree > ``max_middle_degree`` (default ``DEFAULT_MAX_MIDDLE_DEGREE``)
+are excluded from wedge generation via a broadcast anti-join against the
+(tiny) hub list — bounding the join fan-out at d_cap² per middle.
+Documented bias: a pair whose ONLY common neighbors are hubs is missed (or
+undercounted) — acceptable for link prediction, where hub middles carry
+negligible signal anyway (AA weights them 1/ln d, RA 1/d).  Pass ``None``
+to disable (exact semantics; only safe when max degree is known bounded).
 """
 
 from __future__ import annotations
@@ -34,6 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+
+# default middle-degree cap: caps the wedge fan-out of any one middle vertex
+# at 10^8 rows; at web scale real hubs (site navs, homepages) are far above
+# this and carry no pairwise-similarity signal
+DEFAULT_MAX_MIDDLE_DEGREE = 10_000
 
 
 def _simple_adj(g: LinkGraph) -> DataFrame:
@@ -46,8 +61,19 @@ def _neighbor_set_sizes(adj: DataFrame) -> DataFrame:
     return adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("nsz"))
 
 
-def _wedges(adj: DataFrame) -> DataFrame:
-    """(u, v, w): w adjacent to both u and v, u < v."""
+def _wedges(
+    adj: DataFrame,
+    nsz: DataFrame | None = None,
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """(u, v, w): w adjacent to both u and v, u < v.  When a degree cap is
+    given, hub middles are removed BEFORE the self-join (that is where the d²
+    blowup happens), via a broadcast anti-join on the small hub list."""
+    if max_middle_degree is not None and nsz is not None:
+        hubs = nsz.where(F.col("nsz") > max_middle_degree).select(
+            F.col("id").alias("src")
+        )
+        adj = adj.join(F.broadcast(hubs), "src", "left_anti")
     a = adj.select(F.col("dst").alias("u"), F.col("src").alias("w"))
     b = adj.select(F.col("src").alias("w2"), F.col("dst").alias("v"))
     return (
@@ -57,12 +83,16 @@ def _wedges(adj: DataFrame) -> DataFrame:
     )
 
 
-def _pair_stats(g: LinkGraph, communities: DataFrame | None = None) -> DataFrame:
+def _pair_stats(
+    g: LinkGraph,
+    communities: DataFrame | None = None,
+    max_middle_degree: int | None = DEFAULT_MAX_MIDDLE_DEGREE,
+) -> DataFrame:
     """(u, v, cn, aa, ra[, cn_sh, ra_sh]) for every pair with ≥1 common
     neighbor — the shared kernel of the whole family."""
     adj = _simple_adj(g)
     nsz = _neighbor_set_sizes(adj)
-    wedges = _wedges(adj).join(
+    wedges = _wedges(adj, nsz, max_middle_degree).join(
         nsz.select(F.col("id").alias("w"), F.col("nsz").alias("wdeg")), "w"
     )
     aggs = [
@@ -106,9 +136,15 @@ def _with_ebunch(g: LinkGraph, stats: DataFrame, ebunch: DataFrame | None) -> Da
     return joined.fillna(fill)
 
 
-def common_neighbors(g: LinkGraph, ebunch: DataFrame | None = None) -> DataFrame:
+def common_neighbors(
+    g: LinkGraph,
+    ebunch: DataFrame | None = None,
+    max_middle_degree: int | None = DEFAULT_MAX_MIDDLE_DEGREE,
+) -> DataFrame:
     """(u, v, cn) — |N(u) ∩ N(v)| (similarity.rs:93-100)."""
-    return _with_ebunch(g, _pair_stats(g), ebunch).select("u", "v", "cn")
+    return _with_ebunch(
+        g, _pair_stats(g, max_middle_degree=max_middle_degree), ebunch
+    ).select("u", "v", "cn")
 
 
 def jaccard_coefficient(g: LinkGraph, ebunch: DataFrame | None = None) -> DataFrame:

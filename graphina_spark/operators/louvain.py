@@ -91,22 +91,44 @@ def _local_moving(
                 ).alias("gain"),
             )
         )
-        stay = cand.where(F.col("community") == F.col("cur")).select(
-            "id", F.col("gain").alias("stay_gain")
+        # true relocation stay term for EVERY vertex: w(v,cur) − dw·Σtot(cur\v)/m2,
+        # with w(v,cur)=0 when v has no neighbor in its current community —
+        # coalescing a missing candidate row to 0.0 would overestimate the
+        # stay gain (the true term is negative there) and suppress moves
+        stay = (
+            com.select("id", F.col("community").alias("cur"))
+            .join(degw, "id")
+            .join(
+                sigma.select(
+                    F.col("community").alias("cur"), F.col("tot").alias("cur_tot")
+                ),
+                "cur",
+            )
+            .join(
+                wvc.select(
+                    "id", F.col("community").alias("cur"), F.col("w_vc").alias("w_cur")
+                ),
+                ["id", "cur"],
+                "left",
+            )
+            .select(
+                "id",
+                (
+                    F.coalesce("w_cur", F.lit(0.0))
+                    - F.col("dw") * (F.col("cur_tot") - F.col("dw")) / F.lit(m2)
+                ).alias("stay_gain"),
+            )
         )
         w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("community"))
         best = (
             cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .join(stay, "id", "left")
+            .join(stay, "id")
             .select(
                 "id",
                 F.when(
                     (F.pmod(F.col("id"), F.lit(2)) == rnd % 2)
-                    & (
-                        F.col("gain")
-                        > F.coalesce("stay_gain", F.lit(0.0)) + F.lit(1e-12)
-                    ),
+                    & (F.col("gain") > F.col("stay_gain") + F.lit(1e-12)),
                     F.col("community"),
                 )
                 .otherwise(F.col("cur"))

@@ -79,18 +79,26 @@ def is_dag(g: LinkGraph) -> bool:
     return True
 
 
-def is_bipartite(g: LinkGraph, max_iter: int = 200) -> bool:
+def is_bipartite(g: LinkGraph, max_iter: int = 100_000) -> bool:
     """Synchronous BFS 2-coloring over the symmetrized edges
     (validation.rs:132-171): color = parity of BFS level from the component's
     min vertex; conflict (an edge with equal colors after convergence) →
     not bipartite.  Implemented as hash-min level propagation: each vertex
-    tracks (root, level); a smaller root or same-root-smaller-level wins."""
+    tracks (root, level); a smaller root or same-root-smaller-level wins.
+
+    The parity-conflict check is only valid on a CONVERGED labeling, so the
+    loop runs to fixpoint (``changed == 0``); if the safety cap ``max_iter``
+    (≥ the max BFS eccentricity) is hit first, a ConvergenceError is raised
+    rather than returning a possibly-wrong answer."""
+    from graphina_spark.operators.centrality import ConvergenceError
+
     if g.edges.where(F.col("src") == F.col("dst")).count() > 0:
         return False  # self-loop = odd cycle
     sym = g.undirected_view().select("src", "dst").distinct().repartition("src").cache()
     state = g.vertices.select(
         "id", F.col("id").alias("root"), F.lit(0).alias("level")
     ).transform(_mat)
+    converged = False
     for _ in range(max_iter):
         cand = (
             state.join(sym, state["id"] == sym["src"])
@@ -116,7 +124,13 @@ def is_bipartite(g: LinkGraph, max_iter: int = 200) -> bool:
         )
         state = cand
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        sym.unpersist()
+        raise ConvergenceError(
+            f"is_bipartite: level labeling did not converge within {max_iter} rounds"
+        )
     conflicts = (
         sym.join(state.select(F.col("id").alias("src"), F.col("level").alias("ls")), "src")
         .join(state.select(F.col("id").alias("dst"), F.col("level").alias("ld")), "dst")

@@ -317,15 +317,18 @@ FROM v vv LEFT JOIN deg ON vv.id = deg.id LEFT JOIN nsum ON vv.id = nsum.id"""
 
 
 # link-prediction family: one wedge-join CTE shared by every measure
-# (mirrors operators/links.py::_pair_stats)
+# (mirrors operators/links.py::_pair_stats, including the middle-degree
+# hub cap — no-op at gate scale, active path at web scale)
 _LINKS_CTES = """
  canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
            FROM edges WHERE src <> dst),
  adj AS (SELECT s AS src, d AS dst FROM canon
          UNION ALL SELECT d AS src, s AS dst FROM canon),
  nsz AS (SELECT src AS id, count(*) AS nsz FROM adj GROUP BY src),
+ adjm AS (SELECT a.src, a.dst FROM adj a
+          JOIN nsz nm ON a.src = nm.id WHERE nm.nsz <= {max_middle_degree}),
  wedge AS (SELECT a.dst AS u, b.dst AS v, a.src AS w
-           FROM adj a JOIN adj b ON a.src = b.src WHERE a.dst < b.dst),
+           FROM adjm a JOIN adjm b ON a.src = b.src WHERE a.dst < b.dst),
  stats AS (
    SELECT u, v, count(*) AS cn,
           coalesce(sum(CASE WHEN n.nsz > 1 THEN 1.0 / ln(n.nsz) END), 0.0) AS aa,
@@ -354,9 +357,14 @@ _LINKS_SELECTS = {
 }
 
 
-def links_web_sql(measure: str) -> str:
+def links_web_sql(measure: str, max_middle_degree: int | None = None) -> str:
+    if max_middle_degree is None:
+        from graphina_spark.operators.links import DEFAULT_MAX_MIDDLE_DEGREE
+
+        max_middle_degree = DEFAULT_MAX_MIDDLE_DEGREE
     sel = _LINKS_SELECTS[measure].format(r=ROUND)
-    return f"WITH {WEB_EDGES_CTE.strip()},{_LINKS_CTES}\n{sel}"
+    ctes = _LINKS_CTES.format(max_middle_degree=max_middle_degree)
+    return f"WITH {WEB_EDGES_CTE.strip()},{ctes}\n{sel}"
 
 
 def assortativity_web_sql() -> str:

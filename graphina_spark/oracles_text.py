@@ -84,23 +84,42 @@ def _shingle_cte(k: int = 3) -> str:
    FROM tok)"""
 
 
-def ngram_jaccard_sql(k: int = 3, threshold: float = 0.2) -> str:
+def ngram_jaccard_sql(
+    k: int = 3, threshold: float = 0.2, max_shingle_freq: int | None = None
+) -> str:
+    """Mirror of ngram_jaccard_pairs: candidates from the df-capped inverted
+    index, Jaccard verified exactly over the FULL shingle sets."""
+    if max_shingle_freq is None:
+        from graphina_spark.operators.dedup import DEFAULT_MAX_SHINGLE_FREQ
+
+        max_shingle_freq = DEFAULT_MAX_SHINGLE_FREQ
     return f"""WITH {_shingle_cte(k)},
- inv AS (SELECT doc_id AS id, unnest(sh) AS s FROM shd),
- sizes AS (SELECT doc_id AS id, len(sh) AS nsh FROM shd),
- pairs AS (
-   SELECT x.id AS a, y.id AS b, count(*) AS inter
-   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
-   GROUP BY x.id, y.id)
+ inv0 AS (SELECT doc_id AS id, unnest(sh) AS s FROM shd),
+ okfreq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= {max_shingle_freq}),
+ inv AS (SELECT id, inv0.s FROM inv0 JOIN okfreq ON inv0.s = okfreq.s),
+ cand AS (
+   SELECT DISTINCT x.id AS a, y.id AS b
+   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id)
 SELECT a, b,
-       round(inter / CAST(na.nsh + nb.nsh - inter AS DOUBLE), {ROUND}) AS jaccard
-FROM pairs JOIN sizes na ON pairs.a = na.id JOIN sizes nb ON pairs.b = nb.id
-WHERE inter / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= {threshold}"""
+       round(len(list_intersect(da.sh, db.sh))
+             / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE),
+             {ROUND}) AS jaccard
+FROM cand JOIN shd da ON cand.a = da.doc_id JOIN shd db ON cand.b = db.doc_id
+WHERE len(list_intersect(da.sh, db.sh))
+      / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) >= {threshold}"""
 
 
 def minhash_lsh_sql(
-    k: int = 3, num_hashes: int = 12, bands: int = 4, threshold: float = 0.2
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.2,
+    max_band_freq: int | None = None,
 ) -> str:
+    if max_band_freq is None:
+        from graphina_spark.operators.dedup import DEFAULT_MAX_SHINGLE_FREQ
+
+        max_band_freq = DEFAULT_MAX_SHINGLE_FREQ
     r = num_hashes // bands
     return f"""WITH {_shingle_cte(k)},
  docs AS (SELECT doc_id AS id, sh FROM shd WHERE len(sh) > 0),
@@ -108,10 +127,13 @@ def minhash_lsh_sql(
    SELECT id, list_transform(range({num_hashes}),
             i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sig
    FROM docs),
- banded AS (
+ banded0 AS (
    SELECT id, b,
           md5(array_to_string(list_slice(sig, b * {r} + 1, b * {r} + {r}), '|')) AS bh
    FROM sig, (SELECT unnest(range({bands})) AS b)),
+ okb AS (SELECT b, bh FROM banded0 GROUP BY b, bh HAVING count(*) <= {max_band_freq}),
+ banded AS (SELECT id, banded0.b, banded0.bh FROM banded0
+            JOIN okb ON banded0.b = okb.b AND banded0.bh = okb.bh),
  cand AS (
    SELECT DISTINCT x.id AS a, y.id AS b
    FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id)
