@@ -218,8 +218,9 @@ def _q_laplacian_web(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_voterank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 elected seeds (rows-only check: the election loop is
-    driver-iterative, not practical to unroll in SQL)."""
+    """Top-10 elected seeds under an unrolled 10-election DuckDB oracle
+    (election order pinned, same bar as the reference's election-order
+    oracle, oracle_centrality_tests.rs:180-192)."""
     from graphina_spark.operators.centrality import voterank
 
     seeds = voterank(_web(spark, sf_dir), 10)
@@ -265,11 +266,26 @@ def _q_modularity_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_louvain_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain communities (rows-only: label equality is not the reference's
-    own bar — modularity quality is, pinned in tests/test_louvain.py)."""
+    """Louvain under a QUALITY oracle — the same bar the reference pins for
+    its own Louvain (modularity quality, oracle_community_tests.rs:150):
+    returns one row (q_known, quality_ok) where q_known is the modularity of
+    the planted block partition (cross-checked against DuckDB at 6 dp) and
+    quality_ok asserts Q(louvain) ≥ q_known, i.e. Louvain found a partition
+    at least as good as the planted one.  Exact labels are NOT a valid bar:
+    at small sf the planted partition is not the modularity optimum (Louvain
+    legitimately beats it, e.g. 0.60 vs 0.40 at sf0.001)."""
     from graphina_spark.operators.louvain import louvain
+    from graphina_spark.operators.metrics import modularity
 
-    return louvain(_block(spark, sf_dir), max_levels=3, max_rounds=8)
+    g = _block(spark, sf_dir)
+    com = louvain(g, max_levels=6, max_rounds=12)
+    q_l = modularity(g, com)
+    known = g.vertices.select("id", (F.floor(F.col("id") / 100) * 100).alias("community"))
+    q_k = modularity(g, known)
+    return spark.createDataFrame(
+        [(round(q_k, ROUND), bool(q_l + 1e-9 >= q_k))],
+        "q_known double, quality_ok boolean",
+    )
 
 
 def _q_assortativity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,9 +322,11 @@ def _q_infomap_web(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_msf_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Borůvka minimum spanning forest on the block graph (rows-only: MST is
-    not practically expressible in DuckDB SQL; determinism is pinned by the
-    total-order tie-break and covered in tests)."""
+    """Borůvka minimum spanning forest on the block graph, edge-set oracle:
+    the (weight, src, dst) total-order tie-break makes the forest UNIQUE, so
+    the unrolled-Borůvka DuckDB twin reproduces the identical edge set —
+    stronger than the reference's own weight+count bar (oracle_tests.rs MST
+    checks)."""
     from graphina_spark.operators.mst import boruvka_msf
 
     g = _block(spark, sf_dir)
@@ -467,14 +485,14 @@ def oracle_sql() -> dict[str, str]:
         "khop_web": O.khop_web_sql(k=2),
         "induced_sub_web": O.induced_sub_web_sql(below=200),
         "modularity_block": O.modularity_block_sql(),
-        # louvain_block intentionally omitted → rows-only (quality pinned in tests)
+        "louvain_block": O.louvain_block_sql(),
         "assortativity_web": O.assortativity_web_sql(),
         "avg_clustering_web": O.avg_clustering_web_sql(),
         "density_web": O.density_web_sql(),
         "reaching2_web": O.reaching2_web_sql(),
         "infomap_web": O.infomap_web_sql(iters=3),
-        # msf_block intentionally omitted → rows-only check
-        # voterank_web intentionally omitted → driver records rows-only check
+        "msf_block": O.msf_block_sql(rounds=8),
+        "voterank_web": O.voterank_web_sql(num_seeds=10),
         **_text_oracles(),
     }
 

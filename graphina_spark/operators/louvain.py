@@ -126,8 +126,14 @@ def _local_moving(
             .join(stay, "id")
             .select(
                 "id",
+                # parity class via a per-round-seeded hash, not id % 2: two
+                # mutually-mergeable communities whose ids share raw parity
+                # would otherwise NEVER be split into different classes and
+                # oscillate A↔B forever; reseeding every 2 rounds guarantees
+                # some sweep separates any stuck pair (deterministic — xxhash64
+                # of a value is partitioning-independent)
                 F.when(
-                    (F.pmod(F.col("id"), F.lit(2)) == rnd % 2)
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(rnd // 2)), F.lit(2)) == rnd % 2)
                     & (F.col("gain") > F.col("stay_gain") + F.lit(1e-12)),
                     F.col("community"),
                 )

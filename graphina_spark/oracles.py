@@ -463,6 +463,131 @@ SELECT round(coalesce(w_in.w_in, 0) / m2.m2 - tot.t2, {ROUND}) AS modularity
 FROM w_in, m2, tot"""
 
 
+def voterank_web_sql(num_seeds: int = 10) -> str:
+    """Unrolled VoteRank on the directed web graph (other.rs:82-164): K
+    elections, each a score-sum + argmax + ability decay stage.  Mirrors
+    operators/centrality.py::voterank exactly: score(v) = Σ ability of its
+    in-voters; elected = argmax (ties → lowest id); elected ability → 0;
+    the elected node's OUT-neighbors lose 1/avg_in_degree, floored at 0.
+    Elections with best score ≤ 0 are filtered out (the Spark side stops
+    there; at gate scale all K elections are positive)."""
+    # every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # K-deep chain referencing its predecessor 3x would inline 3^K copies of
+    # the base parquet scan (observed: fd exhaustion at K=10)
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        # avg in-degree over ALL vertices = E / n (zero-in-degree vertices
+        # count in the denominator), decay = its reciprocal
+        "dec AS MATERIALIZED (SELECT CASE WHEN e.cnt > 0 THEN CAST(vv.n AS DOUBLE) / e.cnt"
+        " ELSE 0.0 END AS decay"
+        " FROM (SELECT count(*) AS cnt FROM edges) e,"
+        " (SELECT count(*) AS n FROM v) vv)",
+        "a0 AS MATERIALIZED (SELECT id, 1.0 AS ability, FALSE AS selected FROM v)",
+    ]
+    for k in range(1, num_seeds + 1):
+        p = f"a{k - 1}"
+        ctes.append(
+            f"sc{k} AS MATERIALIZED (SELECT e.dst AS id, sum(a.ability) AS score"
+            f" FROM edges e JOIN {p} a ON e.src = a.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT a.id AS bid, coalesce(s.score, 0.0) AS score"
+            f" FROM {p} a LEFT JOIN sc{k} s ON a.id = s.id"
+            f" WHERE NOT a.selected"
+            f" ORDER BY coalesce(s.score, 0.0) DESC, a.id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"nb{k} AS MATERIALIZED (SELECT DISTINCT e.dst FROM edges e, b{k}"
+            f" WHERE e.src = b{k}.bid)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT a.id,"
+            f" CASE WHEN a.id = b.bid THEN 0.0"
+            f"      WHEN n.dst IS NOT NULL"
+            f"      THEN greatest(a.ability - dec.decay, 0.0)"
+            f"      ELSE a.ability END AS ability,"
+            f" (a.selected OR a.id = b.bid) AS selected"
+            f" FROM {p} a CROSS JOIN b{k} b"
+            f" LEFT JOIN nb{k} n ON a.id = n.dst, dec)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k - 1} AS INT) AS seed_rank, bid AS id FROM b{k}"
+        f" WHERE score > 0"
+        for k in range(1, num_seeds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def msf_block_sql(rounds: int = 8) -> str:
+    """Unrolled Borůvka MSF on the block graph with the deterministic
+    (weight, src, dst) total-order tie-break — the SQL twin of
+    operators/mst.py::boruvka_msf.  Components within a block at least halve
+    per round and blocks are 100 vertices at every sf, so 7 rounds always
+    suffice (8 for margin; extra rounds are no-ops).  Per-round component
+    merging is a recursive-CTE transitive closure over the chosen edges with
+    min-root canonicalization (the SQL twin of the driver union-find)."""
+    # MATERIALIZED stage CTEs for the same inlining reason as voterank_web_sql
+    ctes = [
+        BLOCK_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        # deterministic distinct weights from endpoint arithmetic (matches
+        # the msf_block query's weight override)
+        "em AS MATERIALIZED (SELECT src, dst,"
+        " CAST((src * 13 + dst * 7) % 97 + 1 AS DOUBLE) AS weight FROM edges)",
+        "l0 AS MATERIALIZED (SELECT id, id AS comp FROM v)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"cross{k} AS MATERIALIZED (SELECT e.src, e.dst, e.weight,"
+            f" ls.comp AS ecs, ld.comp AS ecd"
+            f" FROM em e JOIN {p} ls ON e.src = ls.id"
+            f" JOIN {p} ld ON e.dst = ld.id WHERE ls.comp <> ld.comp)"
+        )
+        ctes.append(
+            f"per{k} AS MATERIALIZED (SELECT ecs AS comp, src, dst, weight, ecs, ecd FROM cross{k}"
+            f" UNION ALL SELECT ecd AS comp, src, dst, weight, ecs, ecd FROM cross{k})"
+        )
+        ctes.append(
+            f"chosen{k} AS MATERIALIZED (SELECT DISTINCT src, dst, weight, ecs, ecd FROM ("
+            f"SELECT comp, src, dst, weight, ecs, ecd,"
+            f" row_number() OVER (PARTITION BY comp ORDER BY weight, src, dst) AS rn"
+            f" FROM per{k}) t WHERE rn = 1)"
+        )
+        ctes.append(
+            f"msym{k} AS MATERIALIZED (SELECT ecs AS a, ecd AS b FROM chosen{k}"
+            f" UNION ALL SELECT ecd AS a, ecs AS b FROM chosen{k})"
+        )
+        ctes.append(
+            f"reach{k}(c, r) AS ("
+            f"SELECT comp AS c, comp AS r FROM (SELECT DISTINCT comp FROM {p}) t0"
+            f" UNION "
+            f"SELECT m.b AS c, reach{k}.r FROM reach{k}"
+            f" JOIN msym{k} m ON reach{k}.c = m.a)"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, nc.newc AS comp FROM {p} l JOIN"
+            f" (SELECT c, min(r) AS newc FROM reach{k} GROUP BY c) nc"
+            f" ON l.comp = nc.c)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT src, dst, weight FROM chosen{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT src, dst, weight FROM ({finals}) allc"
+    )
+
+
+def louvain_block_sql() -> str:
+    """Quality oracle for Louvain (reference bar: modularity quality,
+    tests/oracle_community_tests.rs:150): DuckDB computes the planted block
+    partition's modularity (q_known) and asserts quality_ok=true; the Spark
+    side must reproduce q_known at 6 dp AND achieve Q(louvain) ≥ q_known."""
+    body = modularity_block_sql()
+    return f"""SELECT q.modularity AS q_known, TRUE AS quality_ok FROM ({body}) q"""
+
+
 def degree_web_sql(kind: str = "total") -> str:
     """Raw degree counts on the directed web graph (degree.rs:50-114)."""
     out = "SELECT src AS id, count(*) AS c FROM edges GROUP BY src"
