@@ -337,6 +337,21 @@ def _q_msf_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_msf(g)
 
 
+def _q_scc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SCC (trim + forward-color + backward gather) on the
+    directed web graph; DuckDB oracle = mutual-reachability closure."""
+    from graphina_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(_web(spark, sf_dir))
+
+
+def _q_condensation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC→SCC condensation DAG edges (bow-tie analysis companion)."""
+    from graphina_spark.operators.scc import condensation_edges
+
+    return condensation_edges(_web(spark, sf_dir))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -433,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_web": _q_katz_web,
         "laplacian_web": _q_laplacian_web,
         "voterank_web": _q_voterank_web,
+        "scc_web": _q_scc_web,
+        "condensation_web": _q_condensation_web,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -493,6 +510,8 @@ def oracle_sql() -> dict[str, str]:
         "infomap_web": O.infomap_web_sql(iters=3),
         "msf_block": O.msf_block_sql(rounds=8),
         "voterank_web": O.voterank_web_sql(num_seeds=10),
+        "scc_web": O.scc_web_sql(),
+        "condensation_web": O.condensation_web_sql(),
         **_text_oracles(),
     }
 

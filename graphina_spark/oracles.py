@@ -603,3 +603,40 @@ def degree_web_sql(kind: str = "total") -> str:
         f"WITH {WEB_EDGES_CTE.strip()}\n"
         f"SELECT vv.id, CAST({expr} AS DOUBLE) AS degree FROM v vv {sub}"
     )
+
+
+def scc_web_sql() -> str:
+    """Min-id SCC labels via mutual reachability on the directed web graph —
+    oracle twin of the distributed coloring SCC (reference Tarjan semantics,
+    connected_components.rs:130-139; partitions compared as canonical
+    min-member labels, :219-230)."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},
+ adj AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ reach(a, b) AS (
+   SELECT id AS a, id AS b FROM v
+   UNION
+   SELECT r.a, e.dst AS b FROM reach r JOIN adj e ON r.b = e.src
+ )
+SELECT r1.a AS id, min(r1.b) AS component
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY r1.a"""
+
+
+def condensation_web_sql() -> str:
+    """Deduplicated SCC→SCC edges of the condensation DAG (bow-tie analysis
+    companion of scc_web; same mutual-reachability labels)."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},
+ adj AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ reach(a, b) AS (
+   SELECT id AS a, id AS b FROM v
+   UNION
+   SELECT r.a, e.dst AS b FROM reach r JOIN adj e ON r.b = e.src
+ ),
+ lab AS (
+   SELECT r1.a AS id, min(r1.b) AS component
+   FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+   GROUP BY r1.a
+ )
+SELECT DISTINCT ls.component AS src, ld.component AS dst
+FROM edges e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id
+WHERE ls.component <> ld.component"""

@@ -176,3 +176,51 @@ def random_graph(rng, n, density, directed=False, max_w=10):
                 edges.append((u, v))
                 weights.append(float(rng.randint(1, max_w)))
     return edges, weights
+
+
+def ref_scc(n, edges):
+    """Kosaraju SCC (iterative), labels canonicalized to min member id —
+    mirrors the reference's Tarjan result up to label canonicalization
+    (src/community/connected_components.rs:130-139; partitions compared
+    sorted, :219-230)."""
+    fwd = [[] for _ in range(n)]
+    rev = [[] for _ in range(n)]
+    for u, v in edges:
+        if u != v:
+            fwd[u].append(v)
+            rev[v].append(u)
+    order, seen = [], [False] * n
+    for s in range(n):
+        if seen[s]:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen[s] = True
+        while stack:
+            node, it = stack[-1]
+            adv = False
+            for w in it:
+                if not seen[w]:
+                    seen[w] = True
+                    stack.append((w, iter(fwd[w])))
+                    adv = True
+                    break
+            if not adv:
+                order.append(node)
+                stack.pop()
+    comp = [-1] * n
+    for s in reversed(order):
+        if comp[s] != -1:
+            continue
+        members, stack = [], [s]
+        comp[s] = s
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for w in rev[u]:
+                if comp[w] == -1:
+                    comp[w] = s
+                    stack.append(w)
+        m = min(members)
+        for u in members:
+            comp[u] = m
+    return comp
