@@ -352,6 +352,54 @@ def _q_condensation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation_edges(_web(spark, sf_dir))
 
 
+def _q_bfs_dist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.paths import bfs_distances
+
+    g = _web(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 97 == 0).select("id")
+    return bfs_distances(g, srcs, max_depth=4)
+
+
+def _q_sssp_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.paths import sssp_distances
+
+    g = _web(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 199 == 0).select("id")
+    d = sssp_distances(g, srcs)
+    return d.select("source", "id", F.round("dist", ROUND).alias("dist"))
+
+
+def _q_closeness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Wasserman-Faust closeness, exact for a deterministic
+    landmark subset (the honest web-scale contract: score the nodes you
+    care about, one batched multi-source relaxation)."""
+    from graphina_spark.operators.closeness import closeness_centrality
+
+    g = _web(spark, sf_dir)
+    nodes = g.vertices.where(F.col("id") % 29 == 0).select("id")
+    df = closeness_centrality(g, nodes)
+    return df.select("id", F.round("closeness", ROUND).alias("closeness"))
+
+
+def _q_harmonic_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.closeness import harmonic_centrality
+
+    g = _web(spark, sf_dir)
+    nodes = g.vertices.where(F.col("id") % 29 == 0).select("id")
+    df = harmonic_centrality(g, nodes)
+    return df.select("id", F.round("harmonic", ROUND).alias("harmonic"))
+
+
+def _q_betweenness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes (Brandes-Pich estimator, normalized)."""
+    from graphina_spark.operators.betweenness import betweenness_centrality
+
+    g = _web(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 149 == 0).select("id")
+    df = betweenness_centrality(g, sources=srcs, normalized=True)
+    return df.select("id", F.round("betweenness", ROUND).alias("betweenness"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -450,6 +498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voterank_web": _q_voterank_web,
         "scc_web": _q_scc_web,
         "condensation_web": _q_condensation_web,
+        "bfs_dist_web": _q_bfs_dist_web,
+        "sssp_web": _q_sssp_web,
+        "closeness_web": _q_closeness_web,
+        "harmonic_web": _q_harmonic_web,
+        "betweenness_web": _q_betweenness_web,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -512,6 +565,11 @@ def oracle_sql() -> dict[str, str]:
         "voterank_web": O.voterank_web_sql(num_seeds=10),
         "scc_web": O.scc_web_sql(),
         "condensation_web": O.condensation_web_sql(),
+        "bfs_dist_web": O.bfs_dist_web_sql(max_depth=4),
+        "sssp_web": O.sssp_web_sql(),
+        "closeness_web": O.closeness_web_sql(),
+        "harmonic_web": O.harmonic_web_sql(),
+        "betweenness_web": O.betweenness_web_sql(),
         **_text_oracles(),
     }
 

@@ -1,0 +1,137 @@
+"""Shortest-path distances — multi-source frontier BFS and weighted
+Bellman–Ford relaxation, as public (source, id, dist) APIs.
+
+Reference surface: /root/reference/src/core/paths.rs — Dijkstra
+(:201-270), SPFA/Bellman–Ford (:393-444), all-pairs BFS lengths
+(:724-760).  Oracle corpus: tests/oracle_tests.rs:70-181.
+
+The reference's priority-queue Dijkstra is inherently sequential; the
+distributed reformulation keeps the *result contract* (exact shortest
+distances from each source, out-edge direction on digraphs, +∞ →
+row-absent for unreachable targets) while swapping the schedule:
+
+``bfs_distances``
+    Level-synchronous multi-source BFS over (source, id) pairs.  Each
+    superstep expands only the newest frontier (delta optimization) and
+    anti-joins the seen set — O(diameter) rounds, each one shuffle keyed
+    by vertex id.  State is |sources| × |reached| rows, so at web scale
+    callers pass a bounded source set (landmarks, seeds) — the same
+    contract as the reference's per-source calls, batched.
+
+``sssp_distances``
+    Weighted Bellman–Ford with a *changed-only* frontier (the classic
+    SPFA delta schedule, paths.rs:393-444): relax out-edges of vertices
+    whose distance improved last round, min-combine map-side, converge
+    when no row improves.  Non-negative weights (validated like the
+    reference's Dijkstra); O(weighted-hop-diameter) rounds.
+
+Both run to convergence with per-superstep materialization
+(plans/materialize.py) so plan depth stays O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.materialize import local_materialize as _mat
+
+
+def _adjacency(g: LinkGraph, weighted: bool) -> DataFrame:
+    cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
+    adj = g.symmetric_edges().select(*cols)
+    if weighted:
+        # parallel edges: keep the lightest, like a min-relaxation would
+        adj = adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+    else:
+        adj = adj.distinct()
+    return adj.repartition("src")
+
+
+def bfs_distances(
+    g: LinkGraph, sources: DataFrame, max_depth: int | None = None
+) -> DataFrame:
+    """(source: long, id: long, dist: int) — minimal hop count from each
+    source (a 1-column ``id`` frame) to every vertex it reaches within
+    ``max_depth`` hops (unbounded when None).  Unreachable pairs are absent
+    (the reference returns None there, paths.rs:724-760)."""
+    adj = _adjacency(g, weighted=False).cache()
+    seen = (
+        sources.select(F.col("id").alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("id"), F.lit(0).alias("dist"))
+        .transform(_mat)
+    )
+    frontier = seen
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .join(seen.select("source", "id"), ["source", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .transform(_mat)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionAll(nxt).transform(_mat)
+        frontier = nxt
+    adj.unpersist()
+    return seen
+
+
+def sssp_distances(
+    g: LinkGraph, sources: DataFrame, max_iter: int = 100
+) -> DataFrame:
+    """(source: long, id: long, dist: double) — exact weighted shortest
+    distances from each source along out-edges (Dijkstra contract,
+    paths.rs:201-270, delta-frontier schedule).  Raises on negative weights
+    (the reference's Dijkstra validation) and on non-convergence."""
+    neg = g.edges.where(F.col("weight") < 0).limit(1).count()
+    if neg:
+        raise ValueError("sssp_distances requires non-negative edge weights")
+    adj = _adjacency(g, weighted=True).cache()
+    dist = (
+        sources.select(F.col("id").alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("id"), F.lit(0.0).alias("dist"))
+        .transform(_mat)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.select("source", "id", "dist", F.lit(0).alias("new"))
+            .unionAll(cand.select("source", "id", "dist", F.lit(1).alias("new")))
+            .groupBy("source", "id")
+            .agg(
+                F.min_by(F.struct("dist", "new"), F.struct("dist", "new")).alias("m")
+            )
+            .select("source", "id", F.col("m.dist").alias("dist"), F.col("m.new").alias("new"))
+            .transform(_mat)
+        )
+        frontier = merged.where(F.col("new") == 1).select("source", "id", "dist")
+        dist = merged.select("source", "id", "dist")
+        if frontier.isEmpty():
+            adj.unpersist()
+            return dist
+    raise RuntimeError(f"sssp_distances did not converge in {max_iter} rounds")
+
+
+def all_pairs_bfs_lengths(g: LinkGraph, max_depth: int | None = None) -> DataFrame:
+    """All-pairs hop distances (paths.rs:724-760).  State is O(V × reached):
+    exact but quadratic — intended for subgraphs/samples; at web scale use
+    ``bfs_distances`` with a landmark source set."""
+    return bfs_distances(g, g.vertices.select("id"), max_depth=max_depth)

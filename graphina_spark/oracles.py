@@ -640,3 +640,172 @@ def condensation_web_sql() -> str:
 SELECT DISTINCT ls.component AS src, ld.component AS dst
 FROM edges e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id
 WHERE ls.component <> ld.component"""
+
+
+def bfs_dist_web_sql(max_depth: int = 4, src_mod: int = 97) -> str:
+    """(source, id, dist) multi-source BFS within max_depth hops — oracle
+    twin of operators/paths.py::bfs_distances (paths.rs:724-760 contract)."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "adj AS (SELECT DISTINCT src, dst FROM edges)",
+        f"l0 AS (SELECT id AS source, id FROM v WHERE id % {src_mod} = 0)",
+        "a0 AS (SELECT source, id, 0 AS dist FROM l0)",
+    ]
+    for k in range(1, max_depth + 1):
+        ctes.append(
+            f"l{k} AS (SELECT DISTINCT p.source, e.dst AS id"
+            f" FROM l{k - 1} p JOIN adj e ON p.id = e.src)"
+        )
+        ctes.append(
+            f"a{k} AS (SELECT source, id, dist FROM a{k - 1}"
+            f" UNION ALL SELECT source, id, {k} AS dist FROM l{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source, id, CAST(min(dist) AS INT) AS dist"
+        f" FROM a{max_depth} GROUP BY source, id"
+    )
+
+
+def _bellman_ctes(src_pred: str, rounds: int) -> list[str]:
+    """Unrolled synchronous Bellman-Ford stage CTEs from sources matching
+    ``src_pred`` (over v.id); final table d{rounds}(source, id, dist)."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "wadj AS (SELECT src, dst, min(weight) AS weight FROM edges GROUP BY src, dst)",
+        f"d0 AS (SELECT id AS source, id, 0.0 AS dist FROM v WHERE {src_pred})",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM d{k - 1}"
+            f" UNION ALL SELECT p.source, e.dst AS id, p.dist + e.weight AS dist"
+            f" FROM d{k - 1} p JOIN wadj e ON p.id = e.src) GROUP BY source, id)"
+        )
+    return ctes
+
+
+def sssp_web_sql(rounds: int = 30, src_mod: int = 199) -> str:
+    """(source, id, dist) weighted shortest distances — oracle twin of
+    operators/paths.py::sssp_distances (Dijkstra contract, paths.rs:201-270);
+    Bellman-Ford unrolled past the sf0.01 weighted-hop diameter (probed 26)."""
+    ctes = _bellman_ctes(f"id % {src_mod} = 0", rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source, id, round(dist, {ROUND}) AS dist FROM d{rounds}"
+    )
+
+
+def closeness_web_sql(rounds: int = 30, src_mod: int = 29) -> str:
+    """Wasserman-Faust closeness for the deterministic landmark subset —
+    oracle twin of operators/closeness.py::closeness_centrality
+    (closeness.rs:46-51); exact per scored node."""
+    ctes = _bellman_ctes(f"id % {src_mod} = 0", rounds)
+    ctes += [
+        "nn2 AS (SELECT count(*) AS n FROM v)",
+        f"agg AS (SELECT source, sum(dist) AS sd, count(*) AS r FROM d{rounds}"
+        " WHERE id <> source AND dist > 0 GROUP BY source)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.source AS id,
+       round(CASE WHEN a.sd > 0 THEN (a.r / a.sd) * (a.r / (nn2.n - 1.0))
+                  ELSE 0.0 END, {ROUND}) AS closeness
+FROM (SELECT id AS source FROM v WHERE id % {src_mod} = 0) s
+LEFT JOIN agg a ON s.source = a.source, nn2"""
+    )
+
+
+def harmonic_web_sql(rounds: int = 30, src_mod: int = 29) -> str:
+    """Harmonic centrality (sum of reciprocal distances, harmonic.rs:33-41)
+    for the deterministic landmark subset."""
+    ctes = _bellman_ctes(f"id % {src_mod} = 0", rounds)
+    ctes.append(
+        f"agg AS (SELECT source, sum(1.0 / dist) AS h FROM d{rounds}"
+        " WHERE id <> source AND dist > 0 GROUP BY source)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.source AS id, round(coalesce(a.h, 0.0), {ROUND}) AS harmonic
+FROM (SELECT id AS source FROM v WHERE id % {src_mod} = 0) s
+LEFT JOIN agg a ON s.source = a.source"""
+    )
+
+
+def betweenness_web_sql(levels: int = 12, src_mod: int = 149) -> str:
+    """Sampled-source Brandes (betweenness.rs:41-144; Brandes-Pich n/|S|
+    estimator, normalized 1/((n-1)(n-2))) — oracle twin of
+    operators/betweenness.py::betweenness_centrality.  Forward BFS sigma
+    accumulation and backward dependency accumulation unrolled per level;
+    ``levels`` must exceed the max BFS eccentricity of the source set
+    (probed 9 at sf0.01)."""
+    D = levels
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "adj AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        f"st0 AS (SELECT id AS source, id, 0 AS dist, 1.0 AS sigma"
+        f" FROM v WHERE id % {src_mod} = 0)",
+        "f0 AS (SELECT * FROM st0)",
+    ]
+    for k in range(1, D + 1):
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT p.source, e.dst AS id, sum(p.sigma) AS sigma"
+            f" FROM f{k - 1} p JOIN adj e ON p.id = e.src GROUP BY p.source, e.dst)"
+        )
+        ctes.append(
+            f"f{k} AS MATERIALIZED (SELECT g.source, g.id, {k} AS dist, g.sigma"
+            f" FROM g{k} g LEFT JOIN st{k - 1} t"
+            f" ON g.source = t.source AND g.id = t.id WHERE t.id IS NULL)"
+        )
+        ctes.append(
+            f"st{k} AS MATERIALIZED (SELECT * FROM st{k - 1}"
+            f" UNION ALL SELECT * FROM f{k})"
+        )
+    ctes.append(
+        f"dag AS MATERIALIZED (SELECT a.source, a.id AS v, b.id AS w, b.dist AS dw,"
+        f" a.sigma AS sigma_v, b.sigma AS sigma_w"
+        f" FROM st{D} a JOIN adj e ON a.id = e.src"
+        f" JOIN st{D} b ON b.source = a.source AND b.id = e.dst"
+        f" AND b.dist = a.dist + 1)"
+    )
+    ctes.append(
+        f"x{D} AS MATERIALIZED (SELECT source, id, 0.0 AS delta FROM st{D}"
+        f" WHERE dist = {D})"
+    )
+    for lev in range(D, 0, -1):
+        ctes.append(
+            f"c{lev} AS MATERIALIZED (SELECT d.source, d.v AS id,"
+            f" sum(d.sigma_v / d.sigma_w * (1.0 + x.delta)) AS delta"
+            f" FROM dag d JOIN x{lev} x ON d.source = x.source AND d.w = x.id"
+            f" WHERE d.dw = {lev} GROUP BY d.source, d.v)"
+        )
+        ctes.append(
+            f"x{lev - 1} AS MATERIALIZED (SELECT t.source, t.id,"
+            f" coalesce(c.delta, 0.0) AS delta FROM st{D} t LEFT JOIN c{lev} c"
+            f" ON t.source = c.source AND t.id = c.id WHERE t.dist = {lev - 1})"
+        )
+    acc = " UNION ALL ".join(f"SELECT * FROM x{lev}" for lev in range(D + 1))
+    ctes.append(f"acc AS (SELECT * FROM ({acc}))")
+    ctes.append(
+        "raw AS (SELECT id, sum(delta) AS bc FROM acc WHERE id <> source GROUP BY id)"
+    )
+    ctes.append("nn2 AS (SELECT count(*) AS n FROM v)")
+    ctes.append(
+        f"sc AS (SELECT count(*) AS s FROM v WHERE id % {src_mod} = 0)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vv.id,
+       round(coalesce(r.bc, 0.0)
+             * ((CAST(nn2.n AS DOUBLE) / sc.s) * (1.0 / ((nn2.n - 1.0) * (nn2.n - 2.0)))),
+             {ROUND}) AS betweenness
+FROM v vv LEFT JOIN raw r ON vv.id = r.id, nn2, sc"""
+    )

@@ -224,3 +224,95 @@ def ref_scc(n, edges):
         for u in members:
             comp[u] = m
     return comp
+
+
+def ref_dijkstra(n, edges, weights, src, directed=True):
+    """Weighted shortest distances from src (None = unreachable) —
+    paths.rs:201-270 semantics (out-edges on digraphs)."""
+    import heapq
+
+    adj = [[] for _ in range(n)]
+    for i, (u, v) in enumerate(edges):
+        w = float(weights[i]) if weights else 1.0
+        adj[u].append((v, w))
+        if not directed:
+            adj[v].append((u, w))
+    dist = [None] * n
+    dist[src] = 0.0
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist[u]:
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if dist[v] is None or nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def ref_closeness(n, edges, weights, directed=True):
+    """Wasserman-Faust closeness (closeness.rs:46-51)."""
+    out = []
+    for s in range(n):
+        dist = ref_dijkstra(n, edges, weights, s, directed)
+        finite = [d for i, d in enumerate(dist) if i != s and d is not None and d > 0]
+        sd, r = sum(finite), len(finite)
+        out.append((r / sd) * (r / (n - 1.0)) if sd > 0 and n > 1 else 0.0)
+    return out
+
+
+def ref_harmonic(n, edges, weights, directed=True):
+    """Sum of reciprocal distances (harmonic.rs:33-41)."""
+    out = []
+    for s in range(n):
+        dist = ref_dijkstra(n, edges, weights, s, directed)
+        out.append(
+            sum(1.0 / d for i, d in enumerate(dist) if i != s and d is not None and d > 0)
+        )
+    return out
+
+
+def ref_betweenness(n, edges, directed=True, normalized=True):
+    """Unweighted Brandes (betweenness.rs:41-144)."""
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        if u == v:
+            continue
+        adj[u].append(v)
+        if not directed:
+            adj[v].append(u)
+    bc = [0.0] * n
+    for s in range(n):
+        preds = [[] for _ in range(n)]
+        sigma = [0.0] * n
+        dist = [-1] * n
+        sigma[s], dist[s] = 1.0, 0
+        stack, q = [], deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = [0.0] * n
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if normalized:
+        if n > 2:
+            norm = 1.0 / ((n - 1) * (n - 2))
+            bc = [x * norm for x in bc]
+    elif not directed:
+        bc = [x * 0.5 for x in bc]
+    return bc

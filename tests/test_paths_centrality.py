@@ -1,0 +1,146 @@
+"""bfs/sssp distances + closeness/harmonic/betweenness vs pure-Python refs.
+
+Reference corpus: /root/reference/tests/oracle_tests.rs:70-181 (paths),
+tests/oracle_centrality_tests.rs:50+ (closeness/harmonic/betweenness).
+"""
+
+import random
+
+import pytest
+
+from tests.conftest import make_graph
+from tests.reference_impl import (
+    ref_betweenness,
+    ref_closeness,
+    ref_dijkstra,
+    ref_harmonic,
+)
+
+
+def _rand(seed, n, density, weighted=False, directed=True):
+    # undirected: canonical u<v pairs only (duplicate parallel entries would
+    # double-count sigma in the Brandes reference)
+    rng = random.Random(seed)
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(n)
+        if u != v and (directed or u < v) and rng.random() < density
+    ]
+    weights = [float(rng.randint(1, 9)) for _ in edges] if weighted else None
+    return edges, weights
+
+
+def test_bfs_distances_line(spark):
+    from graphina_spark.operators.paths import bfs_distances
+
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3)], n=5, directed=True)
+    srcs = spark.createDataFrame([(0,), (3,)], "id long")
+    got = {
+        (r["source"], r["id"]): r["dist"] for r in bfs_distances(g, srcs).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3, (3, 3): 0}
+
+
+def test_bfs_distances_max_depth(spark):
+    from graphina_spark.operators.paths import bfs_distances
+
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3)], n=4, directed=True)
+    srcs = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(g, srcs, max_depth=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+@pytest.mark.parametrize("seed,n,density,directed", [(11, 25, 0.1, True), (12, 20, 0.15, False)])
+def test_sssp_matches_dijkstra(spark, seed, n, density, directed):
+    from graphina_spark.operators.paths import sssp_distances
+
+    edges, weights = _rand(seed, n, density, weighted=True)
+    g = make_graph(spark, edges, n=n, directed=directed, weights=weights)
+    srcs = spark.createDataFrame([(i,) for i in range(0, n, 5)], "id long")
+    rows = sssp_distances(g, srcs).collect()
+    got = {(r["source"], r["id"]): r["dist"] for r in rows}
+    for s in range(0, n, 5):
+        want = ref_dijkstra(n, edges, weights, s, directed)
+        for i in range(n):
+            if want[i] is None:
+                assert (s, i) not in got
+            else:
+                assert got[(s, i)] == pytest.approx(want[i])
+
+
+def test_sssp_rejects_negative_weights(spark):
+    from graphina_spark.operators.paths import sssp_distances
+
+    g = make_graph(spark, [(0, 1)], n=2, weights=[-1.0])
+    with pytest.raises(ValueError):
+        sssp_distances(g, g.vertices.select("id"))
+
+
+@pytest.mark.parametrize("seed,n,density,directed", [(21, 22, 0.12, True), (22, 18, 0.2, False)])
+def test_closeness_harmonic_exact(spark, seed, n, density, directed):
+    from graphina_spark.operators.closeness import (
+        closeness_centrality,
+        harmonic_centrality,
+    )
+
+    edges, weights = _rand(seed, n, density, weighted=True)
+    g = make_graph(spark, edges, n=n, directed=directed, weights=weights)
+    c = {r["id"]: r["closeness"] for r in closeness_centrality(g).collect()}
+    h = {r["id"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
+    wc = ref_closeness(n, edges, weights, directed)
+    wh = ref_harmonic(n, edges, weights, directed)
+    for i in range(n):
+        assert c[i] == pytest.approx(wc[i]), f"closeness {i}"
+        assert h[i] == pytest.approx(wh[i]), f"harmonic {i}"
+
+
+def test_closeness_subset_scores_match_full(spark):
+    from graphina_spark.operators.closeness import closeness_centrality
+
+    edges, weights = _rand(31, 20, 0.15, weighted=True)
+    g = make_graph(spark, edges, n=20, directed=True, weights=weights)
+    full = {r["id"]: r["closeness"] for r in closeness_centrality(g).collect()}
+    subset = spark.createDataFrame([(0,), (7,), (13,)], "id long")
+    part = {r["id"]: r["closeness"] for r in closeness_centrality(g, subset).collect()}
+    assert set(part) == {0, 7, 13}
+    for i in part:
+        assert part[i] == pytest.approx(full[i])
+
+
+@pytest.mark.parametrize(
+    "seed,n,density,directed,normalized",
+    [(41, 18, 0.15, True, True), (42, 16, 0.2, False, True), (43, 15, 0.2, False, False)],
+)
+def test_betweenness_exact_all_sources(spark, seed, n, density, directed, normalized):
+    from graphina_spark.operators.betweenness import betweenness_centrality
+
+    edges, _ = _rand(seed, n, density, directed=directed)
+    g = make_graph(spark, edges, n=n, directed=directed)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(g, normalized=normalized).collect()
+    }
+    want = ref_betweenness(n, edges, directed, normalized)
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i]), f"bc {i}"
+
+
+def test_betweenness_sampled_estimator_scales(spark):
+    # star graph: all mass on the center; Brandes-Pich estimate from 4 of
+    # the 9 vertices = (Σ sampled delta) * n/|S| * 1/((n-1)(n-2))
+    from graphina_spark.operators.betweenness import betweenness_centrality
+
+    n = 9
+    edges = [(0, i) for i in range(1, n)]
+    g = make_graph(spark, edges, n=n, directed=False)
+    srcs = spark.createDataFrame([(i,) for i in range(1, n, 2)], "id long")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(g, sources=srcs, normalized=True).collect()
+    }
+    # each sampled leaf source yields delta(center) = 7
+    expect_center = (4 * 7) * (n / 4) / ((n - 1) * (n - 2))
+    assert got[0] == pytest.approx(expect_center)
+    for i in range(1, n):
+        assert got[i] == 0.0
