@@ -112,35 +112,74 @@ def lsh_bucket(vec: Column, mat: list[list[int]]) -> Column:
 def lsh_cosine_topk(
     df: DataFrame,
     k: int = 5,
-    planes: int = 8,
+    planes: int | None = None,
+    tables: int = 2,
     seed: int = 42,
+    max_bucket: int = 4096,
+    target_bucket: int = 128,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): approximate top-k — exact
-    cosine ranking *within* each hyperplane bucket."""
+    cosine ranking over the LSH candidate set.
+
+    Scale hardening (each knob bounds a 100-TB failure mode):
+
+    - ``planes=None`` sizes the bucket count to the data:
+      ``ceil(log2(n / target_bucket))`` so E[bucket] ≈ ``target_bucket``
+      regardless of n — a fixed plane count degrades to O(n²/2^P) as n
+      grows.
+    - ``tables`` independent hyperplane sets (seeds ``seed+t``) form the
+      standard OR-construction: a true neighbor pair is a candidate if it
+      collides in ANY table, recovering the recall the per-table bucket
+      split loses.  Candidates are deduped BEFORE scoring, so each pair
+      pays the dot product once.
+    - ``max_bucket`` hard-caps every bucket: rows ranked by id beyond the
+      cap are dropped from that table's candidate generation (deterministic
+      truncation; documented recall bias on degenerate/correlated
+      embeddings, bounded O(max_bucket²) work per bucket — correlated
+      inputs otherwise collapse into one quadratic bucket).
+    """
     first = df.select(F.col(vec_col).alias("v")).first()
     if first is None:
         return df.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    mat = hyperplanes(len(first["v"]), planes, seed)
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), mat).alias("bucket"),
-    )
-    den = _norm(F.col("x.vec")) * _norm(F.col("y.vec"))
-    pairs = (
-        b.alias("x")
-        .join(b.alias("y"), "bucket")
-        .where(F.col("x.id") != F.col("y.id"))
+    dim = len(first["v"])
+    if planes is None:
+        import math
+
+        n = df.count()
+        planes = max(2, math.ceil(math.log2(max(2.0, n / float(target_bucket)))))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cand: DataFrame | None = None
+    for t in range(tables):
+        mat = hyperplanes(dim, planes, seed + t)
+        b = base.select("id", lsh_bucket(F.col("vec"), mat).alias("bucket"))
+        wb = Window.partitionBy("bucket").orderBy(F.asc("id"))
+        capped = (
+            b.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= max_bucket)
+            .select("id", "bucket")
+        )
+        p = (
+            capped.alias("x")
+            .join(capped.alias("y"), "bucket")
+            .where(F.col("x.id") != F.col("y.id"))
+            .select(F.col("x.id").alias("qid"), F.col("y.id").alias("nid"))
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    pairs = cand.distinct()
+    qv = base.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    nv = base.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"))
+    den = _norm(F.col("qvec")) * _norm(F.col("nvec"))
+    scored = (
+        pairs.join(qv, "qid")
+        .join(nv, "nid")
         .select(
-            F.col("x.id").alias("qid"),
-            F.col("y.id").alias("nid"),
-            F.when(den > 0, _dot(F.col("x.vec"), F.col("y.vec")) / den).alias(
-                "cosine"
-            ),
+            "qid",
+            "nid",
+            F.when(den > 0, _dot(F.col("qvec"), F.col("nvec")) / den).alias("cosine"),
         )
         .where(F.col("cosine").isNotNull())
     )
@@ -148,7 +187,7 @@ def lsh_cosine_topk(
         F.desc(F.round("cosine", 9)), F.asc("nid")
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").alias("query_id"),

@@ -184,23 +184,54 @@ SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine, CAST(rank AS INT
 FROM ranked WHERE rank <= {kk}"""
 
 
-def ann_lsh_topk_sql(kk: int = 5, planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    mat = hyperplanes(dim, planes, seed)
-    buckets = " + ".join(
-        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
-        f" CAST({row} AS DOUBLE[])) > 0 THEN {2**p} ELSE 0 END)"
-        for p, row in enumerate(mat)
+def ann_lsh_topk_sql(
+    kk: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    tables: int = 1,
+    max_bucket: int = 4096,
+) -> str:
+    """Twin of operators/ann.py::lsh_cosine_topk — per-table hyperplane
+    buckets with id-ranked size cap, OR-construction candidate union,
+    pairs deduped before scoring."""
+    ctes = []
+    for t in range(tables):
+        mat = hyperplanes(dim, planes, seed + t)
+        buckets = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" CAST({row} AS DOUBLE[])) > 0 THEN {2**p} ELSE 0 END)"
+            for p, row in enumerate(mat)
+        )
+        ctes.append(
+            f"b{t} AS (SELECT vec_id AS id, {buckets} AS bucket FROM embeddings)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT id, bucket FROM (SELECT id, bucket,"
+            f" row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM b{t})"
+            f" WHERE rn <= {max_bucket})"
+        )
+        ctes.append(
+            f"p{t} AS (SELECT x.id AS qid, y.id AS nid"
+            f" FROM c{t} x JOIN c{t} y ON x.bucket = y.bucket AND x.id <> y.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(tables))
+    ctes.append(f"pairs AS (SELECT DISTINCT qid, nid FROM ({union}))")
+    ctes.append(
+        f"scored AS (SELECT p.qid AS query_id, p.nid AS neighbor_id, {_COS} AS cosine"
+        f" FROM pairs p JOIN embeddings x ON x.vec_id = p.qid"
+        f" JOIN embeddings y ON y.vec_id = p.nid)"
     )
-    cos = _COS.replace("x.embedding", "x.emb").replace("y.embedding", "y.emb")
-    return f"""WITH b AS (
-   SELECT vec_id AS id, embedding AS emb, {buckets} AS bucket FROM embeddings),
- pairs AS (
-   SELECT x.id AS query_id, y.id AS neighbor_id, {cos} AS cosine
-   FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id),
- ranked AS (
-   SELECT query_id, neighbor_id, cosine,
-          row_number() OVER (PARTITION BY query_id
-                             ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
-   FROM pairs WHERE cosine IS NOT NULL)
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, cosine,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank"
+        " FROM scored WHERE cosine IS NOT NULL)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
 SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {kk}"""
+    )

@@ -131,3 +131,52 @@ def test_lsh_buckets_deterministic_and_subset(spark):
     # approximate results are a subset of exact pairs with identical scores
     for pair, cos in approx.items():
         assert exact[pair] == pytest.approx(cos, abs=1e-9)
+
+
+def test_lsh_multi_table_recall_beats_single(spark):
+    """OR-construction: 2 tables' candidate set ⊇ each single table's, so
+    recall@k vs brute force can only improve; verify on real embeddings."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, k=3).collect()
+    }
+
+    def recall(tables):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_cosine_topk(df, k=3, planes=3, tables=tables).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    # superset property: table set {seed..seed+t} grows with t, so the
+    # candidate set (and recall) is monotone non-decreasing
+    assert r1 <= r2 <= r4
+    assert r4 >= 0.5  # measured 0.647 on this corpus at planes=3
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpus: every vector identical direction → all collide in
+    one bucket per table; the id-rank cap must bound candidate pairs at
+    max_bucket^2 instead of n^2."""
+    n, cap = 60, 8
+    rows = [(i, [1.0, float(i % 3) * 0.001, 0.5, 0.25]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_cosine_topk(df, k=n, planes=2, tables=1, max_bucket=cap)
+    rows_out = out.collect()
+    # only capped survivors (the cap smallest ids of the single bucket) can
+    # appear on either side
+    ids = {r["query_id"] for r in rows_out} | {r["neighbor_id"] for r in rows_out}
+    assert len(ids) <= cap
+    assert len(rows_out) <= cap * (cap - 1)
+
+
+def test_lsh_adaptive_planes_scale_with_n(spark):
+    from graphina_spark.operators.ann import lsh_cosine_topk as lsh
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # planes=None must not error and must return ranked rows
+    out = lsh(df, k=2, planes=None, tables=1, target_bucket=8)
+    assert out.where("rank > 2").count() == 0
+    assert out.count() > 0
