@@ -408,6 +408,36 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_dist_metrics_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact diameter/radius/APL on the undirected web view
+    (graph_metrics.rs:40-98,:224-255 contract, NULLs when disconnected).
+    All-pairs state is O(V²) — gate-scale exact mode; the 100-TB path is
+    anf_web below."""
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.distmetrics import distance_metrics
+
+    g = _web(spark, sf_dir)
+    und = LinkGraph(vertices=g.vertices, edges=g.edges, directed=False)
+    df = distance_metrics(und, max_depth=8)
+    return df.select(
+        "diameter",
+        "radius",
+        F.round("avg_path_length", ROUND).alias("avg_path_length"),
+    )
+
+
+def _q_anf_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF/Flajolet-Martin sketch curve, fixed 8 rounds, integer
+    register-mass readout (Σ lowest-zero-bit over all registers) — a
+    float-free quantity that pins the whole sketch bit-for-bit against the
+    DuckDB twin."""
+    from graphina_spark.operators.distmetrics import anf_neighborhood_function
+
+    return anf_neighborhood_function(
+        _web(spark, sf_dir), k=8, fixed_rounds=8, readout="raw"
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.functions.textstats import with_text_stats
 
@@ -457,9 +487,13 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardened LSH path: 2-table OR-construction + per-bucket id-rank cap
+    (planes pinned so the DuckDB twin embeds the identical hyperplanes)."""
     from graphina_spark.operators.ann import lsh_cosine_topk
 
-    df = lsh_cosine_topk(_embs(spark, sf_dir), k=5, planes=8)
+    df = lsh_cosine_topk(
+        _embs(spark, sf_dir), k=5, planes=6, tables=2, max_bucket=32
+    )
     return df.select(
         "query_id", "neighbor_id", F.round("cosine", ROUND).alias("cosine"), "rank"
     )
@@ -503,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_web": _q_closeness_web,
         "harmonic_web": _q_harmonic_web,
         "betweenness_web": _q_betweenness_web,
+        "dist_metrics_web": _q_dist_metrics_web,
+        "anf_web": _q_anf_web,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -570,6 +606,8 @@ def oracle_sql() -> dict[str, str]:
         "closeness_web": O.closeness_web_sql(),
         "harmonic_web": O.harmonic_web_sql(),
         "betweenness_web": O.betweenness_web_sql(),
+        "dist_metrics_web": O.dist_metrics_web_sql(max_depth=8),
+        "anf_web": O.anf_web_sql(k=8, rounds=8),
         **_text_oracles(),
     }
 
@@ -584,5 +622,5 @@ def _text_oracles() -> dict[str, str]:
         "minhash_lsh": T.minhash_lsh_sql(threshold=0.2),
         "simhash": T.simhash_sql(),
         "ann_cosine_topk": T.ann_cosine_topk_sql(kk=5),
-        "ann_lsh_topk": T.ann_lsh_topk_sql(kk=5, planes=8),
+        "ann_lsh_topk": T.ann_lsh_topk_sql(kk=5, planes=6, tables=2, max_bucket=32),
     }

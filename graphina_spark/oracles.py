@@ -809,3 +809,114 @@ SELECT vv.id,
              {ROUND}) AS betweenness
 FROM v vv LEFT JOIN raw r ON vv.id = r.id, nn2, sc"""
     )
+
+
+def dist_metrics_web_sql(max_depth: int = 8) -> str:
+    """(diameter, radius, avg_path_length) of the UNDIRECTED web graph —
+    oracle twin of operators/distmetrics.py::distance_metrics
+    (graph_metrics.rs:40-98, :224-255; NULLs when disconnected).  Unrolled
+    all-source BFS; ``max_depth`` must exceed the undirected diameter
+    (probed 6 at sf0.01)."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "adj AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        "l0 AS (SELECT id AS source, id FROM v)",
+        "a0 AS (SELECT source, id, 0 AS dist FROM l0)",
+    ]
+    for kk in range(1, max_depth + 1):
+        ctes.append(
+            f"l{kk} AS MATERIALIZED (SELECT DISTINCT p.source, e.dst AS id"
+            f" FROM l{kk - 1} p JOIN adj e ON p.id = e.src)"
+        )
+        ctes.append(
+            f"a{kk} AS (SELECT source, id, dist FROM a{kk - 1}"
+            f" UNION ALL SELECT source, id, {kk} AS dist FROM l{kk})"
+        )
+    ctes += [
+        f"d AS (SELECT source, id, min(dist) AS dist FROM a{max_depth}"
+        " GROUP BY source, id)",
+        "per AS (SELECT source, max(dist) AS ecc, count(*) AS reached"
+        " FROM d GROUP BY source)",
+        "st AS (SELECT min(reached) AS mr, count(*) AS nsrc,"
+        " max(ecc) AS diam, min(ecc) AS rad FROM per)",
+        "ap AS (SELECT sum(dist) AS td, count(*) AS pc FROM d WHERE dist > 0)",
+        "nn2 AS (SELECT count(*) AS n FROM v)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(CASE WHEN st.mr = nn2.n AND st.nsrc = nn2.n THEN st.diam END AS INT) AS diameter,
+       CAST(CASE WHEN st.mr = nn2.n AND st.nsrc = nn2.n THEN st.rad END AS INT) AS radius,
+       round(CASE WHEN st.mr = nn2.n AND st.nsrc = nn2.n
+                  THEN CAST(ap.td AS DOUBLE) / ap.pc END, {ROUND}) AS avg_path_length
+FROM st, ap, nn2"""
+    )
+
+
+def anf_web_sql(k: int = 8, rounds: int = 8) -> str:
+    """(r, nf) ANF/Flajolet-Martin sketch curve on the directed web graph —
+    bit-exact oracle twin of
+    operators/distmetrics.py::anf_neighborhood_function with
+    ``fixed_rounds=rounds, readout="raw"``: same affine hash family, same
+    register width, same bit_or merge; the readout is the INTEGER register
+    mass Σ_v Σ_j lzb_j(v), so cross-engine float aggregation order cannot
+    perturb the comparison while still pinning every register bit."""
+    from graphina_spark.operators.distmetrics import (
+        ANF_A,
+        ANF_B,
+        ANF_P,
+        ANF_REG_BITS,
+    )
+
+    cap = ANF_REG_BITS - 1
+    # same affine + double-quadratic scramble as _init_registers, staged
+    # through hv1/hv2 so each squared term is computed once
+    init_cols = []
+    for j in range(k):
+        h = f"((h2_{j} * h2_{j} + {ANF_B[j]}) % {ANF_P})"
+        tz = (
+            f"CASE WHEN {h} = 0 THEN {cap} ELSE LEAST(CAST(round(log2(CAST("
+            f"({h} & -{h}) AS DOUBLE))) AS INT), {cap}) END"
+        )
+        init_cols.append(f"CAST(pow(2.0, {tz}) AS BIGINT) AS m{j}")
+    h1_cols = ", ".join(
+        f"(((id + 1) * {ANF_A[j]} + {ANF_B[j]}) % {ANF_P}) AS h1_{j}"
+        for j in range(k)
+    )
+    h2_cols = ", ".join(
+        f"((h1_{j} * h1_{j} + {ANF_A[j]}) % {ANF_P}) AS h2_{j}" for j in range(k)
+    )
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "adj AS (SELECT DISTINCT src, dst FROM edges)",
+        f"hv1 AS (SELECT id, {h1_cols} FROM v)",
+        f"hv2 AS (SELECT id, {h2_cols} FROM hv1)",
+        f"s0 AS (SELECT id, {', '.join(init_cols)} FROM hv2)",
+    ]
+    for r in range(1, rounds + 1):
+        gcols = ", ".join(f"bit_or(p.m{j}) AS g{j}" for j in range(k))
+        mcols = ", ".join(
+            f"s.m{j} | coalesce(g.g{j}, 0) AS m{j}" for j in range(k)
+        )
+        ctes.append(
+            f"g{r} AS (SELECT e.src AS id, {gcols} FROM adj e"
+            f" JOIN s{r - 1} p ON e.dst = p.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT s.id, {mcols} FROM s{r - 1} s"
+            f" LEFT JOIN g{r} g ON s.id = g.id)"
+        )
+    est = " + ".join(
+        f"CAST(round(log2(CAST(((~m{j}) & (m{j} + 1)) AS DOUBLE))) AS BIGINT)"
+        for j in range(k)
+    )
+    points = " UNION ALL ".join(
+        f"SELECT {r} AS r, CAST(sum({est}) AS BIGINT) AS nf FROM s{r}"
+        for r in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(r AS INT) AS r, nf FROM ({points})"
+    )
