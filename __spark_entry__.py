@@ -438,6 +438,56 @@ def _q_anf_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_ROUNDS = 8  # probed past Luby/matching convergence at sf0.01
+
+
+def _q_mis_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set on the undirected web view
+    (independent_set.rs contract; fixed rounds so the DuckDB twin unrolls
+    the identical schedule)."""
+    from graphina_spark.operators.approximation import maximal_independent_set
+
+    return maximal_independent_set(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
+
+
+def _q_matching_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Israeli-Itai maximal matching (matching.rs contract)."""
+    from graphina_spark.operators.approximation import maximal_matching
+
+    return maximal_matching(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
+
+
+def _q_vertex_cover_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching-based 2-approx vertex cover (vertex_cover.rs problem
+    contract; deliberate algorithm deviation documented in
+    operators/approximation.py)."""
+    from graphina_spark.operators.approximation import vertex_cover
+
+    return vertex_cover(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
+
+
+def _q_large_clique_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy clique witness (clique.rs:80+ contract)."""
+    from graphina_spark.operators.approximation import large_clique
+
+    return large_clique(_web(spark, sf_dir), max_rounds=APPROX_ROUNDS)
+
+
+def _q_densest_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani parallel-peeling densest subgraph (subgraph.rs problem
+    contract, distributed schedule)."""
+    from graphina_spark.operators.approximation import densest_subgraph
+
+    return densest_subgraph(_web(spark, sf_dir), epsilon=0.1, rounds=16)
+
+
+def _q_ramsey_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clique + independent-set pairing (ramsey.rs:5-12)."""
+    from graphina_spark.operators.approximation import ramsey_r2
+
+    return ramsey_r2(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.functions.textstats import with_text_stats
 
@@ -539,6 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_web": _q_betweenness_web,
         "dist_metrics_web": _q_dist_metrics_web,
         "anf_web": _q_anf_web,
+        "mis_web": _q_mis_web,
+        "matching_web": _q_matching_web,
+        "vertex_cover_web": _q_vertex_cover_web,
+        "large_clique_web": _q_large_clique_web,
+        "densest_web": _q_densest_web,
+        "ramsey_web": _q_ramsey_web,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -608,6 +664,12 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_web": O.betweenness_web_sql(),
         "dist_metrics_web": O.dist_metrics_web_sql(max_depth=8),
         "anf_web": O.anf_web_sql(k=8, rounds=8),
+        "mis_web": O.mis_web_sql(rounds=APPROX_ROUNDS),
+        "matching_web": O.matching_web_sql(rounds=APPROX_ROUNDS),
+        "vertex_cover_web": O.vertex_cover_web_sql(rounds=APPROX_ROUNDS),
+        "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),
+        "densest_web": O.densest_web_sql(epsilon=0.1, rounds=16),
+        "ramsey_web": O.ramsey_web_sql(rounds=APPROX_ROUNDS),
         **_text_oracles(),
     }
 

@@ -920,3 +920,203 @@ def anf_web_sql(k: int = 8, rounds: int = 8) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT CAST(r AS INT) AS r, nf FROM ({points})"
     )
+
+
+def _pri_sql(x: str, r: int) -> str:
+    """Portable (pri) expression — twin of approximation.py::_priority:
+    affine in (x, round) then two quadratic scrambles mod P, disambiguated
+    by the input value so distinct x never tie."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    h1 = f"((({x} + 1) * {PRI_A1} + {r * PRI_A2 + PRI_B}) % {ANF_P})"
+    h2 = f"(({h1} * {h1} + {PRI_A1}) % {ANF_P})"
+    h3 = f"(({h2} * {h2} + {PRI_A2}) % {ANF_P})"
+    return f"({h3} * 2147483648 + {x})"
+
+
+_ADJU_CTE = (
+    "adjU AS (SELECT src, dst FROM edges WHERE src <> dst"
+    " UNION SELECT dst, src FROM edges WHERE src <> dst)"
+)
+
+
+def mis_web_sql(rounds: int = 8) -> str:
+    """(id) rows of Luby's maximal independent set on the undirected web
+    view — oracle twin of approximation.py::maximal_independent_set with
+    fixed ``rounds`` (reference contract: independent_set.rs:7-30; the
+    distributed schedule is Luby 1986).  ``rounds`` must be probed past
+    convergence at gate scale for the result to be maximal."""
+    ctes = [WEB_EDGES_CTE.strip(), _ADJU_CTE, "act0 AS (SELECT id FROM v)"]
+    mis_terms = []
+    for r in range(rounds):
+        pri = _pri_sql("id", r)
+        ctes.append(f"pri{r} AS (SELECT id, {pri} AS pri FROM act{r})")
+        ctes.append(
+            f"nm{r} AS (SELECT a.src AS id, min(p.pri) AS nmin FROM adjU a"
+            f" JOIN pri{r} p ON a.dst = p.id"
+            f" JOIN act{r} s ON a.src = s.id GROUP BY a.src)"
+        )
+        ctes.append(
+            f"win{r} AS (SELECT p.id FROM pri{r} p LEFT JOIN nm{r} n"
+            f" ON p.id = n.id WHERE n.nmin IS NULL OR p.pri < n.nmin)"
+        )
+        ctes.append(
+            f"act{r + 1} AS MATERIALIZED (SELECT s.id FROM act{r} s"
+            f" WHERE NOT EXISTS (SELECT 1 FROM win{r} w WHERE w.id = s.id)"
+            f" AND NOT EXISTS (SELECT 1 FROM adjU a JOIN win{r} w"
+            f" ON a.src = w.id WHERE a.dst = s.id))"
+        )
+        mis_terms.append(f"SELECT id FROM win{r}")
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(mis_terms)
+
+
+def _matching_ctes(rounds: int) -> list[str]:
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "eact0 AS (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM edges WHERE src <> dst)",
+    ]
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    for r in range(rounds):
+        folded = f"((src * 1000000007 + dst) % {ANF_P})"
+        pri = _pri_sql(folded, r)
+        ctes.append(
+            f"pri{r} AS (SELECT src, dst, {pri} AS pri FROM eact{r})"
+        )
+        ctes.append(
+            f"byv{r} AS (SELECT src AS v, pri, src, dst FROM pri{r}"
+            f" UNION ALL SELECT dst AS v, pri, src, dst FROM pri{r})"
+        )
+        ctes.append(
+            f"best{r} AS (SELECT src, dst FROM (SELECT src, dst,"
+            f" row_number() OVER (PARTITION BY v ORDER BY pri, src, dst) AS rn"
+            f" FROM byv{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"win{r} AS (SELECT src, dst FROM best{r} GROUP BY src, dst"
+            f" HAVING count(*) = 2)"
+        )
+        ctes.append(
+            f"mv{r} AS (SELECT src AS x FROM win{r}"
+            f" UNION SELECT dst AS x FROM win{r})"
+        )
+        ctes.append(
+            f"eact{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM eact{r} e"
+            f" WHERE NOT EXISTS (SELECT 1 FROM mv{r} m"
+            f" WHERE m.x = e.src OR m.x = e.dst))"
+        )
+    return ctes
+
+
+def matching_web_sql(rounds: int = 8) -> str:
+    """(src, dst) maximal matching (Israeli-Itai rank-1-at-both-endpoints
+    rounds) — oracle twin of approximation.py::maximal_matching with fixed
+    ``rounds`` (reference contract: matching.rs:7-21)."""
+    ctes = _matching_ctes(rounds)
+    acc = " UNION ALL ".join(f"SELECT src, dst FROM win{r}" for r in range(rounds))
+    return "WITH " + ",\n".join(ctes) + "\n" + acc
+
+
+def vertex_cover_web_sql(rounds: int = 8) -> str:
+    """(id) 2-approx vertex cover = endpoints of the maximal matching
+    (Gavril; deliberate deviation from vertex_cover.rs's sequential
+    max-degree heuristic, see approximation.py docstring)."""
+    ctes = _matching_ctes(rounds)
+    acc = " UNION ALL ".join(f"SELECT src, dst FROM win{r}" for r in range(rounds))
+    ctes.append(f"mm AS ({acc})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT DISTINCT id FROM (SELECT src AS id FROM mm"
+        " UNION ALL SELECT dst AS id FROM mm)"
+    )
+
+
+def large_clique_web_sql(rounds: int = 8) -> str:
+    """(id) greedily-grown clique members (clique.rs:80+ contract) —
+    oracle twin of approximation.py::large_clique: per round pick the
+    candidate with max candidate-restricted degree (ties → smaller id),
+    intersect candidates with its neighborhood.  Rounds past exhaustion
+    are no-ops in both engines."""
+    ctes = [WEB_EDGES_CTE.strip(), _ADJU_CTE, "cand0 AS (SELECT id FROM v)"]
+    picks = []
+    for r in range(rounds):
+        ctes.append(
+            f"deg{r} AS (SELECT a.src AS id, count(*) AS deg FROM adjU a"
+            f" JOIN cand{r} c1 ON a.src = c1.id"
+            f" JOIN cand{r} c2 ON a.dst = c2.id GROUP BY a.src)"
+        )
+        ctes.append(
+            f"pick{r} AS (SELECT id FROM (SELECT c.id,"
+            f" coalesce(d.deg, 0) AS deg FROM cand{r} c LEFT JOIN deg{r} d"
+            f" ON c.id = d.id ORDER BY deg DESC, c.id ASC LIMIT 1))"
+        )
+        ctes.append(
+            f"cand{r + 1} AS MATERIALIZED (SELECT a.dst AS id FROM adjU a"
+            f" JOIN pick{r} p ON a.src = p.id"
+            f" JOIN cand{r} c ON a.dst = c.id WHERE a.dst <> p.id)"
+        )
+        picks.append(f"SELECT id FROM pick{r}")
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(picks)
+
+
+def densest_web_sql(epsilon: float = 0.1, rounds: int = 16) -> str:
+    """(id) members of the best-density peel round — oracle twin of
+    approximation.py::densest_subgraph (Bahmani et al. parallel peeling;
+    reference problem contract subgraph.rs:8-60).  Ties in density go to
+    the earliest round in both engines."""
+    thr = 2.0 * (1.0 + epsilon)
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "ce AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst)"
+        " AS dst FROM edges WHERE src <> dst)",
+        "s0 AS (SELECT id FROM v)",
+    ]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"ein{r} AS (SELECT e.src, e.dst FROM ce e"
+            f" JOIN s{r} a ON e.src = a.id JOIN s{r} b ON e.dst = b.id)"
+        )
+        ctes.append(
+            f"st{r} AS (SELECT (SELECT count(*) FROM ein{r}) AS m,"
+            f" (SELECT count(*) FROM s{r}) AS n)"
+        )
+        if r < rounds:
+            ctes.append(
+                f"deg{r} AS (SELECT id, count(*) AS deg FROM"
+                f" (SELECT src AS id FROM ein{r}"
+                f" UNION ALL SELECT dst AS id FROM ein{r}) GROUP BY id)"
+            )
+            ctes.append(
+                f"s{r + 1} AS MATERIALIZED (SELECT s.id FROM s{r} s"
+                f" LEFT JOIN deg{r} d ON s.id = d.id, st{r} t"
+                f" WHERE coalesce(d.deg, 0) >"
+                f" {thr} * (CAST(t.m AS DOUBLE) / t.n))"
+            )
+    dens = " UNION ALL ".join(
+        f"SELECT {r} AS r, CAST(m AS DOUBLE) / n AS rho FROM st{r} WHERE n > 0"
+        for r in range(rounds + 1)
+    )
+    snaps = " UNION ALL ".join(
+        f"SELECT {r} AS r, id FROM s{r}" for r in range(rounds + 1)
+    )
+    ctes.append(f"dens AS ({dens})")
+    ctes.append("best AS (SELECT r FROM dens ORDER BY rho DESC, r ASC LIMIT 1)")
+    ctes.append(f"snaps AS ({snaps})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT id FROM snaps WHERE r = (SELECT r FROM best)"
+    )
+
+
+def ramsey_web_sql(rounds: int = 8) -> str:
+    """(id, kind) union of the greedy clique witness and the Luby MIS —
+    oracle twin of approximation.py::ramsey_r2 (ramsey.rs:5-12)."""
+    return (
+        f"SELECT id, 'clique' AS kind FROM ({large_clique_web_sql(rounds)})\n"
+        "UNION ALL\n"
+        f"SELECT id, 'independent_set' AS kind FROM ({mis_web_sql(rounds)})"
+    )

@@ -1,0 +1,133 @@
+"""Approximation family: Luby MIS, Israeli-Itai matching, 2-approx vertex
+cover, greedy clique.
+
+Reference contracts: /root/reference/src/approximation/ —
+independent_set.rs:7-30 (non-empty valid MIS), matching.rs:7-21 (maximal
+matching), vertex_cover.rs:22-80 (every edge covered),
+clique.rs:80+ (clique witness)."""
+
+from graphina_spark.operators.approximation import (
+    large_clique,
+    maximal_independent_set,
+    maximal_matching,
+    vertex_cover,
+)
+from tests.conftest import make_graph
+
+# a 12-vertex graph: two triangles, a 4-path, a star, one isolated-ish pair
+EDGES = [
+    (0, 1), (1, 2), (2, 0),
+    (3, 4), (4, 5), (5, 3),
+    (6, 7), (7, 8), (8, 9),
+    (0, 10), (1, 10), (2, 10),
+    (10, 11),
+]
+
+
+def _edge_pairs(g):
+    return {
+        frozenset((r["src"], r["dst"]))
+        for r in g.edges.collect()
+        if r["src"] != r["dst"]
+    }
+
+
+def test_mis_independent_and_maximal(spark):
+    g = make_graph(spark, EDGES, directed=False)
+    mis = {r["id"] for r in maximal_independent_set(g).collect()}
+    pairs = _edge_pairs(g)
+    # independent: no edge internal to the set
+    assert not any(p <= mis for p in pairs)
+    # maximal: every vertex outside has a neighbor inside
+    nbrs = {}
+    for p in pairs:
+        a, b = tuple(p)
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for v in range(12):
+        if v not in mis:
+            assert nbrs.get(v, set()) & mis, f"vertex {v} not dominated"
+
+
+def test_matching_valid_and_maximal(spark):
+    g = make_graph(spark, EDGES, directed=False)
+    m = [(r["src"], r["dst"]) for r in maximal_matching(g).collect()]
+    used = [v for e in m for v in e]
+    assert len(used) == len(set(used))  # vertex-disjoint
+    pairs = _edge_pairs(g)
+    assert all(frozenset(e) in pairs for e in m)  # real edges
+    # maximal: every edge touches a matched vertex
+    assert all(p & set(used) for p in pairs)
+
+
+def test_vertex_cover_covers_every_edge(spark):
+    g = make_graph(spark, EDGES, directed=False)
+    cover = {r["id"] for r in vertex_cover(g).collect()}
+    assert all(p & cover for p in _edge_pairs(g))
+    # 2-approximation sanity: the star center graph's optimum here is small
+    assert len(cover) <= 2 * 6  # ≤ 2·|max matching possible| (6 on 12 verts)
+
+
+def test_large_clique_is_clique(spark):
+    g = make_graph(spark, EDGES, directed=False)
+    cl = {r["id"] for r in large_clique(g).collect()}
+    pairs = _edge_pairs(g)
+    assert len(cl) >= 3  # triangle 0-1-2(+10 shares 0,1,2) exists
+    for a in cl:
+        for b in cl:
+            if a < b:
+                assert frozenset((a, b)) in pairs
+
+
+def test_clique_finds_k4(spark):
+    # 0-1-2-10 form a K4 (triangle + star over it)
+    g = make_graph(spark, EDGES, directed=False)
+    cl = sorted(r["id"] for r in large_clique(g).collect())
+    assert cl == [0, 1, 2, 10]
+
+
+def test_mis_deterministic_across_runs(spark):
+    g = make_graph(spark, EDGES, directed=False)
+    a = sorted(r["id"] for r in maximal_independent_set(g).collect())
+    b = sorted(r["id"] for r in maximal_independent_set(g).collect())
+    assert a == b
+
+
+def test_fixed_rounds_prefix_of_convergence(spark):
+    """Fixed-round runs execute the same schedule: a 1-round MIS is a
+    subset of the converged MIS (round-0 winners never get revoked)."""
+    g = make_graph(spark, EDGES, directed=False)
+    one = {r["id"] for r in maximal_independent_set(g, rounds=1).collect()}
+    full = {r["id"] for r in maximal_independent_set(g).collect()}
+    assert one <= full
+
+
+def test_densest_finds_planted_clique(spark):
+    """Sparse 40-cycle + planted K8: peeling must surface the clique
+    (density 3.5) over the full graph (density ~(40+28)/48 ≈ 1.42)."""
+    from graphina_spark.operators.approximation import densest_subgraph
+
+    ring = [(i, (i + 1) % 40) for i in range(40)]
+    k8 = [(40 + a, 40 + b) for a in range(8) for b in range(a + 1, 8)]
+    g = make_graph(spark, ring + k8, directed=False)
+    ids = sorted(r["id"] for r in densest_subgraph(g, epsilon=0.1).collect())
+    assert ids == list(range(40, 48))
+
+
+def test_densest_empty_edges_returns_all(spark):
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.approximation import densest_subgraph
+
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long, weight double")
+    g = LinkGraph(vertices=verts, edges=edges, directed=False)
+    assert densest_subgraph(g).count() == 5
+
+
+def test_ramsey_pairing(spark):
+    from graphina_spark.operators.approximation import ramsey_r2
+
+    g = make_graph(spark, EDGES, directed=False)
+    rows = ramsey_r2(g).collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"clique", "independent_set"}
