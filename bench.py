@@ -83,6 +83,16 @@ def main() -> None:
     run("triangles", lambda: triangles(web))
     run("degree", lambda: degree_centrality(web))
 
+    from graphina_spark.operators.approximation import (
+        maximal_independent_set,
+        maximal_matching,
+    )
+    from graphina_spark.operators.distmetrics import anf_neighborhood_function
+
+    run("anf_8r", lambda: anf_neighborhood_function(web, k=8, fixed_rounds=8))
+    run("luby_mis", lambda: maximal_independent_set(web))
+    run("matching", lambda: maximal_matching(web))
+
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS
     out = {
