@@ -473,6 +473,27 @@ def _q_large_clique_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return large_clique(_web(spark, sf_dir), max_rounds=APPROX_ROUNDS)
 
 
+def _q_validation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of validation predicates (core/validation.rs:16-410 family);
+    each predicate is a distributed aggregation — only the final booleans
+    land on the driver."""
+    from graphina_spark.operators import validation as V
+
+    g = _web(spark, sf_dir)
+    row = (
+        V.is_dag(g),
+        V.has_self_loops(g),
+        V.has_negative_weights(g),
+        V.is_bipartite(g),
+        V.count_components(g),
+    )
+    return spark.createDataFrame(
+        [row],
+        "is_dag boolean, has_self_loops boolean, has_negative_weights boolean,"
+        " is_bipartite boolean, n_components long",
+    )
+
+
 def _q_densest_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bahmani parallel-peeling densest subgraph (subgraph.rs problem
     contract, distributed schedule)."""
@@ -486,6 +507,18 @@ def _q_ramsey_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.approximation import ramsey_r2
 
     return ramsey_r2(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the hardened LSH candidate
+    path (canonical a<b dedup-pair contract; threshold tuned to the
+    synthetic corpus whose max pairwise cosine is ~0.51)."""
+    from graphina_spark.operators.ann import embedding_neardup_pairs
+
+    df = embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, planes=6, tables=2, max_bucket=4096
+    )
+    return df.select("a", "b", F.round("cosine", ROUND).alias("cosine"))
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_clique_web": _q_large_clique_web,
         "densest_web": _q_densest_web,
         "ramsey_web": _q_ramsey_web,
+        "validation_web": _q_validation_web,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -602,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -670,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),
         "densest_web": O.densest_web_sql(epsilon=0.1, rounds=16),
         "ramsey_web": O.ramsey_web_sql(rounds=APPROX_ROUNDS),
+        "validation_web": O.validation_web_sql(),
         **_text_oracles(),
     }
 
@@ -685,4 +721,7 @@ def _text_oracles() -> dict[str, str]:
         "simhash": T.simhash_sql(),
         "ann_cosine_topk": T.ann_cosine_topk_sql(kk=5),
         "ann_lsh_topk": T.ann_lsh_topk_sql(kk=5, planes=6, tables=2, max_bucket=32),
+        "embedding_neardup": T.embedding_neardup_sql(
+            threshold=0.4, planes=6, tables=2, max_bucket=4096
+        ),
     }

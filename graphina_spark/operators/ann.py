@@ -196,3 +196,59 @@ def lsh_cosine_topk(
             "rank",
         )
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 6,
+    tables: int = 2,
+    seed: int = 42,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) with a < b: embedding-space near-duplicate pairs —
+    cosine ≥ ``threshold`` among hyperplane-LSH candidates (same
+    multi-table OR-construction + per-bucket cap as lsh_cosine_topk, so
+    the candidate generation is never O(n²)).  The canonical a < b form is
+    the dedup-pair contract shared with dedup.py's MinHash/SimHash
+    families; a training-data pipeline drops min-id-keeps like exact_dedup.
+    Recall is the LSH recall (documented trade); the brute-force twin for
+    recall measurement is cosine_topk."""
+    first = df.select(F.col(vec_col).alias("v")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "a long, b long, cosine double")
+    dim = len(first["v"])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cand: DataFrame | None = None
+    for t in range(tables):
+        mat = hyperplanes(dim, planes, seed + t)
+        b = base.select("id", lsh_bucket(F.col("vec"), mat).alias("bucket"))
+        wb = Window.partitionBy("bucket").orderBy(F.asc("id"))
+        capped = (
+            b.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= max_bucket)
+            .select("id", "bucket")
+        )
+        p = (
+            capped.alias("x")
+            .join(capped.alias("y"), "bucket")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    pairs = cand.distinct()
+    av = base.select(F.col("id").alias("a"), F.col("vec").alias("avec"))
+    bv = base.select(F.col("id").alias("b"), F.col("vec").alias("bvec"))
+    den = _norm(F.col("avec")) * _norm(F.col("bvec"))
+    return (
+        pairs.join(av, "a")
+        .join(bv, "b")
+        .select(
+            "a",
+            "b",
+            F.when(den > 0, _dot(F.col("avec"), F.col("bvec")) / den).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

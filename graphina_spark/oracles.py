@@ -1120,3 +1120,37 @@ def ramsey_web_sql(rounds: int = 8) -> str:
         "UNION ALL\n"
         f"SELECT id, 'independent_set' AS kind FROM ({mis_web_sql(rounds)})"
     )
+
+
+def validation_web_sql() -> str:
+    """One row of validation predicates on the directed web graph — oracle
+    twin of the operators/validation.py family (core/validation.rs:16-410):
+    is_dag via transitive-closure self-reachability, is_bipartite via
+    parity-labeled closure odd-cycle detection, WCC count via closure."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},
+ adj AS (SELECT DISTINCT src, dst FROM edges),
+ reach(a, b) AS (
+   SELECT src AS a, dst AS b FROM adj
+   UNION
+   SELECT r.a, e.dst AS b FROM reach r JOIN adj e ON r.b = e.src
+ ),
+ sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+ preach(a, b, odd) AS (
+   SELECT src AS a, dst AS b, TRUE AS odd FROM sym
+   UNION
+   SELECT p.a, e.dst AS b, NOT p.odd FROM preach p JOIN sym e ON p.b = e.src
+ ),
+ wcc(id, r) AS (
+   SELECT id, id AS r FROM v
+   UNION
+   SELECT s.dst AS id, wcc.r FROM wcc JOIN sym s ON wcc.id = s.src
+ ),
+ comp AS (SELECT count(DISTINCT mr) AS n_components
+          FROM (SELECT id, min(r) AS mr FROM wcc GROUP BY id))
+SELECT
+  NOT EXISTS (SELECT 1 FROM reach WHERE a = b) AS is_dag,
+  EXISTS (SELECT 1 FROM edges WHERE src = dst) AS has_self_loops,
+  EXISTS (SELECT 1 FROM edges WHERE weight < 0) AS has_negative_weights,
+  NOT EXISTS (SELECT 1 FROM preach WHERE a = b AND odd) AS is_bipartite,
+  comp.n_components AS n_components
+FROM comp"""

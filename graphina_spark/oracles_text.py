@@ -235,3 +235,50 @@ def ann_lsh_topk_sql(
 SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {kk}"""
     )
+
+
+def embedding_neardup_sql(
+    threshold: float = 0.9,
+    planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    tables: int = 2,
+    max_bucket: int = 4096,
+) -> str:
+    """Twin of operators/ann.py::embedding_neardup_pairs — LSH candidate
+    pairs (canonical a < b) filtered at cosine ≥ threshold."""
+    ctes = []
+    for t in range(tables):
+        mat = hyperplanes(dim, planes, seed + t)
+        buckets = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" CAST({row} AS DOUBLE[])) > 0 THEN {2**p} ELSE 0 END)"
+            for p, row in enumerate(mat)
+        )
+        ctes.append(
+            f"b{t} AS (SELECT vec_id AS id, {buckets} AS bucket FROM embeddings)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT id, bucket FROM (SELECT id, bucket,"
+            f" row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM b{t})"
+            f" WHERE rn <= {max_bucket})"
+        )
+        ctes.append(
+            f"p{t} AS (SELECT x.id AS a, y.id AS b"
+            f" FROM c{t} x JOIN c{t} y ON x.bucket = y.bucket AND x.id < y.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(tables))
+    ctes.append(f"pairs AS (SELECT DISTINCT a, b FROM ({union}))")
+    cos = _COS
+    ctes.append(
+        f"scored AS (SELECT p.a, p.b, {cos} AS cosine"
+        f" FROM pairs p JOIN embeddings x ON x.vec_id = p.a"
+        f" JOIN embeddings y ON y.vec_id = p.b)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a, b, round(cosine, {ROUND}) AS cosine
+FROM scored WHERE cosine >= {threshold}"""
+    )

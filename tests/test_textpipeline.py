@@ -180,3 +180,24 @@ def test_lsh_adaptive_planes_scale_with_n(spark):
     out = lsh(df, k=2, planes=None, tables=1, target_bucket=8)
     assert out.where("rank > 2").count() == 0
     assert out.count() > 0
+
+
+def test_embedding_neardup_subset_of_exact(spark):
+    """LSH near-dup pairs are a subset of the exact threshold pairs with
+    identical cosines (candidates only prune, never alter scores)."""
+    from graphina_spark.operators.ann import embedding_neardup_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_neardup_pairs(df, threshold=0.35, planes=4).collect()
+    }
+    exact = {
+        (min(r["query_id"], r["neighbor_id"]), max(r["query_id"], r["neighbor_id"])): r["cosine"]
+        for r in cosine_topk(df, k=df.count() - 1).collect()
+        if r["cosine"] >= 0.35
+    }
+    assert set(got) <= set(exact)
+    for pair, cos in got.items():
+        assert exact[pair] == pytest.approx(cos, abs=1e-9)
+    assert all(a < b for a, b in got)
