@@ -509,6 +509,20 @@ def _q_ramsey_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ramsey_r2(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (sampled-centroid coarse quantizer,
+    n_probe inverted lists, exact rerank) — the third ANN path beside
+    brute force and hyperplane LSH."""
+    from graphina_spark.operators.ann import ivf_cosine_topk
+
+    df = ivf_cosine_topk(
+        _embs(spark, sf_dir), k=5, n_centroids=16, n_probe=2, lloyd_iters=0
+    )
+    return df.select(
+        "query_id", "neighbor_id", F.round("cosine", ROUND).alias("cosine"), "rank"
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the hardened LSH candidate
     path (canonical a<b dedup-pair contract; threshold tuned to the
@@ -636,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
     }
 
@@ -721,6 +736,7 @@ def _text_oracles() -> dict[str, str]:
         "simhash": T.simhash_sql(),
         "ann_cosine_topk": T.ann_cosine_topk_sql(kk=5),
         "ann_lsh_topk": T.ann_lsh_topk_sql(kk=5, planes=6, tables=2, max_bucket=32),
+        "ivf_topk": T.ivf_topk_sql(kk=5, n_centroids=16, n_probe=2),
         "embedding_neardup": T.embedding_neardup_sql(
             threshold=0.4, planes=6, tables=2, max_bucket=4096
         ),

@@ -252,3 +252,141 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def _centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    """(cid, cvec): deterministic sampled centroids — the vectors whose id
+    is a multiple of ⌊n/c⌋ (cid = id/step), a pure filter with no global
+    sort (a rank-based pick would funnel every row through one window
+    task).  Sampled (not k-means) centroids keep the quantizer a pure
+    function of the data, so the DuckDB oracle replays it exactly and no
+    cross-engine float-averaging can perturb assignments; Lloyd refinement
+    (ivf_cosine_topk(lloyd_iters>0)) is the Spark-only quality path.
+    Sparse id spaces yield ≤ n_centroids centroids (fine — the probe logic
+    only needs a non-empty centroid table)."""
+    n = base.count()
+    step = max(1, n // n_centroids)
+    return base.where(
+        (F.col("id") % step == 0) & (F.col("id") < step * n_centroids)
+    ).select((F.col("id") / step).cast("int").alias("cid"), F.col("vec").alias("cvec"))
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, vec, cid): nearest centroid by cosine (ties → smaller cid).
+    The centroid table is tiny → broadcast; the argmin is a window over
+    id with deterministic (cosine desc, cid asc) order."""
+    den = _norm(F.col("vec")) * _norm(F.col("cvec"))
+    scored = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "id",
+            "vec",
+            "cid",
+            F.when(den > 0, _dot(F.col("vec"), F.col("cvec")) / den)
+            .otherwise(F.lit(-2.0))
+            .alias("csim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc(F.round("csim", 9)), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", "cid")
+    )
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): IVF-flat approximate top-k.
+
+    Coarse quantizer = deterministic sampled centroids (``_centroids``);
+    each vector lands in its nearest centroid's inverted list; a query
+    probes its ``n_probe`` nearest centroids and exact-reranks only those
+    lists.  Expected candidate count ≈ n·n_probe/n_centroids per query —
+    the IVF trade — with one broadcast join for assignment and one shuffle
+    keyed by (probed) centroid for candidate generation.
+
+    ``lloyd_iters > 0`` refines centroids with k-means steps (per-dimension
+    mean via posexplode + re-assignment) — better lists, but the centroid
+    averages are float-order-dependent, so the oracle-gated configuration
+    is ``lloyd_iters=0``.
+    """
+    first = df.select(F.col(vec_col).alias("v")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cents = _centroids(base, n_centroids)
+    for _ in range(lloyd_iters):
+        assigned = _assign(base, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mv"))
+                ).alias("pm")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("pm"), lambda s: s["mv"].cast("float")).alias(
+                    "cvec"
+                ),
+            )
+        )
+    assigned = _assign(base, cents)
+
+    # probe lists: top n_probe centroids per query, deterministic order
+    den = _norm(F.col("vec")) * _norm(F.col("cvec"))
+    qprobe = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("id").alias("qid"),
+            "cid",
+            F.when(den > 0, _dot(F.col("vec"), F.col("cvec")) / den)
+            .otherwise(F.lit(-2.0))
+            .alias("csim"),
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc(F.round("csim", 9)), F.asc("cid"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= n_probe)
+        .select("qid", "cid")
+    )
+    qv = base.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    cand = (
+        probes.join(
+            assigned.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"), "cid"),
+            "cid",
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .join(qv, "qid")
+    )
+    den2 = _norm(F.col("qvec")) * _norm(F.col("nvec"))
+    scored = cand.select(
+        "qid",
+        "nid",
+        F.when(den2 > 0, _dot(F.col("qvec"), F.col("nvec")) / den2).alias("cosine"),
+    ).where(F.col("cosine").isNotNull())
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cosine", 9)), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

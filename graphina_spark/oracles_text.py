@@ -282,3 +282,45 @@ def embedding_neardup_sql(
 SELECT a, b, round(cosine, {ROUND}) AS cosine
 FROM scored WHERE cosine >= {threshold}"""
     )
+
+
+def ivf_topk_sql(kk: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+    """Twin of operators/ann.py::ivf_cosine_topk with ``lloyd_iters=0``:
+    sampled centroids (id multiple of ⌊n/c⌋), nearest-centroid assignment
+    (cosine desc, cid asc), top-``n_probe`` probe lists, exact rerank."""
+    cos_vc = (
+        "list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))))"
+    )
+    return f"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+ stepc AS (SELECT greatest(1, CAST(n // {n_centroids} AS BIGINT)) AS step FROM nn),
+ cents AS (
+   SELECT CAST(vec_id // step AS INT) AS cid, embedding AS cvec
+   FROM embeddings, stepc
+   WHERE vec_id % step = 0 AND vec_id < step * {n_centroids}),
+ sim AS (
+   SELECT x.vec_id AS id, c.cid,
+          CASE WHEN sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))) > 0
+               THEN {cos_vc} ELSE -2.0 END AS csim
+   FROM embeddings x CROSS JOIN cents c),
+ ranked_sim AS (
+   SELECT id, cid, row_number() OVER (
+     PARTITION BY id ORDER BY round(csim, 9) DESC, cid ASC) AS rn FROM sim),
+ assign AS (SELECT id, cid FROM ranked_sim WHERE rn = 1),
+ probes AS (SELECT id AS qid, cid FROM ranked_sim WHERE rn <= {n_probe}),
+ cand AS (
+   SELECT p.qid, a.id AS nid
+   FROM probes p JOIN assign a ON p.cid = a.cid AND p.qid <> a.id),
+ scored AS (
+   SELECT cd.qid AS query_id, cd.nid AS neighbor_id, {_COS} AS cosine
+   FROM cand cd JOIN embeddings x ON x.vec_id = cd.qid
+   JOIN embeddings y ON y.vec_id = cd.nid),
+ ranked AS (
+   SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank
+   FROM scored WHERE cosine IS NOT NULL)
+SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {kk}"""

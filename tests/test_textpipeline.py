@@ -201,3 +201,41 @@ def test_embedding_neardup_subset_of_exact(spark):
     for pair, cos in got.items():
         assert exact[pair] == pytest.approx(cos, abs=1e-9)
     assert all(a < b for a, b in got)
+
+
+def test_ivf_subset_of_exact_and_recall(spark):
+    """IVF candidates only prune: every returned pair carries the exact
+    cosine; probing more lists monotonically improves recall."""
+    from graphina_spark.operators.ann import ivf_cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(df, k=3).collect()
+    }
+
+    def run(p):
+        return {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in ivf_cosine_topk(df, k=3, n_centroids=8, n_probe=p).collect()
+        }
+
+    r2, r4 = run(2), run(4)
+    for pair, cos in {**r2, **r4}.items():
+        if pair in exact:
+            assert exact[pair] == pytest.approx(cos, abs=1e-9)
+    rec2 = len(set(r2) & set(exact)) / len(exact)
+    rec4 = len(set(r4) & set(exact)) / len(exact)
+    assert rec4 >= rec2 >= 0.2
+    # probing every list = exhaustive = exact
+    rall = run(8)
+    assert set(rall) == set(exact)
+
+
+def test_ivf_lloyd_refinement_runs(spark):
+    from graphina_spark.operators.ann import ivf_cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_cosine_topk(df, k=2, n_centroids=8, n_probe=2, lloyd_iters=2)
+    assert out.count() > 0
+    assert out.where("rank > 2").count() == 0
