@@ -473,6 +473,28 @@ def _q_large_clique_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return large_clique(_web(spark, sf_dir), max_rounds=APPROX_ROUNDS)
 
 
+def _q_spectral_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIC spectral clustering must recover the planted clique-block
+    partition — a semantic gate (oracle = ground truth, not a mirror)."""
+    from graphina_spark.operators.spectral import spectral_clusters
+    from graphina_spark.sources.derived import CLIQUE_BLOCK, clique_blocks_graph
+
+    g = clique_blocks_graph(spark, sf_dir)
+    n = g.vertices.count()
+    k = (n + CLIQUE_BLOCK - 1) // CLIQUE_BLOCK
+    return spectral_clusters(g, k=k, iters=5)
+
+
+def _q_pic_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIC embedding values after 5 fixed power-normalize steps (mirrored
+    DuckDB twin pins the superstep arithmetic)."""
+    from graphina_spark.operators.spectral import pic_embedding
+    from graphina_spark.sources.derived import clique_blocks_graph
+
+    df = pic_embedding(clique_blocks_graph(spark, sf_dir), iters=5)
+    return df.select("id", F.round("score", ROUND).alias("score"))
+
+
 def _q_validation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row of validation predicates (core/validation.rs:16-410 family);
     each predicate is a distributed aggregation — only the final booleans
@@ -643,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_web": _q_densest_web,
         "ramsey_web": _q_ramsey_web,
         "validation_web": _q_validation_web,
+        "spectral_clique": _q_spectral_clique,
+        "pic_clique": _q_pic_clique,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -721,6 +745,8 @@ def oracle_sql() -> dict[str, str]:
         "densest_web": O.densest_web_sql(epsilon=0.1, rounds=16),
         "ramsey_web": O.ramsey_web_sql(rounds=APPROX_ROUNDS),
         "validation_web": O.validation_web_sql(),
+        "spectral_clique": O.spectral_clique_sql(),
+        "pic_clique": O.pic_clique_sql(iters=5),
         **_text_oracles(),
     }
 

@@ -1154,3 +1154,64 @@ SELECT
   NOT EXISTS (SELECT 1 FROM preach WHERE a = b AND odd) AS is_bipartite,
   comp.n_components AS n_components
 FROM comp"""
+
+
+def spectral_clique_sql() -> str:
+    """(id, cluster) — planted-partition ground truth for the clique-blocks
+    graph: PIC spectral clustering must recover exactly the disconnected
+    complete blocks (cluster = min member id).  A semantic oracle, not a
+    mirror: the Spark side earns equality only if the whole
+    embed-gap-split-label pipeline lands on the true partition (the
+    reference's spectral tests pin the same clique-recovery bar,
+    community/spectral.rs tests)."""
+    from graphina_spark.sources.derived import CLIQUE_BLOCK, CLIQUE_EDGES_CTE
+
+    return (
+        f"WITH {CLIQUE_EDGES_CTE.strip()}\n"
+        f"SELECT id, (id // {CLIQUE_BLOCK}) * {CLIQUE_BLOCK} AS cluster FROM v"
+    )
+
+
+def pic_clique_sql(iters: int = 5) -> str:
+    """(id, score) — bit-mirror of operators/spectral.py::pic_embedding on
+    the clique-blocks graph: same quadratic-hash init, same W = D⁻¹A
+    gather, same L1 renormalization each step, rounded 6."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+    from graphina_spark.operators.spectral import INIT_BUCKETS
+    from graphina_spark.sources.derived import CLIQUE_EDGES_CTE
+
+    h1 = f"(((id + 1) * {PRI_A1} + {PRI_B}) % {ANF_P})"
+    h2 = f"(({h1} * {h1} + {PRI_A1}) % {ANF_P})"
+    h3 = f"(({h2} * {h2} + {PRI_A2}) % {ANF_P})"
+    ctes = [
+        CLIQUE_EDGES_CTE.strip(),
+        "sym AS (SELECT src, dst, weight FROM edges"
+        " UNION ALL SELECT dst, src, weight FROM edges)",
+        "symg AS (SELECT src, dst, sum(weight) AS w FROM sym GROUP BY src, dst)",
+        "dg AS (SELECT src AS id, sum(w) AS d FROM symg GROUP BY src)",
+        "wadj AS (SELECT s.src, s.dst, s.w / dg.d AS wn"
+        " FROM symg s JOIN dg ON s.src = dg.id)",
+        f"i0 AS (SELECT id, 1.0 + CAST({h3} % {INIT_BUCKETS} AS DOUBLE)"
+        f" / {float(INIT_BUCKETS)} AS s FROM v)",
+        "t0 AS (SELECT sum(abs(s)) AS t FROM i0)",
+        "s0 AS (SELECT id, s / t AS s FROM i0, t0)",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"g{r} AS (SELECT w.src AS id, sum(w.wn * p.s) AS g"
+            f" FROM wadj w JOIN s{r - 1} p ON w.dst = p.id GROUP BY w.src)"
+        )
+        ctes.append(
+            f"n{r} AS (SELECT v2.id, coalesce(g{r}.g, v2.s) AS s"
+            f" FROM s{r - 1} v2 LEFT JOIN g{r} ON v2.id = g{r}.id)"
+        )
+        ctes.append(f"t{r} AS (SELECT sum(abs(s)) AS t FROM n{r})")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT id, s / t AS s FROM n{r}, t{r})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(s, {ROUND}) AS score FROM s{iters}"
+    )

@@ -169,3 +169,35 @@ BLOCK_EDGES_CTE = f"""
       SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst, 1.0 AS weight
       FROM e0, nn WHERE src <> dst AND dst < n
   )"""
+
+
+CLIQUE_BLOCK = 25
+
+
+def clique_blocks_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Disconnected complete blocks of CLIQUE_BLOCK vertices — the spectral
+    fixture shape (the reference's own spectral tests cluster cliques):
+    within-block mixing is O(1) power steps, so fixed-iteration PIC
+    plateaus cleanly per block.  Edges (i < j, same block, weight 1)."""
+    ids = _customer_ids(spark, sf_dir)
+    a = ids.select(F.col("id").alias("x"), F.floor(F.col("id") / CLIQUE_BLOCK).alias("blk"))
+    edges = (
+        a.alias("l")
+        .join(a.alias("r"), "blk")
+        .where(F.col("l.x") < F.col("r.x"))
+        .select(
+            F.col("l.x").alias("src"),
+            F.col("r.x").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    return LinkGraph(vertices=ids, edges=edges, directed=False)
+
+
+CLIQUE_EDGES_CTE = f"""
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  edges AS (
+      SELECT l.id AS src, r.id AS dst, 1.0 AS weight
+      FROM v l JOIN v r
+        ON l.id // {CLIQUE_BLOCK} = r.id // {CLIQUE_BLOCK} AND l.id < r.id
+  )"""
