@@ -473,6 +473,51 @@ def _q_large_clique_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return large_clique(_web(spark, sf_dir), max_rounds=APPROX_ROUNDS)
 
 
+def _q_edge_list_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the web graph as an edge-list text file, read it back through
+    sources/io.py::read_edge_list, return the recovered (src, dst, weight)
+    — the oracle is the original derived edge set, so the gate pins the
+    text format end-to-end (io.rs:59-122 semantics)."""
+    import tempfile
+
+    from graphina_spark.sources.io import read_edge_list, write_edge_list
+
+    g = _web(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="graphina_elist_") + "/edges"
+    write_edge_list(g, path)
+    g2 = read_edge_list(spark, path, directed=True)
+    return g2.edges.select("src", "dst", "weight")
+
+
+def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shape, src, dst) edge sets of the deterministic generators vs their
+    closed forms (seeded-RNG shapes excluded — RNG streams cannot match
+    across engines; their determinism is pinned in pytest instead)."""
+    from graphina_spark.sources.generators import (
+        complete_graph,
+        cycle_graph,
+        path_graph,
+        star_graph,
+    )
+
+    n = 60
+    parts = [
+        ("complete", complete_graph(spark, n)),
+        ("star", star_graph(spark, n)),
+        ("cycle", cycle_graph(spark, n)),
+        ("path", path_graph(spark, n)),
+    ]
+    out = None
+    for shape, g in parts:
+        e = g.edges.select(
+            F.lit(shape).alias("shape"),
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+        )
+        out = e if out is None else out.unionAll(e)
+    return out
+
+
 def _q_spectral_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIC spectral clustering must recover the planted clique-block
     partition — a semantic gate (oracle = ground truth, not a mirror)."""
@@ -667,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_web": _q_validation_web,
         "spectral_clique": _q_spectral_clique,
         "pic_clique": _q_pic_clique,
+        "edge_list_roundtrip": _q_edge_list_roundtrip,
+        "generators": _q_generators,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -747,6 +794,8 @@ def oracle_sql() -> dict[str, str]:
         "validation_web": O.validation_web_sql(),
         "spectral_clique": O.spectral_clique_sql(),
         "pic_clique": O.pic_clique_sql(iters=5),
+        "edge_list_roundtrip": O.edge_list_roundtrip_sql(),
+        "generators": O.generators_sql(n=60),
         **_text_oracles(),
     }
 

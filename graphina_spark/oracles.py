@@ -1215,3 +1215,30 @@ def pic_clique_sql(iters: int = 5) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, round(s, {ROUND}) AS score FROM s{iters}"
     )
+
+
+def edge_list_roundtrip_sql() -> str:
+    """(src, dst, weight) of the web graph — ground truth for the edge-list
+    write→read roundtrip gate (io.rs:59-122 semantics: the text format must
+    preserve the exact edge set and weights)."""
+    return (
+        f"WITH {WEB_EDGES_CTE.strip()}\n"
+        "SELECT src, dst, weight FROM edges"
+    )
+
+
+def generators_sql(n: int = 60) -> str:
+    """(shape, src, dst) closed-form edge sets of the deterministic
+    generators (generators.rs: complete :112-141, star :208-223, cycle
+    :238-256, path) — seeded-RNG shapes (ER/WS/BA) are excluded by design
+    (RNG streams cannot match across languages, COVERAGE.md).  Uses
+    DuckDB's range() table function; no base table needed."""
+    return f"""WITH ids AS (SELECT range AS i FROM range({n}))
+SELECT 'complete' AS shape, a.i AS src, b.i AS dst
+FROM ids a JOIN ids b ON a.i < b.i
+UNION ALL
+SELECT 'star', 0, i FROM ids WHERE i >= 1
+UNION ALL
+SELECT 'cycle', i, (i + 1) % {n} FROM ids
+UNION ALL
+SELECT 'path', i, i + 1 FROM ids WHERE i < {n} - 1"""
