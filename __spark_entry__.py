@@ -408,6 +408,18 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_edge_betweenness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source edge betweenness (betweenness.rs:160-255)."""
+    from graphina_spark.operators.betweenness import edge_betweenness_centrality
+
+    g = _web(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 149 == 0).select("id")
+    df = edge_betweenness_centrality(g, sources=srcs, normalized=True)
+    return df.select(
+        "src", "dst", F.round("betweenness", ROUND).alias("betweenness")
+    )
+
+
 def _q_dist_metrics_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact diameter/radius/APL on the undirected web view
     (graph_metrics.rs:40-98,:224-255 contract, NULLs when disconnected).
@@ -701,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_web": _q_closeness_web,
         "harmonic_web": _q_harmonic_web,
         "betweenness_web": _q_betweenness_web,
+        "edge_betweenness_web": _q_edge_betweenness_web,
         "dist_metrics_web": _q_dist_metrics_web,
         "anf_web": _q_anf_web,
         "mis_web": _q_mis_web,
@@ -783,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_web": O.closeness_web_sql(),
         "harmonic_web": O.harmonic_web_sql(),
         "betweenness_web": O.betweenness_web_sql(),
+        "edge_betweenness_web": O.edge_betweenness_web_sql(),
         "dist_metrics_web": O.dist_metrics_web_sql(max_depth=8),
         "anf_web": O.anf_web_sql(k=8, rounds=8),
         "mis_web": O.mis_web_sql(rounds=APPROX_ROUNDS),

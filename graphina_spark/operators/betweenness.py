@@ -37,13 +37,9 @@ from graphina_spark.graph import LinkGraph
 from graphina_spark.plans.materialize import local_materialize as _mat
 
 
-def betweenness_centrality(
-    g: LinkGraph,
-    sources: DataFrame | None = None,
-    normalized: bool = True,
-    max_depth: int = 200,
-) -> DataFrame:
-    """(id, betweenness) for every vertex (0.0 when off all sampled paths)."""
+def _forward_and_dag(g: LinkGraph, sources: DataFrame | None, max_depth: int):
+    """Shared Brandes phases 1-2: returns (n, n_sources, state, dag, lmax).
+    ``dag`` rows are (source, v, w, dw, sigma_v, sigma_w)."""
     n = g.vertices.count()
     adj = (
         g.symmetric_edges().select("src", "dst").distinct()
@@ -95,14 +91,26 @@ def betweenness_centrality(
         .transform(_mat)
     )
     adj.unpersist()
+    return n, n_sources, state, dag, lmax
 
-    # backward accumulation, deepest level first
+
+def _backward(state, dag, lmax, collect_edges: bool):
+    """Phase 3: dependency accumulation, deepest level first.  Returns
+    (node_acc, edge_acc) — edge_acc is None unless ``collect_edges``
+    (rows (source, v, w, c), the per-edge pair-dependency terms
+    betweenness.rs:160-255 sums)."""
+    spark = state.sparkSession
     acc = state.where(F.col("dist") == lmax).select(
         "source", "id", F.lit(0.0).alias("delta")
     ).transform(_mat)
     cur = acc
+    edge_acc = (
+        spark.createDataFrame([], "source long, v long, w long, c double")
+        if collect_edges
+        else None
+    )
     for level in range(lmax, 0, -1):
-        contrib = (
+        terms = (
             dag.where(F.col("dw") == level)
             .join(
                 cur.select("source", F.col("id").alias("w"), "delta"),
@@ -110,9 +118,16 @@ def betweenness_centrality(
             )
             .select(
                 "source",
-                F.col("v").alias("id"),
+                "v",
+                "w",
                 (F.col("sigma_v") / F.col("sigma_w") * (1.0 + F.col("delta"))).alias("c"),
             )
+        )
+        if collect_edges:
+            terms = terms.transform(_mat)
+            edge_acc = edge_acc.unionAll(terms).transform(_mat)
+        contrib = (
+            terms.select("source", F.col("v").alias("id"), "c")
             .groupBy("source", "id")
             .agg(F.sum("c").alias("delta"))
         )
@@ -124,7 +139,18 @@ def betweenness_centrality(
             .transform(_mat)
         )
         acc = acc.unionAll(cur).transform(_mat)
+    return acc, edge_acc
 
+
+def betweenness_centrality(
+    g: LinkGraph,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    max_depth: int = 200,
+) -> DataFrame:
+    """(id, betweenness) for every vertex (0.0 when off all sampled paths)."""
+    n, n_sources, state, dag, lmax = _forward_and_dag(g, sources, max_depth)
+    acc, _ = _backward(state, dag, lmax, collect_edges=False)
     raw = (
         acc.where(F.col("id") != F.col("source"))
         .groupBy("id")
@@ -137,5 +163,39 @@ def betweenness_centrality(
         scale *= 0.5
     return g.vertices.select("id").join(raw, "id", "left").select(
         "id",
+        (F.coalesce("bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness"),
+    )
+
+
+def edge_betweenness_centrality(
+    g: LinkGraph,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    max_depth: int = 200,
+) -> DataFrame:
+    """(src, dst, betweenness) per edge — the per-edge pair dependencies of
+    the same Brandes passes (betweenness.rs:160-255).  Exactly the
+    reference's keying: undirected graphs carry BOTH orientations as
+    separate rows (centrality map seeded with (u,v) AND (v,u), :178-183),
+    each accumulating only its own DAG direction's contributions, and there
+    is NO unnormalized halving (unlike the node variant :135-141).
+    Normalization: directed 1/((n-1)(n-2)), undirected 2/((n-1)(n-2))
+    (:243-252).  Sampled sources scale by n/|S| (Brandes-Pich), exact at
+    S=V."""
+    n, n_sources, state, dag, lmax = _forward_and_dag(g, sources, max_depth)
+    _, edge_acc = _backward(state, dag, lmax, collect_edges=True)
+    keyed = edge_acc.select(F.col("v").alias("src"), F.col("w").alias("dst"), "c")
+    raw = keyed.groupBy("src", "dst").agg(F.sum("c").alias("bc"))
+    scale = float(n) / float(n_sources) if n_sources else 1.0
+    if normalized and n > 2:
+        scale *= (2.0 if not g.directed else 1.0) / ((n - 1) * (n - 2))
+    base = (
+        g.symmetric_edges()
+        if not g.directed
+        else g.edges
+    ).select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    return base.join(raw, ["src", "dst"], "left").select(
+        "src",
+        "dst",
         (F.coalesce("bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness"),
     )

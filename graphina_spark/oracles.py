@@ -1242,3 +1242,79 @@ UNION ALL
 SELECT 'cycle', i, (i + 1) % {n} FROM ids
 UNION ALL
 SELECT 'path', i, i + 1 FROM ids WHERE i < {n} - 1"""
+
+
+def edge_betweenness_web_sql(levels: int = 12, src_mod: int = 149) -> str:
+    """(src, dst, betweenness) sampled-source edge betweenness — oracle twin
+    of operators/betweenness.py::edge_betweenness_centrality
+    (betweenness.rs:160-255; directed normalization 1/((n-1)(n-2)),
+    Brandes-Pich n/|S| scaling).  Same forward/dag/backward unroll as
+    betweenness_web_sql; the per-level edge terms are kept un-aggregated
+    and summed per (v, w) at the end."""
+    D = levels
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "adj AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        f"st0 AS (SELECT id AS source, id, 0 AS dist, 1.0 AS sigma"
+        f" FROM v WHERE id % {src_mod} = 0)",
+        "f0 AS (SELECT * FROM st0)",
+    ]
+    for k in range(1, D + 1):
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT p.source, e.dst AS id, sum(p.sigma) AS sigma"
+            f" FROM f{k - 1} p JOIN adj e ON p.id = e.src GROUP BY p.source, e.dst)"
+        )
+        ctes.append(
+            f"f{k} AS MATERIALIZED (SELECT g.source, g.id, {k} AS dist, g.sigma"
+            f" FROM g{k} g LEFT JOIN st{k - 1} t"
+            f" ON g.source = t.source AND g.id = t.id WHERE t.id IS NULL)"
+        )
+        ctes.append(
+            f"st{k} AS MATERIALIZED (SELECT * FROM st{k - 1}"
+            f" UNION ALL SELECT * FROM f{k})"
+        )
+    ctes.append(
+        f"dag AS MATERIALIZED (SELECT a.source, a.id AS v, b.id AS w, b.dist AS dw,"
+        f" a.sigma AS sigma_v, b.sigma AS sigma_w"
+        f" FROM st{D} a JOIN adj e ON a.id = e.src"
+        f" JOIN st{D} b ON b.source = a.source AND b.id = e.dst"
+        f" AND b.dist = a.dist + 1)"
+    )
+    ctes.append(
+        f"x{D} AS MATERIALIZED (SELECT source, id, 0.0 AS delta FROM st{D}"
+        f" WHERE dist = {D})"
+    )
+    for lev in range(D, 0, -1):
+        ctes.append(
+            f"e{lev} AS MATERIALIZED (SELECT d.source, d.v, d.w,"
+            f" d.sigma_v / d.sigma_w * (1.0 + x.delta) AS c"
+            f" FROM dag d JOIN x{lev} x ON d.source = x.source AND d.w = x.id"
+            f" WHERE d.dw = {lev})"
+        )
+        ctes.append(
+            f"c{lev} AS MATERIALIZED (SELECT source, v AS id, sum(c) AS delta"
+            f" FROM e{lev} GROUP BY source, v)"
+        )
+        ctes.append(
+            f"x{lev - 1} AS MATERIALIZED (SELECT t.source, t.id,"
+            f" coalesce(c.delta, 0.0) AS delta FROM st{D} t LEFT JOIN c{lev} c"
+            f" ON t.source = c.source AND t.id = c.id WHERE t.dist = {lev - 1})"
+        )
+    eacc = " UNION ALL ".join(f"SELECT * FROM e{lev}" for lev in range(D, 0, -1))
+    ctes.append(f"eacc AS (SELECT * FROM ({eacc}))")
+    ctes.append(
+        "eraw AS (SELECT v AS src, w AS dst, sum(c) AS bc FROM eacc GROUP BY v, w)"
+    )
+    ctes.append("nn2 AS (SELECT count(*) AS n FROM v)")
+    ctes.append(f"sc AS (SELECT count(*) AS s FROM v WHERE id % {src_mod} = 0)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.src, e.dst,
+       round(coalesce(r.bc, 0.0)
+             * ((CAST(nn2.n AS DOUBLE) / sc.s) * (1.0 / ((nn2.n - 1.0) * (nn2.n - 2.0)))),
+             {ROUND}) AS betweenness
+FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) e
+LEFT JOIN eraw r ON e.src = r.src AND e.dst = r.dst, nn2, sc"""
+    )

@@ -144,3 +144,37 @@ def test_betweenness_sampled_estimator_scales(spark):
     assert got[0] == pytest.approx(expect_center)
     for i in range(1, n):
         assert got[i] == 0.0
+
+
+def test_edge_betweenness_path_graph(spark):
+    """Undirected P4, exact (S=V), unnormalized: the reference keys BOTH
+    orientations separately (betweenness.rs:178-183), each accumulating its
+    own DAG direction -> (i,i+1) and (i+1,i) both carry (i+1)*(n-i-1)."""
+    from graphina_spark.operators.betweenness import edge_betweenness_centrality
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_centrality(g, normalized=False).collect()
+    }
+    assert len(got) == 6  # both orientations of all 3 edges
+    for a, b, v in [(0, 1, 3.0), (1, 2, 4.0), (2, 3, 3.0)]:
+        assert got[(a, b)] == pytest.approx(v)
+        assert got[(b, a)] == pytest.approx(v)
+
+
+def test_edge_betweenness_directed_cycle(spark):
+    """Directed 3-cycle, exact: every ordered pair's unique path uses each
+    edge twice total -> raw per-edge 2.0; normalized by 1/((n-1)(n-2))."""
+    from graphina_spark.operators.betweenness import edge_betweenness_centrality
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 0)], directed=True)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_centrality(g, normalized=True).collect()
+    }
+    # each edge lies on 3 of the 6 ordered shortest paths; norm 1/2
+    assert len(got) == 3
+    assert all(v == pytest.approx(3.0 / 2.0) for v in got.values())
