@@ -530,6 +530,19 @@ def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_girvan_newman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Girvan-Newman on the bridged-cliques fixture: split the chained
+    blocks back apart by removing the (maximal-betweenness) bridges until
+    every clique is its own community (girvan_newman.rs:22-120 rule)."""
+    from graphina_spark.operators.girvan_newman import girvan_newman
+    from graphina_spark.sources.derived import CLIQUE_BLOCK, bridged_cliques_graph
+
+    g = bridged_cliques_graph(spark, sf_dir)
+    n = g.vertices.count()
+    target = (n + CLIQUE_BLOCK - 1) // CLIQUE_BLOCK
+    return girvan_newman(g, target_communities=target, max_removals=4)
+
+
 def _q_spectral_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIC spectral clustering must recover the planted clique-block
     partition — a semantic gate (oracle = ground truth, not a mirror)."""
@@ -725,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_web": _q_validation_web,
         "spectral_clique": _q_spectral_clique,
         "pic_clique": _q_pic_clique,
+        "girvan_newman_bridged": _q_girvan_newman,
         "edge_list_roundtrip": _q_edge_list_roundtrip,
         "generators": _q_generators,
         "text_stats": _q_text_stats,
@@ -808,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "validation_web": O.validation_web_sql(),
         "spectral_clique": O.spectral_clique_sql(),
         "pic_clique": O.pic_clique_sql(iters=5),
+        "girvan_newman_bridged": O.girvan_newman_bridged_sql(removals=4, levels=10),
         "edge_list_roundtrip": O.edge_list_roundtrip_sql(),
         "generators": O.generators_sql(n=60),
         **_text_oracles(),

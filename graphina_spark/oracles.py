@@ -1318,3 +1318,125 @@ SELECT e.src, e.dst,
 FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) e
 LEFT JOIN eraw r ON e.src = r.src AND e.dst = r.dst, nn2, sc"""
     )
+
+
+def girvan_newman_bridged_sql(
+    target: int | None = None, removals: int = 4, levels: int = 10
+) -> str:
+    """(id, community) Girvan-Newman on the bridged-cliques fixture —
+    oracle twin of operators/girvan_newman.py::girvan_newman
+    (girvan_newman.rs:22-120 rule): per round, if the component count is
+    still below ``target``, compute all-sources edge betweenness on the
+    surviving canonical edges and delete the argmax edge (round-9 desc,
+    src asc, dst asc — both orientations' scores summed).  ``removals``
+    bounds the unroll (rounds after the target is reached are no-ops);
+    ``levels`` must exceed the fixture's eccentricity (chained cliques ≈ 7)."""
+    from graphina_spark.sources.derived import CLIQUE_BLOCK, BRIDGED_EDGES_CTE
+
+    # target defaults to the block count of the current sf (ceil(n/25)), so
+    # one SQL string is correct at every scale the driver runs
+    tgt = (
+        str(target)
+        if target is not None
+        else f"CAST(ceil(CAST(nn.n AS DOUBLE) / {CLIQUE_BLOCK}) AS BIGINT)"
+    )
+    D = levels
+    ctes = [
+        BRIDGED_EDGES_CTE.strip(),
+        "e0 AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst"
+        " FROM edges WHERE src <> dst)",
+    ]
+    for t in range(removals):
+        P = f"t{t}_"
+        ctes.append(
+            f"sym{t} AS (SELECT src, dst FROM e{t}"
+            f" UNION SELECT dst, src FROM e{t})"
+        )
+        ctes.append(
+            f"wcc{t}(id, r) AS (SELECT id, id AS r FROM v"
+            f" UNION SELECT s.dst AS id, wcc{t}.r FROM wcc{t}"
+            f" JOIN sym{t} s ON wcc{t}.id = s.src)"
+        )
+        ctes.append(
+            f"lab{t} AS (SELECT id, min(r) AS comp FROM wcc{t} GROUP BY id)"
+        )
+        ctes.append(f"cnt{t} AS (SELECT count(DISTINCT comp) AS c FROM lab{t})")
+        ctes.append(
+            f"{P}st0 AS (SELECT id AS source, id, 0 AS dist, 1.0 AS sigma FROM v)"
+        )
+        ctes.append(f"{P}f0 AS (SELECT * FROM {P}st0)")
+        for k in range(1, D + 1):
+            ctes.append(
+                f"{P}g{k} AS MATERIALIZED (SELECT p.source, e.dst AS id,"
+                f" sum(p.sigma) AS sigma FROM {P}f{k - 1} p"
+                f" JOIN sym{t} e ON p.id = e.src GROUP BY p.source, e.dst)"
+            )
+            ctes.append(
+                f"{P}f{k} AS MATERIALIZED (SELECT g.source, g.id, {k} AS dist,"
+                f" g.sigma FROM {P}g{k} g LEFT JOIN {P}st{k - 1} s"
+                f" ON g.source = s.source AND g.id = s.id WHERE s.id IS NULL)"
+            )
+            ctes.append(
+                f"{P}st{k} AS MATERIALIZED (SELECT * FROM {P}st{k - 1}"
+                f" UNION ALL SELECT * FROM {P}f{k})"
+            )
+        ctes.append(
+            f"{P}dag AS MATERIALIZED (SELECT a.source, a.id AS v2, b.id AS w2,"
+            f" b.dist AS dw, a.sigma AS sigma_v, b.sigma AS sigma_w"
+            f" FROM {P}st{D} a JOIN sym{t} e ON a.id = e.src"
+            f" JOIN {P}st{D} b ON b.source = a.source AND b.id = e.dst"
+            f" AND b.dist = a.dist + 1)"
+        )
+        ctes.append(
+            f"{P}x{D} AS MATERIALIZED (SELECT source, id, 0.0 AS delta"
+            f" FROM {P}st{D} WHERE dist = {D})"
+        )
+        for lev in range(D, 0, -1):
+            ctes.append(
+                f"{P}e{lev} AS MATERIALIZED (SELECT d.source, d.v2, d.w2,"
+                f" d.sigma_v / d.sigma_w * (1.0 + x.delta) AS c"
+                f" FROM {P}dag d JOIN {P}x{lev} x"
+                f" ON d.source = x.source AND d.w2 = x.id WHERE d.dw = {lev})"
+            )
+            ctes.append(
+                f"{P}c{lev} AS MATERIALIZED (SELECT source, v2 AS id,"
+                f" sum(c) AS delta FROM {P}e{lev} GROUP BY source, v2)"
+            )
+            ctes.append(
+                f"{P}x{lev - 1} AS MATERIALIZED (SELECT s.source, s.id,"
+                f" coalesce(c.delta, 0.0) AS delta FROM {P}st{D} s"
+                f" LEFT JOIN {P}c{lev} c ON s.source = c.source AND s.id = c.id"
+                f" WHERE s.dist = {lev - 1})"
+            )
+        eacc = " UNION ALL ".join(
+            f"SELECT * FROM {P}e{lev}" for lev in range(D, 0, -1)
+        )
+        ctes.append(f"{P}eacc AS (SELECT * FROM ({eacc}))")
+        ctes.append(
+            f"canon{t} AS (SELECT least(v2, w2) AS src, greatest(v2, w2) AS dst,"
+            f" sum(c) AS bc FROM {P}eacc GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"top{t} AS (SELECT src, dst FROM canon{t}, cnt{t}, nn"
+            f" WHERE cnt{t}.c < {tgt}"
+            f" ORDER BY round(bc, 9) DESC, src ASC, dst ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"e{t + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t} e"
+            f" LEFT JOIN top{t} x ON e.src = x.src AND e.dst = x.dst"
+            f" WHERE x.src IS NULL)"
+        )
+    R = removals
+    ctes.append(
+        f"symF AS (SELECT src, dst FROM e{R} UNION SELECT dst, src FROM e{R})"
+    )
+    ctes.append(
+        "wccF(id, r) AS (SELECT id, id AS r FROM v"
+        " UNION SELECT s.dst AS id, wccF.r FROM wccF"
+        " JOIN symF s ON wccF.id = s.src)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\nSELECT id, min(r) AS community FROM wccF GROUP BY id"
+    )

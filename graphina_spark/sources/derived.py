@@ -201,3 +201,40 @@ CLIQUE_EDGES_CTE = f"""
       FROM v l JOIN v r
         ON l.id // {CLIQUE_BLOCK} = r.id // {CLIQUE_BLOCK} AND l.id < r.id
   )"""
+
+
+N_BRIDGES = 3
+
+
+def bridged_cliques_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Clique blocks plus N_BRIDGES single bridge edges chaining blocks
+    0..N_BRIDGES — the Girvan-Newman fixture: bridges carry maximal edge
+    betweenness by construction, so GN's removal order is structural, not
+    float-luck.  Undirected; canonical (src < dst) edges."""
+    g = clique_blocks_graph(spark, sf_dir)
+    n = g.vertices.count()
+    bridges = [
+        ((b + 1) * CLIQUE_BLOCK - 1, (b + 1) * CLIQUE_BLOCK)
+        for b in range(N_BRIDGES)
+        if (b + 1) * CLIQUE_BLOCK < n
+    ]
+    bdf = g.vertices.sparkSession.createDataFrame(
+        [(a, b, 1.0) for a, b in bridges], "src long, dst long, weight double"
+    )
+    return LinkGraph(
+        vertices=g.vertices, edges=g.edges.unionAll(bdf), directed=False
+    )
+
+
+BRIDGED_EDGES_CTE = f"""
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  nn AS (SELECT count(*) AS n FROM v),
+  edges AS (
+      SELECT l.id AS src, r.id AS dst, 1.0 AS weight
+      FROM v l JOIN v r
+        ON l.id // {CLIQUE_BLOCK} = r.id // {CLIQUE_BLOCK} AND l.id < r.id
+      UNION ALL
+      SELECT (b + 1) * {CLIQUE_BLOCK} - 1 AS src, (b + 1) * {CLIQUE_BLOCK} AS dst, 1.0
+      FROM range({N_BRIDGES}) t(b), nn
+      WHERE (b + 1) * {CLIQUE_BLOCK} < nn.n
+  )"""

@@ -51,3 +51,25 @@ def test_isolated_vertices_keep_init(spark):
     emb = pic_embedding(g, iters=3)
     assert emb.count() == 4
     assert emb.where(F.col("score").isNull()).count() == 0
+
+
+def test_girvan_newman_splits_bridge(spark):
+    """Two 6-cliques + bridge: GN(target=2) removes the bridge (maximal
+    edge betweenness) and returns the two cliques (girvan_newman.rs rule)."""
+    from graphina_spark.operators.girvan_newman import girvan_newman
+
+    g = make_graph(spark, _clique(0, 6) + _clique(6, 6) + [(5, 6)],
+                   directed=False)
+    cl = {r["id"]: r["community"] for r in girvan_newman(g, 2).collect()}
+    assert {cl[i] for i in range(0, 6)} == {0}
+    assert {cl[i] for i in range(6, 12)} == {6}
+
+
+def test_girvan_newman_target_already_met(spark):
+    from graphina_spark.operators.girvan_newman import girvan_newman
+
+    g = make_graph(spark, _clique(0, 4) + _clique(4, 4), directed=False)
+    # 2 components already; target 2 -> zero removals, labels = components
+    cl = {r["id"]: r["community"] for r in girvan_newman(g, 2).collect()}
+    assert {cl[i] for i in range(0, 4)} == {0}
+    assert {cl[i] for i in range(4, 8)} == {4}
