@@ -530,6 +530,27 @@ def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_connectivity_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local node connectivity on a theta graph (8 disjoint 2-paths between
+    0 and 1) — semantic closed-form oracle (connectivity.rs:57-102)."""
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.connectivity import local_node_connectivity
+
+    ids = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    rows = [(0, m, 1.0) for m in range(2, 10)] + [(m, 1, 1.0) for m in range(2, 10)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = LinkGraph(vertices=ids, edges=edges, directed=False)
+    out = [
+        (s, t, local_node_connectivity(g, s, t))
+        for s, t in [(0, 1), (2, 3), (0, 10), (5, 5)]
+    ]
+    return spark.createDataFrame(
+        out, "source long, target long, connectivity long"
+    )
+
+
 def _q_girvan_newman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Girvan-Newman on the bridged-cliques fixture: split the chained
     blocks back apart by removing the (maximal-betweenness) bridges until
@@ -739,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_clique": _q_spectral_clique,
         "pic_clique": _q_pic_clique,
         "girvan_newman_bridged": _q_girvan_newman,
+        "connectivity_theta": _q_connectivity_theta,
         "edge_list_roundtrip": _q_edge_list_roundtrip,
         "generators": _q_generators,
         "text_stats": _q_text_stats,
@@ -823,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "spectral_clique": O.spectral_clique_sql(),
         "pic_clique": O.pic_clique_sql(iters=5),
         "girvan_newman_bridged": O.girvan_newman_bridged_sql(removals=4, levels=10),
+        "connectivity_theta": O.connectivity_theta_sql(),
         "edge_list_roundtrip": O.edge_list_roundtrip_sql(),
         "generators": O.generators_sql(n=60),
         **_text_oracles(),

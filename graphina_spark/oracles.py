@@ -1440,3 +1440,23 @@ def girvan_newman_bridged_sql(
         + ",\n".join(ctes)
         + "\nSELECT id, min(r) AS community FROM wccF GROUP BY id"
     )
+
+
+def connectivity_theta_sql() -> str:
+    """Closed-form local-node-connectivity answers on the theta fixture
+    (vertices = customer ids; edges 0–m and m–1 for m in 2..9, rest
+    isolated) — semantic oracle for
+    operators/connectivity.py::local_node_connectivity
+    (connectivity.rs:57-102): (0,1) has exactly the 8 disjoint 2-paths,
+    (2,3) routes through endpoints 0 and 1 → 2, (0,10) is disconnected → 0,
+    (5,5) → 0 by the source==target rule.  The greedy BFS bound is exact on
+    this family for any disjoint-path choice order, so the ground truth is
+    engine-independent."""
+    return (
+        "SELECT * FROM (VALUES"
+        " (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)),"
+        " (2, 3, 2),"
+        " (0, 10, 0),"
+        " (5, 5, 0)"
+        ") AS t(source, target, connectivity)"
+    )

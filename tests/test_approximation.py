@@ -131,3 +131,21 @@ def test_ramsey_pairing(spark):
     rows = ramsey_r2(g).collect()
     kinds = {r["kind"] for r in rows}
     assert kinds == {"clique", "independent_set"}
+
+
+def test_local_node_connectivity_semantics(spark):
+    """connectivity.rs:57-102: direct edge -> 1 (count-and-stop), series
+    path -> 1, parallel disjoint 2-paths -> their count, s==t -> 0."""
+    from graphina_spark.operators.connectivity import local_node_connectivity
+
+    # direct edge
+    g1 = make_graph(spark, [(0, 1)], directed=False)
+    assert local_node_connectivity(g1, 0, 1) == 1
+    # series: one interior
+    g2 = make_graph(spark, [(0, 2), (2, 1)], directed=False)
+    assert local_node_connectivity(g2, 0, 1) == 1
+    # three disjoint 2-paths
+    g3 = make_graph(spark, [(0, m) for m in (2, 3, 4)] + [(m, 1) for m in (2, 3, 4)],
+                    directed=False)
+    assert local_node_connectivity(g3, 0, 1) == 3
+    assert local_node_connectivity(g3, 0, 0) == 0
