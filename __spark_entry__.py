@@ -607,6 +607,16 @@ def _q_validation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clique_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded clique removal on the clique-blocks fixture: equal-size
+    blocks force the greedy argmax to peel the lowest-id block each round —
+    closed-form oracle (clique.rs:57-77 contract)."""
+    from graphina_spark.operators.approximation import clique_removal
+    from graphina_spark.sources.derived import clique_blocks_graph
+
+    return clique_removal(clique_blocks_graph(spark, sf_dir), max_cliques=3)
+
+
 def _q_densest_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bahmani parallel-peeling densest subgraph (subgraph.rs problem
     contract, distributed schedule)."""
@@ -754,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_web": _q_matching_web,
         "vertex_cover_web": _q_vertex_cover_web,
         "large_clique_web": _q_large_clique_web,
+        "clique_removal_blocks": _q_clique_removal,
         "densest_web": _q_densest_web,
         "ramsey_web": _q_ramsey_web,
         "validation_web": _q_validation_web,
@@ -839,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "matching_web": O.matching_web_sql(rounds=APPROX_ROUNDS),
         "vertex_cover_web": O.vertex_cover_web_sql(rounds=APPROX_ROUNDS),
         "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),
+        "clique_removal_blocks": O.clique_removal_sql(max_cliques=3),
         "densest_web": O.densest_web_sql(epsilon=0.1, rounds=16),
         "ramsey_web": O.ramsey_web_sql(rounds=APPROX_ROUNDS),
         "validation_web": O.validation_web_sql(),

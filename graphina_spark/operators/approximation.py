@@ -319,3 +319,34 @@ def ramsey_r2(g: LinkGraph, rounds: int | None = None) -> DataFrame:
     return cl.select("id", F.lit("clique").alias("kind")).unionAll(
         mis.select("id", F.lit("independent_set").alias("kind"))
     )
+
+
+def clique_removal(
+    g: LinkGraph, max_cliques: int = 8, clique_rounds: int = 64
+) -> DataFrame:
+    """(round, id) rows: greedily find a large clique, remove its vertices,
+    repeat (clique.rs:57-77 contract, bounded to ``max_cliques`` rounds —
+    the reference runs to exhaustion, O(V) sequential rounds at web scale).
+    Each round is :func:`large_clique` on the induced remaining subgraph;
+    rounds after exhaustion are no-ops."""
+    remaining = g.vertices.select("id").transform(_mat)
+    spark = remaining.sparkSession
+    out = spark.createDataFrame([], "round int, id long")
+    for r in range(max_cliques):
+        if remaining.isEmpty():
+            break
+        sub = LinkGraph(
+            vertices=remaining,
+            edges=g.edges.join(remaining.withColumnRenamed("id", "src"), "src")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst")
+            .select("src", "dst", "weight"),
+            directed=g.directed,
+        )
+        cl = large_clique(sub, max_rounds=clique_rounds)
+        if cl.isEmpty():
+            break
+        out = out.unionAll(
+            cl.select(F.lit(r).alias("round"), "id")
+        ).transform(_mat)
+        remaining = remaining.join(cl, "id", "left_anti").transform(_mat)
+    return out

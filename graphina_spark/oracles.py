@@ -1460,3 +1460,16 @@ def connectivity_theta_sql() -> str:
         " (5, 5, 0)"
         ") AS t(source, target, connectivity)"
     )
+
+
+def clique_removal_sql(max_cliques: int = 3) -> str:
+    """(round, id) closed-form answer for bounded clique_removal on the
+    clique-blocks fixture: every block is a 25-clique of equal size, the
+    greedy argmax (degree desc, id asc) lands on the lowest-id remaining
+    block each round, so round r removes exactly block r —
+    engine-independent ground truth (clique.rs:57-77 contract)."""
+    from graphina_spark.sources.derived import CLIQUE_BLOCK
+
+    return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+SELECT CAST(id // {CLIQUE_BLOCK} AS INT) AS round, id
+FROM v WHERE id < {max_cliques * CLIQUE_BLOCK}"""

@@ -149,3 +149,24 @@ def test_local_node_connectivity_semantics(spark):
                     directed=False)
     assert local_node_connectivity(g3, 0, 1) == 3
     assert local_node_connectivity(g3, 0, 0) == 0
+
+
+def test_clique_removal_peels_blocks(spark):
+    from graphina_spark.operators.approximation import clique_removal
+
+    # two disjoint 5-cliques + a triangle: rounds peel biggest-first,
+    # lowest-id-first among equals
+    g = make_graph(
+        spark,
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(5 + a, 5 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(10, 11), (11, 12), (12, 10)],
+        directed=False,
+    )
+    rows = clique_removal(g, max_cliques=3).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], set()).add(r["id"])
+    assert by_round[0] == set(range(5))
+    assert by_round[1] == set(range(5, 10))
+    assert by_round[2] == {10, 11, 12}
