@@ -99,3 +99,76 @@ def test_triangles_match_bruteforce(spark, edges):
         assert got[v] == want, (v, edges)
     t = transitivity(g)
     assert 0.0 <= t <= 1.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_mis_independent_and_maximal_random(spark, edges):
+    """Luby MIS invariants hold on arbitrary small graphs: no adjacent
+    winners, every loser dominated (independent_set.rs contract)."""
+    from graphina_spark.operators.approximation import maximal_independent_set
+
+    g = make_graph(spark, edges, n=8, directed=False)
+    mis = {r["id"] for r in maximal_independent_set(g).collect()}
+    pairs = {
+        frozenset((r["src"], r["dst"]))
+        for r in g.edges.collect()
+        if r["src"] != r["dst"]
+    }
+    assert not any(p <= mis for p in pairs)
+    nbrs = {}
+    for p in pairs:
+        a, b = tuple(p)
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for v in {x for p in pairs for x in p} | mis:
+        if v not in mis:
+            assert nbrs.get(v, set()) & mis
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_matching_and_cover_random(spark, edges):
+    """Matching is vertex-disjoint+maximal; its endpoints cover every edge
+    (matching.rs / vertex_cover.rs contracts)."""
+    from graphina_spark.operators.approximation import maximal_matching
+
+    g = make_graph(spark, edges, n=8, directed=False)
+    m = [(r["src"], r["dst"]) for r in maximal_matching(g).collect()]
+    used = [v for e in m for v in e]
+    assert len(used) == len(set(used))
+    pairs = {
+        frozenset((r["src"], r["dst"]))
+        for r in g.edges.collect()
+        if r["src"] != r["dst"]
+    }
+    assert all(p & set(used) for p in pairs)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_anf_curve_monotone_random(spark, edges):
+    """NF(r) never decreases: registers only absorb bits."""
+    from graphina_spark.operators.distmetrics import anf_neighborhood_function
+
+    g = make_graph(spark, edges, n=8, directed=False)
+    vals = [
+        r["nf"]
+        for r in sorted(
+            anf_neighborhood_function(g, k=4, max_depth=8).collect(),
+            key=lambda r: r["r"],
+        )
+    ]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
