@@ -62,11 +62,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def run(name: str, fn) -> None:
-        t0 = time.time()
-        df = fn()
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+    def run(name: str, fn, reps: int = 2) -> None:
+        # best-of-N: single-run timings at this data size swing ±40% from
+        # GC/scheduler jitter (measured); the min is the stable signal
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn()
+            df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # untimed warmup: the first job pays JIT/codegen/GC ramp-up (measured up
+    # to +50% on the first timed query otherwise — same rationale as the
+    # warmup in BENCH/scaling.py)
+    pagerank(web, fixed_iters=1, tol=None).count()
 
     run("pagerank_10it", lambda: pagerank(web, fixed_iters=PR_ITERS, tol=None))
 
