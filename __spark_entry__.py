@@ -586,6 +586,29 @@ def _q_pic_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id", F.round("score", ROUND).alias("score"))
 
 
+def _q_events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence edges from the events table (tumbling-window
+    user pairs, tz-proof min-anchored epoch bucketing)."""
+    from graphina_spark.sources.derived import events_cooccurrence_graph
+
+    g = events_cooccurrence_graph(spark, sf_dir)
+    return g.edges.select("src", "dst", "weight")
+
+
+def _q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end events pipeline: events → temporal co-occurrence graph →
+    weighted PageRank (dangling users exercise the mass-redistribution
+    path).  Oracle reuses the parametrized PageRank CTE builder over
+    EVENTS_EDGES_CTE."""
+    from graphina_spark.operators.pagerank import pagerank
+    from graphina_spark.sources.derived import events_cooccurrence_graph
+
+    g = events_cooccurrence_graph(spark, sf_dir)
+    g.edges = g.edges.transform(_mat)
+    pr = pagerank(g, damping=0.85, fixed_iters=5, tol=None)
+    return pr.select("id", F.round("rank", ROUND).alias("pr"))
+
+
 def _q_validation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row of validation predicates (core/validation.rs:16-410 family);
     each predicate is a distributed aggregation — only the final booleans
@@ -768,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_web": _q_densest_web,
         "ramsey_web": _q_ramsey_web,
         "validation_web": _q_validation_web,
+        "events_graph": _q_events_graph,
+        "pagerank_events": _q_pagerank_events,
         "spectral_clique": _q_spectral_clique,
         "pic_clique": _q_pic_clique,
         "girvan_newman_bridged": _q_girvan_newman,
@@ -854,6 +879,8 @@ def oracle_sql() -> dict[str, str]:
         "densest_web": O.densest_web_sql(epsilon=0.1, rounds=16),
         "ramsey_web": O.ramsey_web_sql(rounds=APPROX_ROUNDS),
         "validation_web": O.validation_web_sql(),
+        "events_graph": O.events_graph_sql(),
+        "pagerank_events": O.pagerank_events_sql(),
         "spectral_clique": O.spectral_clique_sql(),
         "pic_clique": O.pic_clique_sql(iters=5),
         "girvan_newman_bridged": O.girvan_newman_bridged_sql(removals=4, levels=10),

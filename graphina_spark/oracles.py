@@ -1473,3 +1473,24 @@ def clique_removal_sql(max_cliques: int = 3) -> str:
     return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
 SELECT CAST(id // {CLIQUE_BLOCK} AS INT) AS round, id
 FROM v WHERE id < {max_cliques * CLIQUE_BLOCK}"""
+
+
+def events_graph_sql() -> str:
+    """(src, dst, weight) temporal co-occurrence edges — oracle twin of
+    sources/derived.py::events_cooccurrence_graph (tz-proof min-anchored
+    epoch bucketing; both engines read identical parquet micros)."""
+    from graphina_spark.sources.derived import EVENTS_EDGES_CTE
+
+    return (
+        f"WITH {EVENTS_EDGES_CTE.strip()}\n"
+        "SELECT src, dst, weight FROM edges"
+    )
+
+
+def pagerank_events_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Weighted PageRank over the events co-occurrence graph — the
+    parametrized unrolled builder over EVENTS_EDGES_CTE (isolated users
+    are dangling: no out-edges)."""
+    from graphina_spark.sources.derived import EVENTS_EDGES_CTE
+
+    return pagerank_web_sql(iters=iters, d=d, edges_cte=EVENTS_EDGES_CTE)

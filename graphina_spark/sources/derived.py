@@ -238,3 +238,62 @@ BRIDGED_EDGES_CTE = f"""
       FROM range({N_BRIDGES}) t(b), nn
       WHERE (b + 1) * {CLIQUE_BLOCK} < nn.n
   )"""
+
+
+COOC_WINDOW_S = 3600
+COOC_MIN_SHARED = 3
+
+
+def events_cooccurrence_graph(
+    spark: SparkSession, sf_dir: str,
+    window_s: int = COOC_WINDOW_S, min_shared: int = COOC_MIN_SHARED,
+) -> LinkGraph:
+    """Temporal co-occurrence graph over the ``events`` table: users are
+    linked when they emit events in the same tumbling time window in at
+    least ``min_shared`` distinct windows (weight = shared-window count).
+
+    Windows are ``floor(seconds-since-2000-01-01 / window_s)`` computed
+    with ``timestampdiff`` on the NTZ column — timezone-free in both
+    engines (the anchor predates all data, so the positive delta floors
+    identically: Spark truncates toward zero, DuckDB counts second
+    boundaries).  The edge list is emitted symmetrized (both directions)
+    so directed kernels (PageRank with dangling users) run unchanged."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'2000-01-01 00:00:00', ts)"
+        ).alias("es"),
+    )
+    w = ev.select(
+        "uid", F.floor(F.col("es") / F.lit(float(window_s))).alias("win")
+    ).distinct()
+    pairs = (
+        w.alias("a")
+        .join(w.alias("b"), "win")
+        .where(F.col("a.uid") < F.col("b.uid"))
+        .groupBy(F.col("a.uid").alias("src"), F.col("b.uid").alias("dst"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .select("src", "dst", F.col("shared").cast("double").alias("weight"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    verts = ev.select(F.col("uid").alias("id")).distinct()
+    return LinkGraph(vertices=verts, edges=edges, directed=True)
+
+
+EVENTS_EDGES_CTE = f"""
+  ev AS (SELECT CAST(user_id AS BIGINT) AS uid,
+                date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) AS es
+         FROM events),
+  w AS (SELECT DISTINCT uid, CAST(floor(es / {COOC_WINDOW_S}.0) AS BIGINT) AS win
+        FROM ev),
+  v AS (SELECT DISTINCT uid AS id FROM ev),
+  half AS (SELECT a.uid AS src, b.uid AS dst, CAST(count(*) AS DOUBLE) AS weight
+           FROM w a JOIN w b ON a.win = b.win AND a.uid < b.uid
+           GROUP BY a.uid, b.uid HAVING count(*) >= {COOC_MIN_SHARED}),
+  edges AS (SELECT src, dst, weight FROM half
+            UNION ALL SELECT dst AS src, src AS dst, weight FROM half)"""
