@@ -242,11 +242,19 @@ BRIDGED_EDGES_CTE = f"""
 
 COOC_WINDOW_S = 3600
 COOC_MIN_SHARED = 3
+#: per-window distinct-user cap: a window with U active users emits U²
+#: candidate pairs, so one hot window (flash crowd) at web scale is a
+#: quadratic blowup — the same lesson as the links-family hub cap.  Users
+#: beyond the cap (by ascending id, deterministic) are dropped from that
+#: window's pairing only (documented bias); 5000 caps any window at ~12.5M
+#: pairs while far exceeding normal window occupancy.
+COOC_MAX_USERS_PER_WINDOW = 5000
 
 
 def events_cooccurrence_graph(
     spark: SparkSession, sf_dir: str,
     window_s: int = COOC_WINDOW_S, min_shared: int = COOC_MIN_SHARED,
+    max_users_per_window: int = COOC_MAX_USERS_PER_WINDOW,
 ) -> LinkGraph:
     """Temporal co-occurrence graph over the ``events`` table: users are
     linked when they emit events in the same tumbling time window in at
@@ -264,9 +272,17 @@ def events_cooccurrence_graph(
             "timestampdiff(SECOND, TIMESTAMP_NTZ'2000-01-01 00:00:00', ts)"
         ).alias("es"),
     )
+    from pyspark.sql import Window as W
+
     w = ev.select(
         "uid", F.floor(F.col("es") / F.lit(float(window_s))).alias("win")
     ).distinct()
+    wcap = W.partitionBy("win").orderBy(F.asc("uid"))
+    w = (
+        w.withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= max_users_per_window)
+        .select("uid", "win")
+    )
     pairs = (
         w.alias("a")
         .join(w.alias("b"), "win")
@@ -289,8 +305,11 @@ EVENTS_EDGES_CTE = f"""
   ev AS (SELECT CAST(user_id AS BIGINT) AS uid,
                 date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) AS es
          FROM events),
-  w AS (SELECT DISTINCT uid, CAST(floor(es / {COOC_WINDOW_S}.0) AS BIGINT) AS win
+  w0 AS (SELECT DISTINCT uid, CAST(floor(es / {COOC_WINDOW_S}.0) AS BIGINT) AS win
         FROM ev),
+  w AS (SELECT uid, win FROM (SELECT uid, win,
+          row_number() OVER (PARTITION BY win ORDER BY uid) AS rn FROM w0)
+        WHERE rn <= {COOC_MAX_USERS_PER_WINDOW}),
   v AS (SELECT DISTINCT uid AS id FROM ev),
   half AS (SELECT a.uid AS src, b.uid AS dst, CAST(count(*) AS DOUBLE) AS weight
            FROM w a JOIN w b ON a.win = b.win AND a.uid < b.uid

@@ -160,3 +160,29 @@ def test_deterministic_across_partitions(spark):
     b = G.erdos_renyi(spark, 40, 0.25, seed=9)
     b.edges = b.edges.repartition(7)
     assert sorted(map(tuple, a.edges.collect())) == sorted(map(tuple, b.edges.collect()))
+
+
+def test_events_cooccurrence_window_cap(spark):
+    """A hot window must be bounded at cap^2 pairs, not U^2 (same skew
+    lesson as the links-family hub cap): with cap=3, only the 3 smallest
+    ids in the single shared window can pair."""
+    import datetime as dt
+
+    from graphina_spark.sources.derived import events_cooccurrence_graph
+    import tempfile, os
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0, i, "view", 1.0, "{}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="graphina_events_")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    g = events_cooccurrence_graph(spark, d, min_shared=1, max_users_per_window=3)
+    users = {r["src"] for r in g.edges.collect()} | {
+        r["dst"] for r in g.edges.collect()
+    }
+    assert users <= {0, 1, 2}
+    assert g.edges.count() == 6  # 3 canonical pairs, symmetrized
