@@ -171,4 +171,7 @@ def test_anf_curve_monotone_random(spark, edges):
             key=lambda r: r["r"],
         )
     ]
-    assert all(b >= a for a, b in zip(vals, vals[1:]))
+    # registers only absorb bits, so the estimate is mathematically
+    # monotone; allow ulp-level jitter from cross-round float summation
+    # order at plateaus
+    assert all(b >= a - 1e-9 * max(1.0, abs(a)) for a, b in zip(vals, vals[1:]))
