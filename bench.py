@@ -83,7 +83,7 @@ def main() -> None:
 
     from graphina_spark.plans.shards import build_adj_shards
 
-    adj = build_adj_shards(web)
+    adj = build_adj_shards(web, dangling_sink=True)
     adj.shards.count()
     run(
         "pagerank_sharded_10it",

@@ -20,10 +20,19 @@ Spark execution model (per superstep):
   so only the (much smaller) rank frame shuffles;
 - gather = ``groupBy(dst).sum`` benefits from partial (map-side) aggregation,
   so hub vertices receive pre-combined messages, not one row per in-edge;
-- dangling mass and the L1 delta are single-scalar aggregates on the driver;
-- every ``lineage_cut`` iterations the rank frame is materialized (parquet
-  checkpoint with manifest when a :class:`CheckpointManager` is given, else
-  ``localCheckpoint``) so the plan never grows past a few supersteps.
+- dangling mass rides the SAME message shuffle as the gather: every dangling
+  vertex gets one virtual edge to the sink id ``-1`` with weight 1, so
+  ``Σ_{dangling} pr[u]`` pops out as the sink's aggregation group — no
+  per-superstep semi-join of the rank vector against a dangling-id set (at
+  10^12 vertices that join rebuilds a 10^11-row hash table every
+  iteration).  The 1-row sink group is broadcast back into the update
+  expression; the gathered frame is cached for the superstep since it is
+  read twice (sink extraction + vertex join).  Vertex id ``-1`` is reserved;
+- the L1 delta (when ``tol`` is active) is a single-scalar driver aggregate;
+- every superstep the rank frame is materialized (parquet checkpoint with
+  manifest when a :class:`CheckpointManager` is given, else a
+  partitioning-preserving ``localCheckpoint``) so the plan never grows and
+  the next gather join is exchange-free (see plans/materialize.py).
 
 At 100 TB scale the plain join is replaced by the salted CSR adjacency-shard
 gather in :mod:`graphina_spark.plans.shards` (same semantics, skew-proof);
@@ -51,7 +60,6 @@ def pagerank(
     fixed_iters: int | None = None,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
-    lineage_cut: int = 5,
     shards: "AdjShards | None" = None,
 ) -> DataFrame:
     """Return ``(id: long, rank: double)``, Σ rank = 1.
@@ -75,18 +83,33 @@ def pagerank(
     if shards is not None:
         # salted CSR adjacency path (plans/shards.py): the join moves one row
         # per (src, salt) instead of one per edge, and hub scatter is spread
-        # across salt rows — the 100 TB layout
+        # across salt rows — the 100 TB layout.  Shards built with
+        # dangling_sink=True already carry the virtual sink edges.
         wout = shards.wout.select("src", "w_out")
         edges_norm = None
+        sink_in_gather = shards.dangling_sink
     else:
         sym = g.symmetric_edges()
         wout = sym.groupBy("src").agg(F.sum("weight").alias("w_out"))
+        # virtual sink edges: one (u, -1, 1.0) row per dangling vertex, so the
+        # dangling mass is just one more aggregation group in the gather
+        sink_edges = (
+            g.vertices.select(F.col("id").alias("src"))
+            .join(wout.select("src"), "src", "left_anti")
+            .select(
+                "src",
+                F.lit(-1).cast("long").alias("dst"),
+                F.lit(1.0).alias("w_norm"),
+            )
+        )
         edges_norm = (
             sym.join(wout, "src")
             .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("w_norm"))
+            .unionByName(sink_edges)
             .repartition("src")
             .cache()
         )
+        sink_in_gather = True
 
     # teleport vector p: personalization L1-normalized (uniform fallback when
     # Σ<=0, personalized_pagerank.rs:51-63) else uniform 1/n
@@ -114,6 +137,8 @@ def pagerank(
         .cache()
     )
 
+    has_dangling = vinfo.where("dangling").limit(1).count() > 0
+
     start_iter = 0
     ranks = None
     if checkpoint is not None and resume:
@@ -134,18 +159,8 @@ def pagerank(
     ranks = ranks.transform(_mat)
 
     d = damping
-    dangling_ids = vinfo.where("dangling").select("id").cache()
-    has_dangling = dangling_ids.count() > 0
     check_tol = tol is not None and fixed_iters is None
     for it in range(start_iter, n_iters):
-        # dangling mass as a 1-row frame folded into the plan (no driver
-        # round-trip; broadcast to every task); skipped entirely when the
-        # graph has no dangling vertices
-        if has_dangling:
-            dang_df = (
-                ranks.join(dangling_ids, "id", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
-            )
         if shards is not None:
             gathered = shards.gather(ranks, value="rank")
         else:
@@ -159,6 +174,25 @@ def pagerank(
                 .groupBy("id")
                 .agg(F.sum("c").alias("gather"))
             )
+        gathered_cached = None
+        if has_dangling and sink_in_gather:
+            # dangling mass came down the same shuffle as every other message:
+            # extract the sink group as a 1-row frame folded into the plan
+            # (broadcast to every task, no driver round-trip).  gathered is
+            # read twice (sink row + vertex join), so cache it for the step.
+            gathered = gathered.cache()
+            gathered_cached = gathered
+            dang_df = gathered.where(F.col("id") == -1).agg(
+                F.coalesce(F.sum("gather"), F.lit(0.0)).alias("dang")
+            )
+        elif has_dangling:
+            # shards built without dangling_sink: per-superstep semi-join
+            # against the dangling-id set (the pre-sink fallback shape)
+            dang_df = (
+                ranks.join(vinfo.where("dangling").select("id"), "id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+            )
+        # the -1 sink row drops out of the left join below (vinfo has no -1)
         joined = vinfo.join(gathered, "id", "left")
         if has_dangling:
             joined = joined.crossJoin(F.broadcast(dang_df))
@@ -202,7 +236,11 @@ def pagerank(
                     .first()[0]
                 )
 
+        if gathered_cached is not None:
+            gathered_cached.unpersist()
         ranks.unpersist()
+        if it == n_iters - 1 and edges_norm is not None:
+            edges_norm.unpersist()
         ranks = new_ranks
         if delta is not None and delta < tol:
             break

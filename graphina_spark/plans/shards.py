@@ -50,6 +50,9 @@ class AdjShards:
     salt_map: DataFrame  # (src, n_salt) — hubs only (n_salt > 1); broadcast side
     wout: DataFrame  # (src, w_out, degree) — all scatter-active vertices
     salt_cap: int
+    dangling_sink: bool = False  # True: dangling vertices carry one virtual
+    # edge to id -1 w=1.0, so Σ dangling rank rides the gather shuffle as the
+    # sink's aggregation group (PageRank's dangling mass, no extra rank pass)
 
     def unpersist(self) -> None:
         for df in (self.shards, self.salt_map, self.wout):
@@ -91,11 +94,20 @@ def build_adj_shards(
     salt_cap: int = DEFAULT_SALT_CAP,
     n_buckets: int | None = None,
     normalize: bool = True,
+    dangling_sink: bool = False,
 ) -> AdjShards:
     """Group the (symmetrized) edge set into capped, salted CSR rows.
 
     ``normalize=True`` stores w_list as w(u,v)/w_out(u) (the PageRank scatter
     weights); ``False`` stores raw weights (matvec kernels: eigenvector/Katz).
+
+    ``dangling_sink=True`` additionally emits one shard row per dangling
+    vertex (no out-edges): ``(src=u, salt=0, dst_list=[-1], w_list=[1.0])``.
+    A PageRank gather then produces the total dangling mass as the sink id's
+    aggregation group inside the normal message shuffle, replacing the
+    per-superstep second scan of the rank vector.  ``wout`` is NOT given sink
+    rows — dangling vertices keep w_out absent, so vinfo dangling flags stay
+    correct.
     """
     spark = g.edges.sparkSession
     if n_buckets is None:
@@ -124,15 +136,28 @@ def build_adj_shards(
         .withColumn("salt", ((rn - 1) / F.lit(salt_cap)).cast("int"))
         .drop("weight")
     )
-    shards = (
-        e.groupBy("src", "salt")
-        .agg(
-            F.collect_list("dst").alias("dst_list"),
-            F.collect_list("w_norm").alias("w_list"),
-            F.first("degree").alias("degree"),
-            F.first("w_out").alias("w_out"),
+    grouped = e.groupBy("src", "salt").agg(
+        F.collect_list("dst").alias("dst_list"),
+        F.collect_list("w_norm").alias("w_list"),
+        F.first("degree").alias("degree"),
+        F.first("w_out").alias("w_out"),
+    )
+    if dangling_sink:
+        sink_rows = (
+            g.vertices.select(F.col("id").alias("src"))
+            .join(wout.select("src"), "src", "left_anti")
+            .select(
+                "src",
+                F.lit(0).cast("int").alias("salt"),
+                F.array(F.lit(-1).cast("long")).alias("dst_list"),
+                F.array(F.lit(1.0)).alias("w_list"),
+                F.lit(0).cast("long").alias("degree"),
+                F.lit(0.0).alias("w_out"),
+            )
         )
-        .withColumn("bucket", F.pmod(F.hash("src"), F.lit(n_buckets)))
+        grouped = grouped.unionByName(sink_rows)
+    shards = (
+        grouped.withColumn("bucket", F.pmod(F.hash("src"), F.lit(n_buckets)))
         .repartition(n_buckets, "src", "salt")
         .cache()
     )
@@ -141,4 +166,10 @@ def build_adj_shards(
         .select("src", F.ceil(F.col("degree") / F.lit(salt_cap)).cast("int").alias("n_salt"))
         .cache()
     )
-    return AdjShards(shards=shards, salt_map=salt_map, wout=wout, salt_cap=salt_cap)
+    return AdjShards(
+        shards=shards,
+        salt_map=salt_map,
+        wout=wout,
+        salt_cap=salt_cap,
+        dangling_sink=dangling_sink,
+    )

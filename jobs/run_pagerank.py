@@ -82,7 +82,11 @@ def main() -> None:
             },
         )
 
-    adj = None if a.no_shards else build_adj_shards(g, salt_cap=a.salt_cap)
+    adj = (
+        None
+        if a.no_shards
+        else build_adj_shards(g, salt_cap=a.salt_cap, dangling_sink=True)
+    )
     t0 = time.time()
     pr = pagerank(
         g,
