@@ -742,6 +742,92 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: MinHash-LSH candidate pairs → hash-min
+    connected components → (id, group_id, keep)."""
+    from graphina_spark.operators.dedup import minhash_lsh_pairs, neardup_groups
+
+    docs = _docs(spark, sf_dir)
+    return neardup_groups(docs, minhash_lsh_pairs(docs, threshold=0.2))
+
+
+KCORE_K = 5
+KCORE_ROUNDS = 8
+CORENESS_ROUNDS = 14  # converges in 12 at sf0.01; fixed on both sides
+
+
+def _q_kcore_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.kcore import k_core
+
+    return k_core(_web(spark, sf_dir), k=KCORE_K, fixed_rounds=KCORE_ROUNDS)
+
+
+def _q_coreness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.kcore import core_number
+
+    return core_number(_web(spark, sf_dir), fixed_rounds=CORENESS_ROUNDS)
+
+
+HITS_ITERS = 5
+WALK_LEN = 3
+WALKS_PER_NODE = 2
+
+
+def _q_walks_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.walks import random_walks
+
+    return random_walks(
+        _web(spark, sf_dir), length=WALK_LEN, walks_per_node=WALKS_PER_NODE
+    )
+
+
+def _q_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.hits import hits
+
+    df = hits(_web(spark, sf_dir), fixed_iters=HITS_ITERS)
+    return df.select(
+        "id",
+        F.round("hub", ROUND).alias("hub"),
+        F.round("authority", ROUND).alias("authority"),
+    )
+
+
+CONTRACT_MOD = 50
+
+
+def _q_contract_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.coarsen import contract_vertices
+
+    g = _web(spark, sf_dir)
+    mapping = g.vertices.select(
+        "id", (F.col("id") % CONTRACT_MOD).alias("group")
+    )
+    q = contract_vertices(g, mapping)
+    return q.edges.select(
+        "src", "dst", F.round("weight", ROUND).alias("weight")
+    )
+
+
+def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import deterministic_split
+
+    return deterministic_split(_docs(spark, sf_dir))
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import corpus_stats
+
+    df = corpus_stats(_docs(spark, sf_dir))
+    return df.select(
+        "split",
+        "n_docs",
+        "total_tokens",
+        F.round("avg_tokens", ROUND).alias("avg_tokens"),
+        F.round("median_tokens", ROUND).alias("median_tokens"),
+        F.round("avg_quality", ROUND).alias("avg_quality"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": _q_pagerank_web,
@@ -808,6 +894,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "neardup_groups": _q_neardup_groups,
+        "kcore_web": _q_kcore_web,
+        "hits_web": _q_hits_web,
+        "walks_web": _q_walks_web,
+        "contract_web": _q_contract_web,
+        "coreness_web": _q_coreness_web,
+        "doc_split": _q_doc_split,
+        "corpus_stats": _q_corpus_stats,
     }
 
 
@@ -887,6 +981,13 @@ def oracle_sql() -> dict[str, str]:
         "connectivity_theta": O.connectivity_theta_sql(),
         "edge_list_roundtrip": O.edge_list_roundtrip_sql(),
         "generators": O.generators_sql(n=60),
+        "kcore_web": O.kcore_web_sql(k=KCORE_K, rounds=KCORE_ROUNDS),
+        "hits_web": O.hits_web_sql(iters=HITS_ITERS),
+        "walks_web": O.walks_web_sql(
+            length=WALK_LEN, walks_per_node=WALKS_PER_NODE
+        ),
+        "contract_web": O.contract_web_sql(mod=CONTRACT_MOD),
+        "coreness_web": O.coreness_web_sql(rounds=CORENESS_ROUNDS),
         **_text_oracles(),
     }
 
@@ -906,4 +1007,7 @@ def _text_oracles() -> dict[str, str]:
         "embedding_neardup": T.embedding_neardup_sql(
             threshold=0.4, planes=6, tables=2, max_bucket=4096
         ),
+        "neardup_groups": T.neardup_groups_sql(threshold=0.2),
+        "doc_split": T.doc_split_sql(),
+        "corpus_stats": T.corpus_stats_sql(),
     }

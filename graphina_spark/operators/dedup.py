@@ -184,6 +184,41 @@ def minhash_lsh_pairs(
     return verified
 
 
+def neardup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, group_id, keep) — the end-to-end dedup decision.
+
+    ``pairs`` is any near-duplicate candidate-pair frame ``(a, b, ...)``
+    (:func:`minhash_lsh_pairs`, :func:`ngram_jaccard_pairs`, or the embedding
+    variant).  Near-duplication is not transitive, but dedup policy treats it
+    as such: documents connected through any chain of near-dup pairs form one
+    group, the minimum id is the canonical representative (``keep``), the
+    rest are dropped.  This is the hash-min connected-components kernel over
+    the pair graph (operators/components.py) — O(log d) label-exchange
+    supersteps, one shuffle each — so it scales exactly like WCC: the pair
+    graph is tiny relative to the corpus (only near-dup docs appear), and
+    every document absent from ``pairs`` is its own singleton group.
+    """
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.components import connected_components
+
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = pairs.select(
+        F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst")
+    )
+    g = LinkGraph.from_edges(edges, directed=False, vertices=ids)
+    comp = connected_components(g, max_iter=max_iter)
+    return comp.select(
+        "id",
+        F.col("component").alias("group_id"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
 def simhash_sketches(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1,0 +1,111 @@
+"""Deterministic corpus sampling / splitting and corpus-level statistics.
+
+Training-data pipelines need train/valid/test splits that are (a) stable
+across reruns and cluster sizes, (b) independent of row order and partition
+count, and (c) reproducible by any engine reading the same table.  Random
+splits (``df.randomSplit``) violate all three.  The portable answer is
+content hashing: bucket = first 8 hex chars of md5(salt ‖ id); a document's
+split is a pure function of its id.
+
+The md5-hex prefix is uniform over 16^8 buckets, and because both Spark and
+DuckDB emit lowercase hex, the threshold comparison is a plain string
+compare — the DuckDB oracle mirrors the expression byte-for-byte (no engine
+hash functions, which never match across engines).
+
+Scale: one scan, no shuffle (the split column is a row-local expression
+pushed into whole-stage codegen); a groupBy on the split adds one partial-agg
+shuffle.  No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.functions.textstats import quality_score, token_count
+
+_HEX_SPACE = 16**8
+
+
+def _hex_threshold(frac: float) -> str:
+    """Cumulative fraction → zero-padded 8-char lowercase hex threshold."""
+    return format(min(_HEX_SPACE, int(frac * _HEX_SPACE)), "08x")
+
+
+def split_bucket(id_col: Column, salt: str = "split") -> Column:
+    """First 8 hex chars of md5('<salt>:' ‖ id-as-string)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 8
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """(id, split) — hash-stratified assignment, e.g. 80/10/10.
+
+    ``weights`` maps split name → fraction (must sum to ~1; the last split
+    absorbs rounding).  Assignment depends only on (salt, id): adding or
+    removing other rows never moves a document between splits — the property
+    that keeps eval sets uncontaminated across corpus versions.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    names = list(weights)
+    bucket = split_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(names[-1])
+    return df.select(F.col(id_col).alias("id"), expr.alias("split"))
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """[(name, cumulative-hex-threshold)] for all but the last split — the
+    exact constants the SQL oracle embeds."""
+    names = list(weights)
+    out, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        out.append((name, _hex_threshold(cum)))
+    return out
+
+
+def corpus_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """(split, n_docs, total_tokens, avg_tokens, median_tokens, avg_quality)
+    — per-split corpus health counters over the deterministic split.
+
+    Token counts are exact integers (sums are order-independent); the two
+    float columns (mean quality, interpolated median) are rounded by the
+    caller's gate.  One shuffle (the groupBy)."""
+    splits = deterministic_split(df, id_col=id_col, weights=weights, salt=salt)
+    stats = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    return (
+        splits.join(stats, "id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("n_tokens").alias("avg_tokens"),
+            F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+            F.avg("quality").alias("avg_quality"),
+        )
+    )

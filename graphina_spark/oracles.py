@@ -1494,3 +1494,153 @@ def pagerank_events_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     from graphina_spark.sources.derived import EVENTS_EDGES_CTE
 
     return pagerank_web_sql(iters=iters, d=d, edges_cte=EVENTS_EDGES_CTE)
+
+
+def _kcore_base_ctes() -> list[str]:
+    # MATERIALIZED throughout: DuckDB inlines plain CTEs, and each round
+    # references the previous one twice -> exponential expansion otherwise
+    return [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "ce AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM ce"
+        " UNION ALL SELECT b AS u, a AS v FROM ce)",
+    ]
+
+
+def kcore_web_sql(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled synchronous k-core peeling (operators/kcore.py::k_core with
+    fixed_rounds=rounds): each round keeps vertices with >= k surviving
+    neighbors."""
+    ctes = _kcore_base_ctes() + ["a0 AS (SELECT id FROM v)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT s.u AS id, count(*) AS c FROM sym s"
+            f" JOIN a{r - 1} x ON s.u = x.id"
+            f" JOIN a{r - 1} y ON s.v = y.id GROUP BY s.u)"
+        )
+        ctes.append(f"a{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE c >= {k})")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds}"
+
+
+def coreness_web_sql(rounds: int = 12) -> str:
+    """Unrolled h-index coreness iteration (operators/kcore.py::core_number
+    with fixed_rounds=rounds, Montresor et al. TPDS 2013): c0 = degree,
+    c_r(v) = min(c_{r-1}(v), H({c_{r-1}(u) : u in N(v)}))."""
+    ctes = _kcore_base_ctes() + [
+        "deg AS (SELECT u AS id, count(*) AS c FROM sym GROUP BY u)",
+        "c0 AS MATERIALIZED (SELECT v.id, CAST(coalesce(deg.c, 0) AS BIGINT) AS c"
+        " FROM v LEFT JOIN deg ON v.id = deg.id)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"h{r} AS MATERIALIZED (SELECT u AS id, max(CASE WHEN cv >= rn THEN rn ELSE 0 END) AS h"
+            f" FROM (SELECT s.u, p.c AS cv, row_number() OVER"
+            f" (PARTITION BY s.u ORDER BY p.c DESC, s.v) AS rn"
+            f" FROM sym s JOIN c{r - 1} p ON s.v = p.id) GROUP BY u)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT p.id, CAST(least(p.c, coalesce(h{r}.h, 0)) AS BIGINT) AS c"
+            f" FROM c{r - 1} p LEFT JOIN h{r} ON p.id = h{r}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, c AS core FROM c{rounds}"
+    )
+
+
+def hits_web_sql(iters: int = 5) -> str:
+    """Unrolled HITS (operators/hits.py with fixed_iters=iters): per round
+    a = L2norm(A^T h), h = L2norm(A a); init h = 1/sqrt(n)."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "verts AS MATERIALIZED (SELECT id FROM v)",
+        "nn2 AS (SELECT count(*) AS n FROM verts)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 / sqrt(n) AS h FROM verts, nn2)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k - 1}"
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT vv.id,"
+            f" coalesce(s.s, 0.0) AS a FROM verts vv LEFT JOIN"
+            f" (SELECT e.dst AS id, sum(p.h * e.weight) AS s"
+            f" FROM edges e JOIN {p} p ON e.src = p.id GROUP BY e.dst) s"
+            f" ON vv.id = s.id)"
+        )
+        ctes.append(
+            f"an{k} AS (SELECT CASE WHEN sqrt(sum(a * a)) > 0 THEN sqrt(sum(a * a)) ELSE 1.0 END AS nrm FROM ar{k})"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT id, a / nrm AS a FROM ar{k}, an{k})"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT vv.id,"
+            f" coalesce(s.s, 0.0) AS h FROM verts vv LEFT JOIN"
+            f" (SELECT e.src AS id, sum(p.a * e.weight) AS s"
+            f" FROM edges e JOIN a{k} p ON e.dst = p.id GROUP BY e.src) s"
+            f" ON vv.id = s.id)"
+        )
+        ctes.append(
+            f"hn{k} AS (SELECT CASE WHEN sqrt(sum(h * h)) > 0 THEN sqrt(sum(h * h)) ELSE 1.0 END AS nrm FROM hr{k})"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT id, h / nrm AS h FROM hr{k}, hn{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.id, round(h.h, {ROUND}) AS hub,"
+        f" round(a.a, {ROUND}) AS authority"
+        f" FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
+def _walk_hash_sql(walk: str, step: int, cur: str) -> str:
+    """Portable H(walk, step, cur) — mirrors operators/walks.py::_hop_hash
+    (PRI_A1/PRI_A2/PRI_B affine fold + two quadratic scrambles mod 2^31-1)."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    m1 = f"((({walk}) + 1) * {PRI_A1} + {step * PRI_A2} + (({cur}) + 1) * {PRI_B}) % {ANF_P}"
+    return (
+        f"((({m1}) * ({m1}) + {PRI_A1}) % {ANF_P}"
+        f" * ((({m1}) * ({m1}) + {PRI_A1}) % {ANF_P})"
+        f" + {PRI_A2}) % {ANF_P}"
+    )
+
+
+def walks_web_sql(length: int = 3, walks_per_node: int = 2) -> str:
+    """Unrolled deterministic random walks (operators/walks.py) over the
+    directed web graph: pos-indexed adjacency + hash-chosen next hop."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "adj AS MATERIALIZED (SELECT src,"
+        " row_number() OVER (PARTITION BY src ORDER BY dst) AS pos, dst,"
+        " count(*) OVER (PARTITION BY src) AS deg FROM eu)",
+        "degs AS MATERIALIZED (SELECT DISTINCT src, deg FROM adj)",
+        f"f0 AS MATERIALIZED (SELECT id * {walks_per_node} + j.j AS walk,"
+        f" id AS cur FROM v, (SELECT unnest(range({walks_per_node})) AS j) j)",
+    ]
+    selects = ["SELECT walk, CAST(0 AS INTEGER) AS step, cur AS id FROM f0"]
+    for t in range(1, length + 1):
+        h = _walk_hash_sql("f.walk", t, "f.cur")
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT f.walk, a.dst AS cur"
+            f" FROM f{t - 1} f JOIN degs d ON f.cur = d.src"
+            f" JOIN adj a ON a.src = f.cur"
+            f" AND a.pos = ({h}) % d.deg + 1)"
+        )
+        selects.append(
+            f"SELECT walk, CAST({t} AS INTEGER) AS step, cur AS id FROM f{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def contract_web_sql(mod: int = 50) -> str:
+    """Quotient graph under id % mod (operators/coarsen.py::contract_vertices):
+    edge weights summed per (group(src), group(dst)), self-loops kept."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ mp AS (SELECT id, id % {mod} AS grp FROM v),
+ q AS (SELECT ms.grp AS s, md.grp AS d, sum(e.weight) AS w
+       FROM edges e JOIN mp ms ON e.src = ms.id JOIN mp md ON e.dst = md.id
+       GROUP BY ms.grp, md.grp)
+SELECT s AS src, d AS dst, round(w, {ROUND}) AS weight FROM q"""

@@ -324,3 +324,73 @@ def ivf_topk_sql(kk: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
    FROM scored WHERE cosine IS NOT NULL)
 SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {kk}"""
+
+
+def neardup_groups_sql(threshold: float = 0.2) -> str:
+    """Transitive closure over the minhash_lsh candidate pairs: group_id =
+    min doc reachable through any near-dup chain (mirrors
+    operators/dedup.py::neardup_groups over minhash_lsh_pairs)."""
+    pairs = minhash_lsh_sql(threshold=threshold)
+    return f"""WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a, b FROM ({pairs}) q),
+ sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+ closure(u, v) AS (
+   SELECT u, v FROM sym
+   UNION
+   SELECT c.u, s.v FROM closure c JOIN sym s ON c.v = s.u)
+SELECT d.doc_id AS id,
+       least(d.doc_id, coalesce(min(c.v), d.doc_id)) AS group_id,
+       least(d.doc_id, coalesce(min(c.v), d.doc_id)) = d.doc_id AS keep
+FROM documents d LEFT JOIN closure c ON c.u = d.doc_id
+GROUP BY d.doc_id"""
+
+
+def _split_case(weights: dict[str, float] | None, salt: str) -> str:
+    from graphina_spark.operators.sampling import split_thresholds
+
+    if weights is None:
+        weights = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    bucket = f"substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    whens = " ".join(
+        f"WHEN {bucket} < '{t}' THEN '{n}'" for n, t in split_thresholds(weights)
+    )
+    last = list(weights)[-1]
+    return f"CASE {whens} ELSE '{last}' END"
+
+
+def doc_split_sql(weights: dict[str, float] | None = None, salt: str = "split") -> str:
+    """Mirror of operators/sampling.py::deterministic_split — identical md5
+    bucket expression and cumulative hex thresholds."""
+    return (
+        f"SELECT doc_id AS id, {_split_case(weights, salt)} AS split FROM documents"
+    )
+
+
+def corpus_stats_sql(
+    weights: dict[str, float] | None = None, salt: str = "split"
+) -> str:
+    """Per-split corpus stats (mirror of operators/sampling.py::corpus_stats):
+    exact integer token sums, rounded float means, interpolated median."""
+    all_stop = "[" + ", ".join(
+        f"'{w}'" for lang in LANG_ORDER for w in STOPWORDS[lang]
+    ) + "]"
+    return f"""WITH {_TOK},
+ st AS (
+   SELECT d.doc_id, len(t.t) AS n_tokens,
+          least(1.0, len(t.t) / 100.0)
+            * (1.0 - least(1.0, 4.0 * (length(d.text)
+                 - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / (length(d.text) + 1)))
+            * (0.2 + 0.8 * least(1.0,
+                 2.0 * len(list_filter(t.t, x -> list_contains({all_stop}, x)))
+                 / (len(t.t) + 1))) AS quality
+   FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+ sp AS (SELECT doc_id, {_split_case(weights, salt)} AS split FROM documents)
+SELECT sp.split,
+       count(*) AS n_docs,
+       CAST(sum(st.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(st.n_tokens), {ROUND}) AS avg_tokens,
+       round(quantile_cont(st.n_tokens, 0.5), {ROUND}) AS median_tokens,
+       round(avg(st.quality), {ROUND}) AS avg_quality
+FROM sp JOIN st ON sp.doc_id = st.doc_id
+GROUP BY sp.split"""

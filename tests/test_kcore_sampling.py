@@ -1,0 +1,149 @@
+"""k-core / coreness, near-dup grouping, and deterministic sampling tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_graph
+
+
+def _brute_core_numbers(n, edges):
+    """Sequential peeling reference: exact coreness per vertex."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {v: len(adj[v]) for v in range(n)}
+    core = dict(deg)
+    alive = set(range(n))
+    k = 0
+    while alive:
+        k += 1
+        while True:
+            peel = [v for v in alive if deg[v] < k]
+            if not peel:
+                break
+            for v in peel:
+                core[v] = k - 1
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+        for v in alive:
+            core[v] = k
+    return core
+
+
+# clique {0..3} (core 3), triangle {4,5,6} glued to the clique via 4-0
+# (core 2), a tail 7-8 (core 1), and an isolated vertex 9 (core 0)
+_EDGES = [
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (4, 5), (5, 6), (4, 6), (4, 0),
+    (7, 8), (7, 0),
+]
+
+
+def test_core_number_matches_bruteforce(spark):
+    from graphina_spark.operators.kcore import core_number
+
+    g = make_graph(spark, _EDGES, n=10, directed=False)
+    got = {r["id"]: r["core"] for r in core_number(g).collect()}
+    assert got == _brute_core_numbers(10, _EDGES)
+
+
+def test_k_core_membership(spark):
+    from graphina_spark.operators.kcore import k_core
+
+    g = make_graph(spark, _EDGES, n=10, directed=False)
+    core3 = sorted(r["id"] for r in k_core(g, 3).collect())
+    assert core3 == [0, 1, 2, 3]
+    core2 = sorted(r["id"] for r in k_core(g, 2).collect())
+    assert core2 == [0, 1, 2, 3, 4, 5, 6]
+    core0 = sorted(r["id"] for r in k_core(g, 0).collect())
+    assert core0 == list(range(10))
+
+
+def test_k_core_fixed_rounds_reaches_fixpoint(spark):
+    from graphina_spark.operators.kcore import k_core
+
+    g = make_graph(spark, _EDGES, n=10, directed=False)
+    fix = sorted(r["id"] for r in k_core(g, 2).collect())
+    fr = sorted(r["id"] for r in k_core(g, 2, fixed_rounds=8).collect())
+    assert fix == fr
+
+
+def test_core_number_directed_uses_undirected_projection(spark):
+    from graphina_spark.operators.kcore import core_number
+
+    # same edges as a directed graph: coreness is defined on the simple
+    # undirected projection, so results must be identical
+    g = make_graph(spark, _EDGES, n=10, directed=True)
+    got = {r["id"]: r["core"] for r in core_number(g).collect()}
+    assert got == _brute_core_numbers(10, _EDGES)
+
+
+def _docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog once more today"),
+        (3, "completely unrelated text about spark dataframes and shuffles"),
+        (4, "another unrelated document concerning parquet column pruning"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_groups_transitive_and_singletons(spark):
+    from graphina_spark.operators.dedup import neardup_groups
+
+    docs = _docs_df(spark)
+    # hand-built pair frame: 0-1 (exact dup) and 1-2 (near dup) chain
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    got = {r["id"]: (r["group_id"], r["keep"]) for r in
+           neardup_groups(docs, pairs).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)  # transitive through 1
+    assert got[3] == (3, True)   # singleton
+    assert got[4] == (4, True)
+
+
+def test_deterministic_split_is_stable_and_row_order_free(spark):
+    from graphina_spark.operators.sampling import deterministic_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["id"]: r["split"] for r in deterministic_split(docs).collect()}
+    # a subset must get the identical assignment (no dependence on the
+    # rest of the corpus, row order, or partitioning)
+    sub = docs.where(F.col("doc_id") % 3 == 0).repartition(7)
+    b = {r["id"]: r["split"] for r in deterministic_split(sub).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    # fractions approximately honored
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["valid"] / 2000 < 0.14
+    assert 0.06 < c["test"] / 2000 < 0.14
+
+
+def test_deterministic_split_requires_two_splits(spark):
+    from graphina_spark.operators.sampling import deterministic_split
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_split(docs, weights={"all": 1.0})
+
+
+def test_corpus_stats_token_sums(spark):
+    from graphina_spark.operators.sampling import corpus_stats
+
+    docs = _docs_df(spark)
+    rows = corpus_stats(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == 5
+    # token counts per doc: 12 + 12 + 12 + 8 + 7
+    assert sum(r["total_tokens"] for r in rows) == 51
+    for r in rows:
+        assert 0.0 <= r["avg_quality"] <= 1.0
