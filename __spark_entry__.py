@@ -793,6 +793,14 @@ def _q_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTRACT_MOD = 50
+TRUSS_K = 3
+TRUSS_ROUNDS = 3  # converges in 1 at sf0.01; fixed on both sides
+
+
+def _q_ktruss_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.truss import k_truss
+
+    return k_truss(_web(spark, sf_dir), k=TRUSS_K, fixed_rounds=TRUSS_ROUNDS)
 
 
 def _q_contract_web(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_web": _q_hits_web,
         "walks_web": _q_walks_web,
         "contract_web": _q_contract_web,
+        "ktruss_web": _q_ktruss_web,
         "coreness_web": _q_coreness_web,
         "doc_split": _q_doc_split,
         "corpus_stats": _q_corpus_stats,
@@ -987,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
             length=WALK_LEN, walks_per_node=WALKS_PER_NODE
         ),
         "contract_web": O.contract_web_sql(mod=CONTRACT_MOD),
+        "ktruss_web": O.ktruss_web_sql(k=TRUSS_K, rounds=TRUSS_ROUNDS),
         "coreness_web": O.coreness_web_sql(rounds=CORENESS_ROUNDS),
         **_text_oracles(),
     }

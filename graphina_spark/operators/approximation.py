@@ -90,23 +90,77 @@ def _undirected_adj(g: LinkGraph) -> DataFrame:
     )
 
 
+def _vertex_pri(v: int, r: int) -> int:
+    """Python twin of _priority for the MIS local tail finish."""
+    h1 = ((v + 1) * PRI_A1 + (r * PRI_A2 + PRI_B)) % ANF_P
+    h2 = (h1 * h1 + PRI_A1) % ANF_P
+    h3 = (h2 * h2 + PRI_A2) % ANF_P
+    return h3 * 2_147_483_648 + v
+
+
+def _simulate_mis(active: set, adj: dict, r: int) -> list:
+    """Synchronous Luby rounds on the driver — same priorities and winner
+    rule as the distributed loop, so the hybrid output is identical."""
+    mis = []
+    while active:
+        pri = {v: _vertex_pri(v, r) for v in active}
+        winners = [
+            v for v in active
+            if all(pri[v] < pri[u] for u in adj.get(v, ()) if u in active)
+        ]
+        mis.extend(winners)
+        killed = set(winners)
+        for v in winners:
+            killed.update(u for u in adj.get(v, ()) if u in active)
+        active -= killed
+        r += 1
+    return mis
+
+
+#: below this many active vertices the MIS fixpoint finishes on the driver
+LOCAL_FINISH_VERTICES = 5_000
+
+
 def maximal_independent_set(
-    g: LinkGraph, rounds: int | None = None
+    g: LinkGraph,
+    rounds: int | None = None,
+    local_finish: int = LOCAL_FINISH_VERTICES,
 ) -> DataFrame:
     """(id) rows of a maximal independent set (Luby).  ``rounds=None`` runs
     until no active vertex remains; a fixed ``rounds`` executes exactly that
     many rounds (oracle mode — the result is independent-but-possibly-not-
-    maximal if under-provisioned)."""
+    maximal if under-provisioned).
+
+    Fixpoint mode hands the tail to a driver-local replay of the identical
+    rule below ``local_finish`` active vertices (0 disables); output is
+    bit-identical to the pure-distributed run, pinned by tests."""
     adj = _undirected_adj(g).cache()
     active = g.vertices.select("id").transform(_mat)
     spark = active.sparkSession
-    mis = spark.createDataFrame([], "id long")
+    mis_rounds: list = []
     r = 0
     while rounds is None or r < rounds:
-        if rounds is None and active.isEmpty():
-            break
         if rounds is not None and r >= rounds:
             break
+        if rounds is None:
+            n_active = active.count()
+            if n_active == 0:
+                break
+            if n_active <= local_finish:
+                act = {row["id"] for row in active.collect()}
+                nbrs: dict = {}
+                for row in (
+                    adj.join(active.withColumnRenamed("id", "src"), "src")
+                    .join(active.withColumnRenamed("id", "dst"), "dst")
+                    .collect()
+                ):
+                    nbrs.setdefault(row["src"], set()).add(row["dst"])
+                local = _simulate_mis(act, nbrs, r)
+                if local:
+                    mis_rounds.append(
+                        spark.createDataFrame([(v,) for v in local], "id long")
+                    )
+                break
         pri = active.select("id", _priority(F.col("id"), r).alias("pri"))
         nbr_min = (
             adj.join(pri.withColumnRenamed("id", "dst"), "dst")
@@ -120,7 +174,9 @@ def maximal_independent_set(
             .select("id")
             .transform(_mat)
         )
-        mis = mis.unionAll(winners).transform(_mat)
+        # winners is already materialized; accumulate frames and union once
+        # at the end instead of re-checkpointing the growing set every round
+        mis_rounds.append(winners)
         killed = (
             adj.join(winners.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
@@ -129,16 +185,68 @@ def maximal_independent_set(
         )
         active = active.join(killed, "id", "left_anti").transform(_mat)
         r += 1
-        if rounds is None and active.isEmpty():
-            break
     adj.unpersist()
+    mis = spark.createDataFrame([], "id long")
+    for w_df in mis_rounds:
+        mis = mis.unionAll(w_df)
     return mis
 
 
-def maximal_matching(g: LinkGraph, rounds: int | None = None) -> DataFrame:
+def _matching_pri(src: int, dst: int, r: int) -> int:
+    """Python twin of the edge priority (fold + _priority) — used by the
+    local tail finish, bit-identical to the distributed expression."""
+    folded = (src * 1_000_000_007 + dst) % ANF_P
+    h1 = ((folded + 1) * PRI_A1 + (r * PRI_A2 + PRI_B)) % ANF_P
+    h2 = (h1 * h1 + PRI_A1) % ANF_P
+    h3 = (h2 * h2 + PRI_A2) % ANF_P
+    return h3 * 2_147_483_648 + folded
+
+
+def _simulate_matching(edges: list, r: int) -> list:
+    """Synchronous Israeli-Itai rounds on the driver — the exact rule the
+    distributed loop applies (same priorities, same (pri, src, dst)
+    tie-break), so the hybrid result is identical to the pure-distributed
+    trajectory."""
+    active = list(edges)
+    matched = []
+    while active:
+        best: dict = {}
+        for s, d in active:
+            key = (_matching_pri(s, d, r), s, d)
+            for v in (s, d):
+                if v not in best or key < best[v]:
+                    best[v] = key
+        winners = [(s, d) for s, d in active
+                   if best[s][1:] == (s, d) and best[d][1:] == (s, d)]
+        if not winners:
+            r += 1
+            continue
+        hit = {v for e in winners for v in e}
+        matched.extend(winners)
+        active = [e for e in active if e[0] not in hit and e[1] not in hit]
+        r += 1
+    return matched
+
+
+#: below this many active edges the fixpoint loop finishes on the driver —
+#: the tail rounds are each a handful of Spark jobs over a few hundred rows,
+#: all fixed overhead (same thresholded-local-finish precedent as the
+#: Borůvka merge in operators/mst.py).  5k edges is driver-trivial at any
+#: scale while leaving the bulk rounds genuinely distributed
+LOCAL_FINISH_EDGES = 5_000
+
+
+def maximal_matching(
+    g: LinkGraph, rounds: int | None = None, local_finish: int = LOCAL_FINISH_EDGES
+) -> DataFrame:
     """(src, dst) rows of a maximal matching: per round an edge is matched
     iff its priority is the minimum among active edges at both endpoints
-    (Israeli-Itai / Luby-on-line-graph)."""
+    (Israeli-Itai / Luby-on-line-graph).
+
+    In fixpoint mode (``rounds=None``) the loop hands the active set to a
+    driver-local replay of the identical rule once it shrinks below
+    ``local_finish`` edges (0 disables) — output is bit-identical to the
+    pure-distributed run, pinned by tests."""
     canon = (
         g.edges.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
@@ -148,39 +256,52 @@ def maximal_matching(g: LinkGraph, rounds: int | None = None) -> DataFrame:
     )
     active = canon.transform(_mat)
     spark = active.sparkSession
-    matched = spark.createDataFrame([], "src long, dst long")
+    matched_rounds: list = []
     r = 0
     while True:
         if rounds is not None and r >= rounds:
             break
-        if rounds is None and active.isEmpty():
-            break
+        if rounds is None:
+            n_active = active.count()
+            if n_active == 0:
+                break
+            if n_active <= local_finish:
+                local = _simulate_matching(
+                    [(row["src"], row["dst"]) for row in active.collect()], r
+                )
+                if local:
+                    matched_rounds.append(
+                        spark.createDataFrame(local, "src long, dst long")
+                    )
+                break
         # edge priority: fold the undirected pair mod P first so no
         # intermediate exceeds 62 bits (DuckDB BIGINT arithmetic is checked).
         # The fold can collide, so the winner rule is NOT raw min-priority:
         # an edge wins when it ranks FIRST at both endpoints under the total
         # order (pri, src, dst) — collision-proof and engine-portable.
-        from pyspark.sql import Window
-
+        # Physical shape: per-endpoint argmin as min(struct(pri, src, dst))
+        # — a map-side-combinable aggregation (one partial+final hash agg)
+        # instead of a window row_number, which would full-sort every
+        # endpoint partition per round.  The argmin struct carries the
+        # winning edge itself, so "first at BOTH endpoints" is a second tiny
+        # count-2 aggregation over |V| argmin rows — no join back to edges.
         folded = (F.col("src") * F.lit(1_000_000_007) + F.col("dst")) % F.lit(ANF_P)
-        pri = active.select("src", "dst", _priority(folded, r).alias("pri"))
-        byv = pri.select(F.col("src").alias("v"), "pri", "src", "dst").unionAll(
-            pri.select(F.col("dst").alias("v"), "pri", "src", "dst")
+        pri = active.select(
+            "src", "dst", F.struct(_priority(folded, r).alias("pri"), "src", "dst").alias("key")
         )
-        w = Window.partitionBy("v").orderBy("pri", "src", "dst")
-        best = (
-            byv.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("src", "dst")
+        byv = pri.select(F.col("src").alias("v"), "key").unionAll(
+            pri.select(F.col("dst").alias("v"), "key")
         )
+        bestv = byv.groupBy("v").agg(F.min("key").alias("m"))
         winners = (
-            best.groupBy("src", "dst")
+            bestv.select(F.col("m.src").alias("src"), F.col("m.dst").alias("dst"))
+            .groupBy("src", "dst")
             .agg(F.count("*").alias("c"))
             .where(F.col("c") == 2)
             .select("src", "dst")
             .transform(_mat)
         )
-        matched = matched.unionAll(winners).transform(_mat)
+        matched_rounds.append(winners)
         mv = (
             winners.select(F.col("src").alias("v"))
             .unionAll(winners.select(F.col("dst").alias("v")))
@@ -193,6 +314,9 @@ def maximal_matching(g: LinkGraph, rounds: int | None = None) -> DataFrame:
             .transform(_mat)
         )
         r += 1
+    matched = spark.createDataFrame([], "src long, dst long")
+    for w_df in matched_rounds:
+        matched = matched.unionAll(w_df)
     return matched
 
 

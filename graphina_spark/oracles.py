@@ -1644,3 +1644,51 @@ def contract_web_sql(mod: int = 50) -> str:
        FROM edges e JOIN mp ms ON e.src = ms.id JOIN mp md ON e.dst = md.id
        GROUP BY ms.grp, md.grp)
 SELECT s AS src, d AS dst, round(w, {ROUND}) AS weight FROM q"""
+
+
+def ktruss_web_sql(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled k-truss peeling (operators/truss.py::k_truss with
+    fixed_rounds=rounds): per round, edge support = #triangles through the
+    edge under degree-ordered orientation; keep support >= k-2.
+
+    k must be >= 3: the final inner join drops zero-support edges, which
+    matches the Spark filter only when k-2 >= 1 (the k=2 truss is the whole
+    simple graph and needs no oracle)."""
+    if k < 3:
+        raise ValueError("k must be >= 3")
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM edges WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        p, c = f"t{r - 1}", f"t{r}"
+        ctes.append(
+            f"dg{r} AS MATERIALIZED (SELECT id, count(*) AS d FROM ("
+            f"SELECT src AS id FROM {p} UNION ALL SELECT dst FROM {p}) GROUP BY id)"
+        )
+        ctes.append(
+            f"fw{r} AS MATERIALIZED (SELECT CASE WHEN (a.d < b.d)"
+            f" OR (a.d = b.d AND e.src < e.dst) THEN e.src ELSE e.dst END AS lo,"
+            f" CASE WHEN (a.d < b.d) OR (a.d = b.d AND e.src < e.dst)"
+            f" THEN e.dst ELSE e.src END AS hi"
+            f" FROM {p} e JOIN dg{r} a ON e.src = a.id JOIN dg{r} b ON e.dst = b.id)"
+        )
+        ctes.append(
+            f"tr{r} AS MATERIALIZED (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c"
+            f" FROM fw{r} e1 JOIN fw{r} e2 ON e1.hi = e2.lo"
+            f" JOIN fw{r} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)"
+        )
+        ctes.append(
+            f"sp{r} AS MATERIALIZED (SELECT src, dst, count(*) AS s FROM ("
+            f"SELECT least(a, b) AS src, greatest(a, b) AS dst FROM tr{r}"
+            f" UNION ALL SELECT least(b, c), greatest(b, c) FROM tr{r}"
+            f" UNION ALL SELECT least(a, c), greatest(a, c) FROM tr{r}"
+            f") GROUP BY src, dst)"
+        )
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT e.src, e.dst FROM {p} e"
+            f" JOIN sp{r} s ON e.src = s.src AND e.dst = s.dst"
+            f" WHERE s.s >= {k - 2})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM t{rounds}"

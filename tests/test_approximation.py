@@ -170,3 +170,25 @@ def test_clique_removal_peels_blocks(spark):
     assert by_round[0] == set(range(5))
     assert by_round[1] == set(range(5, 10))
     assert by_round[2] == {10, 11, 12}
+
+
+def test_matching_local_finish_identical_to_distributed(spark, sf_dir):
+    from graphina_spark.operators.approximation import maximal_matching
+    from graphina_spark.sources.derived import web_graph
+
+    g = web_graph(spark, sf_dir)
+    hybrid = sorted(map(tuple, maximal_matching(g).collect()))
+    pure = sorted(map(tuple, maximal_matching(g, local_finish=0).collect()))
+    assert hybrid == pure
+
+
+def test_mis_local_finish_identical_to_distributed(spark, sf_dir):
+    from graphina_spark.operators.approximation import maximal_independent_set
+    from graphina_spark.sources.derived import web_graph
+
+    g = web_graph(spark, sf_dir)
+    hybrid = sorted(r["id"] for r in maximal_independent_set(g).collect())
+    pure = sorted(
+        r["id"] for r in maximal_independent_set(g, local_finish=0).collect()
+    )
+    assert hybrid == pure

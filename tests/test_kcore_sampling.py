@@ -147,3 +147,26 @@ def test_corpus_stats_token_sums(spark):
     assert sum(r["total_tokens"] for r in rows) == 51
     for r in rows:
         assert 0.0 <= r["avg_quality"] <= 1.0
+
+
+# --- hypothesis: coreness on random small graphs ---------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=14
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_lists)
+def test_core_number_random_graphs_match_bruteforce(spark, edges):
+    from graphina_spark.operators.kcore import core_number
+
+    g = make_graph(spark, edges, n=8, directed=False)
+    got = {r["id"]: r["core"] for r in core_number(g).collect()}
+    assert got == _brute_core_numbers(8, edges)
