@@ -822,6 +822,37 @@ def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(_docs(spark, sf_dir))
 
 
+FILTER_ARGS = dict(min_tokens=40, min_quality=0.1, langs=["en", "de", "fr"])
+NGRAM_N = 2
+NGRAM_K = 30
+
+
+def _q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import filter_corpus
+
+    df = filter_corpus(_docs(spark, sf_dir), **FILTER_ARGS)
+    return df.select(
+        "id",
+        "n_tokens",
+        F.round("quality", ROUND).alias("quality"),
+        "lang_pred",
+        "keep",
+        "reject_reason",
+    )
+
+
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir))
+
+
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import corpus_stats
 
@@ -911,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_web": _q_coreness_web,
         "doc_split": _q_doc_split,
         "corpus_stats": _q_corpus_stats,
+        "doc_filter": _q_doc_filter,
+        "top_ngrams": _q_top_ngrams,
+        "vocab_stats": _q_vocab_stats,
     }
 
 
@@ -1020,4 +1054,7 @@ def _text_oracles() -> dict[str, str]:
         "neardup_groups": T.neardup_groups_sql(threshold=0.2),
         "doc_split": T.doc_split_sql(),
         "corpus_stats": T.corpus_stats_sql(),
+        "doc_filter": T.doc_filter_sql(**FILTER_ARGS),
+        "top_ngrams": T.top_ngrams_sql(n=NGRAM_N, k=NGRAM_K),
+        "vocab_stats": T.vocab_stats_sql(),
     }

@@ -109,3 +109,102 @@ def corpus_stats(
             F.avg("quality").alias("avg_quality"),
         )
     )
+
+
+def filter_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int | None = None,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """(id, n_tokens, quality, lang_pred, keep, reject_reason) — the standard
+    corpus quality gate, as one codegen'd scan (no shuffle, no UDFs).
+
+    ``reject_reason`` names the FIRST failing rule in a fixed order
+    (too_short, too_long, low_quality, lang) so drop accounting is stable;
+    ``keep`` = no rule failed.  Rules mirror exactly into the SQL oracle."""
+    from graphina_spark.functions.textstats import lang_id
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+    )
+    reason = F.when(F.col("n_tokens") < min_tokens, "too_short")
+    if max_tokens is not None:
+        reason = reason.when(F.col("n_tokens") > max_tokens, "too_long")
+    reason = reason.when(F.col("quality") < min_quality, "low_quality")
+    if langs is not None:
+        reason = reason.when(~F.col("lang_pred").isin(list(langs)), "lang")
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return base.select(
+        "id",
+        "n_tokens",
+        "quality",
+        "lang_pred",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """(ngram, freq, docs) — the k most frequent word n-grams with total
+    occurrence count (multiset) and document frequency; ties broken by the
+    n-gram string ascending so top-k is deterministic.
+
+    Classic corpus-health / contamination probe.  Shape: one explode scan →
+    one partial+final hash aggregation → a k-row ordered take (rank via a
+    single max-k aggregation boundary, executed as TakeOrdered — no global
+    sort materialization)."""
+    from graphina_spark.functions.textstats import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )).otherwise(F.array())
+    per_doc = df.select(F.explode(grams).alias("ngram"))
+    agg = per_doc.groupBy("ngram").agg(F.count("*").alias("freq"))
+    docs = (
+        df.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("docs"))
+    )
+    return (
+        agg.join(docs, "ngram")
+        .orderBy(F.desc("freq"), "ngram")
+        .limit(k)
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """1 row (vocab_size, total_tokens, hapax_count, max_token_freq) —
+    corpus vocabulary health: distinct tokens, total token mass, hapax
+    legomena (frequency-1 tokens, the classic OCR-garbage indicator), and
+    the modal token's frequency.  Exact integers: one explode scan + two
+    hash aggregations."""
+    from graphina_spark.functions.textstats import tokens_col
+
+    freq = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count("*").alias("f"))
+    )
+    return freq.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("f").alias("total_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias(
+            "hapax_count"
+        ),
+        F.max("f").alias("max_token_freq"),
+    )

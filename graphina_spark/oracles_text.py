@@ -394,3 +394,71 @@ SELECT sp.split,
        round(avg(st.quality), {ROUND}) AS avg_quality
 FROM sp JOIN st ON sp.doc_id = st.doc_id
 GROUP BY sp.split"""
+
+
+def doc_filter_sql(
+    min_tokens: int = 10,
+    max_tokens: int | None = None,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+) -> str:
+    """Mirror of operators/sampling.py::filter_corpus — same stats, same
+    first-failing-rule order (too_short, too_long, low_quality, lang)."""
+    all_stop = "[" + ", ".join(
+        f"'{w}'" for lang in LANG_ORDER for w in STOPWORDS[lang]
+    ) + "]"
+    counts = ", ".join(f"{_stophits(lang)} AS c_{lang}" for lang in LANG_ORDER)
+    whens = [f"WHEN n_tokens < {min_tokens} THEN 'too_short'"]
+    if max_tokens is not None:
+        whens.append(f"WHEN n_tokens > {max_tokens} THEN 'too_long'")
+    whens.append(f"WHEN quality < {min_quality} THEN 'low_quality'")
+    if langs is not None:
+        inlist = ", ".join(f"'{x}'" for x in langs)
+        whens.append(f"WHEN lang_pred NOT IN ({inlist}) THEN 'lang'")
+    case = "CASE " + " ".join(whens) + " ELSE NULL END"
+    return f"""WITH {_TOK},
+ st AS (
+   SELECT d.doc_id AS id, len(t.t) AS n_tokens, {counts},
+          least(1.0, len(t.t) / 100.0)
+            * (1.0 - least(1.0, 4.0 * (length(d.text)
+                 - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / (length(d.text) + 1)))
+            * (0.2 + 0.8 * least(1.0,
+                 2.0 * len(list_filter(t.t, x -> list_contains({all_stop}, x)))
+                 / (len(t.t) + 1))) AS quality
+   FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+ st2 AS (SELECT id, n_tokens, quality, {_lang_case()} AS lang_pred FROM st)
+SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, round(quality, {ROUND}) AS quality,
+       lang_pred, ({case}) IS NULL AS keep, {case} AS reject_reason
+FROM st2"""
+
+
+def top_ngrams_sql(n: int = 2, k: int = 30) -> str:
+    """Mirror of operators/sampling.py::top_ngrams: multiset frequency +
+    document frequency of word n-grams, top-k by (freq desc, ngram asc)."""
+    return f"""WITH {_TOK},
+ grams AS (
+   SELECT doc_id, CASE WHEN len(t) >= {n}
+     THEN list_transform(range(len(t) - {n - 1}),
+                         i -> array_to_string(list_slice(t, i + 1, i + {n}), ' '))
+     ELSE CAST([] AS VARCHAR[]) END AS gs
+   FROM tok),
+ flat AS (SELECT unnest(gs) AS ngram FROM grams),
+ agg AS (SELECT ngram, count(*) AS freq FROM flat GROUP BY ngram),
+ dfq AS (SELECT ngram, count(*) AS docs FROM (
+   SELECT doc_id, unnest(list_distinct(gs)) AS ngram FROM grams) GROUP BY ngram)
+SELECT a.ngram, CAST(a.freq AS BIGINT) AS freq, CAST(d.docs AS BIGINT) AS docs
+FROM agg a JOIN dfq d ON a.ngram = d.ngram
+ORDER BY a.freq DESC, a.ngram ASC LIMIT {k}"""
+
+
+def vocab_stats_sql() -> str:
+    """Mirror of operators/sampling.py::vocab_stats."""
+    return f"""WITH {_TOK},
+ flat AS (SELECT unnest(t) AS tk FROM tok),
+ freq AS (SELECT tk, count(*) AS f FROM flat GROUP BY tk)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(f) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       CAST(max(f) AS BIGINT) AS max_token_freq
+FROM freq"""

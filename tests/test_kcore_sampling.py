@@ -170,3 +170,37 @@ def test_core_number_random_graphs_match_bruteforce(spark, edges):
     g = make_graph(spark, edges, n=8, directed=False)
     got = {r["id"]: r["core"] for r in core_number(g).collect()}
     assert got == _brute_core_numbers(8, edges)
+
+
+def test_filter_corpus_rules_and_reasons(spark):
+    from graphina_spark.operators.sampling import filter_corpus
+
+    rows = [
+        (0, "tiny"),  # too_short
+        (1, " ".join(["the cat sat on a mat and it was good"] * 6)),  # keep (en)
+        (2, " ".join(["el perro y el gato en la casa por una con"] * 6)),  # lang
+        (3, "a! b! c! d! e! f! g! h! i! j! k! l!"),  # punct-heavy -> low_quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["keep"], r["reject_reason"]) for r in filter_corpus(
+        docs, min_tokens=10, min_quality=0.1, langs=["en"]
+    ).collect()}
+    assert got[0] == (False, "too_short")
+    assert got[1] == (True, None)
+    assert got[2] == (False, "lang")
+    assert got[3] == (False, "low_quality")
+
+
+def test_top_ngrams_counts_and_order(spark):
+    from graphina_spark.operators.sampling import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x y"), (2, "zz")],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    assert [(r["ngram"], r["freq"], r["docs"]) for r in rows] == [
+        ("a b", 3, 2),   # twice in doc0, once in doc1
+        ("b a", 1, 1),
+        ("b c", 1, 1),   # freq-1 ties broken by ngram asc
+    ]
