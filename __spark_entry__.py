@@ -853,6 +853,52 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
 
 
+def _q_reciprocity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import reciprocity
+
+    val = reciprocity(_web(spark, sf_dir))
+    return spark.createDataFrame([(val,)], "reciprocity double")
+
+
+def _q_degree_hist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import degree_histogram
+
+    return degree_histogram(_web(spark, sf_dir), kind="total")
+
+
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import doc_repetition
+
+    return doc_repetition(_docs(spark, sf_dir))
+
+
+def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import split_contamination
+
+    return split_contamination(_docs(spark, sf_dir), k=3)
+
+
+def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def _q_bowtie_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.bowtie import bowtie_classification
+    from graphina_spark.sources.derived import bowtie_graph
+
+    g = bowtie_graph(spark, sf_dir)
+    g.edges = g.edges.transform(_mat)
+    return bowtie_classification(g)
+
+
+def _q_bowtie_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.bowtie import bowtie_classification
+
+    return bowtie_classification(_web(spark, sf_dir))
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import corpus_stats
 
@@ -945,6 +991,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter": _q_doc_filter,
         "top_ngrams": _q_top_ngrams,
         "vocab_stats": _q_vocab_stats,
+        "bowtie_planted": _q_bowtie_planted,
+        "bowtie_web": _q_bowtie_web,
+        "doc_repetition": _q_doc_repetition,
+        "split_contamination": _q_split_contamination,
+        "tfidf_terms": _q_tfidf_terms,
+        "reciprocity_web": _q_reciprocity_web,
+        "degree_hist_web": _q_degree_hist_web,
     }
 
 
@@ -1032,6 +1085,10 @@ def oracle_sql() -> dict[str, str]:
         "contract_web": O.contract_web_sql(mod=CONTRACT_MOD),
         "ktruss_web": O.ktruss_web_sql(k=TRUSS_K, rounds=TRUSS_ROUNDS),
         "coreness_web": O.coreness_web_sql(rounds=CORENESS_ROUNDS),
+        "bowtie_planted": O.bowtie_planted_sql(),
+        "bowtie_web": O.bowtie_web_sql(),
+        "reciprocity_web": O.reciprocity_web_sql(),
+        "degree_hist_web": O.degree_hist_web_sql(kind="total"),
         **_text_oracles(),
     }
 
@@ -1057,4 +1114,7 @@ def _text_oracles() -> dict[str, str]:
         "doc_filter": T.doc_filter_sql(**FILTER_ARGS),
         "top_ngrams": T.top_ngrams_sql(n=NGRAM_N, k=NGRAM_K),
         "vocab_stats": T.vocab_stats_sql(),
+        "doc_repetition": T.doc_repetition_sql(),
+        "split_contamination": T.split_contamination_sql(k=3),
+        "tfidf_terms": T.tfidf_top_terms_sql(k=3),
     }

@@ -41,6 +41,16 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined) of a token array; empty array when the
+    document has fewer than n tokens."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array())
+
+
 def punct_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
 

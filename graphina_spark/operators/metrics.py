@@ -104,3 +104,41 @@ def assortativity(g: LinkGraph) -> float:
     if den == 0.0:
         return 0.0
     return num / den
+
+
+def reciprocity(g: LinkGraph) -> float:
+    """Fraction of directed edges whose reverse edge also exists
+    (overall reciprocity; self-loops dropped, parallel edges collapsed).
+    1.0 by definition on undirected graphs.
+
+    One distinct + one left-semi self-join keyed on the reversed pair —
+    shuffle-partitioned by (src, dst), no fan-out (semi-join emits at most
+    the probe side)."""
+    if not g.directed:
+        return 1.0
+    from graphina_spark.plans.materialize import local_materialize as _mat
+
+    e = (
+        g.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(_mat)
+    )
+    tot = e.count()
+    if tot == 0:
+        return 0.0
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi").count()
+    return rec / tot
+
+
+def degree_histogram(g: LinkGraph, kind: str = "total"):
+    """(deg: long, n: long) — vertex count per degree value (the power-law
+    readout every crawl report starts with).  ``kind`` ∈ total|in|out.
+    One aggregation over the cached degrees frame."""
+    col = {"total": "deg", "in": "in_deg", "out": "out_deg"}[kind]
+    return (
+        g.degrees()
+        .groupBy(F.col(col).cast("long").alias("deg"))
+        .agg(F.count("*").alias("n"))
+    )

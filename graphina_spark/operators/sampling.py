@@ -166,13 +166,9 @@ def top_ngrams(
     one partial+final hash aggregation → a k-row ordered take (rank via a
     single max-k aggregation boundary, executed as TakeOrdered — no global
     sort materialization)."""
-    from graphina_spark.functions.textstats import tokens_col
+    from graphina_spark.functions.textstats import ngrams_col, tokens_col
 
-    toks = tokens_col(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    grams = F.when(F.size(toks) >= n, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )).otherwise(F.array())
+    grams = ngrams_col(tokens_col(F.col(text_col)), n)
     per_doc = df.select(F.explode(grams).alias("ngram"))
     agg = per_doc.groupBy("ngram").agg(F.count("*").alias("freq"))
     docs = (
@@ -207,4 +203,145 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "hapax_count"
         ),
         F.max("f").alias("max_token_freq"),
+    )
+
+
+def doc_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, distinct_token_ratio, top_bigram_frac, dup_bigram_frac)
+    — Gopher-style repetition signals (Rae et al. 2021 §A1.1 family):
+    fraction of token mass in the modal bigram, fraction in any repeated
+    bigram, and the distinct-token ratio.  High values flag boilerplate and
+    degenerate generations.
+
+    Shape: one explode scan → (doc, bigram) hash aggregation → per-doc
+    re-aggregation — two shuffles keyed by doc id, no UDFs.  All ratios are
+    single integer divisions, bit-identical across engines (no rounding)."""
+    from graphina_spark.functions.textstats import ngrams_col, tokens_col
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    tok = base.select(
+        "id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+    )
+    cnt = (
+        base.select("id", F.explode(ngrams_col(F.col("t"), 2)).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = cnt.groupBy("id").agg(
+        F.sum("c").alias("nb"),
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_c"),
+    )
+    return tok.join(rep, "id", "left").select(
+        "id",
+        "n_tokens",
+        (
+            F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("distinct_token_ratio"),
+        F.coalesce(F.col("top_c") / F.col("nb"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        F.coalesce(F.col("dup_c") / F.col("nb"), F.lit(0.0)).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+def split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """(split, n_docs, contaminated, frac) for every non-train split — a doc
+    is contaminated when it shares at least one k-token shingle with any
+    train document.  The standard eval-leakage audit run before training.
+
+    Shape: shingle inverted index (explode + distinct), one left-semi join
+    of eval shingles against the distinct train shingle set keyed by
+    shingle (hot shingles dedup before the join — no pair blowup), one
+    per-split count.  Scales as O(total shingles), never O(docs²)."""
+    from graphina_spark.functions.textstats import shingles_col
+
+    sp = deterministic_split(df, id_col=id_col, weights=weights, salt=salt)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("sg"),
+    )
+    train_ids = sp.where(F.col("split") == "train").select("id")
+    train_sh = sh.join(train_ids, "id", "left_semi").select("sg").distinct()
+    eval_sp = sp.where(F.col("split") != "train")
+    dirty = (
+        sh.join(train_sh, "sg", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("dirty", F.lit(1))
+    )
+    return (
+        eval_sp.join(dirty, "id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("dirty"), F.lit(0)))
+            .cast("long")
+            .alias("contaminated"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "contaminated",
+            (F.col("contaminated") / F.col("n_docs")).alias("frac"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, rnk, term, tfidf) — each document's k highest-scoring terms by
+    smoothed tf-idf (idf = ln((N+1)/(df+1)) + 1, scikit-learn's smooth_idf),
+    ties broken by term ascending.
+
+    Shape: explode → (doc, term) count → term df aggregation → shuffle join
+    on term → per-doc top-k window (row_number over the doc partition; the
+    partition is one document's vocabulary, so the window never spills)."""
+    from pyspark.sql import Window
+
+    from graphina_spark.functions.textstats import tokens_col
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id", "rnk", "term", F.round("s", 6).alias("tfidf"))
     )

@@ -1692,3 +1692,120 @@ def ktruss_web_sql(k: int = 4, rounds: int = 6) -> str:
             f" WHERE s.s >= {k - 2})"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM t{rounds}"
+
+
+def bowtie_planted_sql() -> str:
+    """Closed-form oracle for the planted bow-tie fixture
+    (sources/derived.py::bowtie_graph): the expected class is pure id
+    arithmetic, so the gate checks the whole SCC + reachability + WCC
+    composition against ground truth with no traversal in the oracle."""
+    return """WITH
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  nn AS (SELECT CAST(floor(count(*) / 4.0) AS BIGINT) AS c1 FROM v)
+SELECT id, CASE
+    WHEN id < c1 THEN 'CORE'
+    WHEN id < 2*c1 THEN 'IN'
+    WHEN id < 3*c1 THEN 'OUT'
+    WHEN (id - 3*c1) % 3 = 0 THEN 'TENDRIL'
+    WHEN (id - 3*c1) % 3 = 1 THEN 'TUBE'
+    ELSE 'DISC' END AS cls
+FROM v, nn"""
+
+
+def bowtie_web_sql() -> str:
+    """Bow-tie classes on the derived web graph — mirror of
+    operators/bowtie.py::bowtie_classification semantics via transitive
+    closure: CORE = largest SCC (tie: min label), IN/OUT = reach-to/from the
+    core representative, TUBE = IN-to-OUT reachability in the core-free
+    subgraph, TENDRIL = rest of the core's weak component, DISC = rest."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},
+ adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ reach(a, b) AS (
+   SELECT id AS a, id AS b FROM v
+   UNION
+   SELECT r.a, e.dst AS b FROM reach r JOIN adj e ON r.b = e.src
+ ),
+ lab AS MATERIALIZED (
+   SELECT r1.a AS id, min(r1.b) AS component
+   FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+   GROUP BY r1.a
+ ),
+ rep AS MATERIALIZED (
+   SELECT component AS r FROM lab GROUP BY component
+   ORDER BY count(*) DESC, component LIMIT 1
+ ),
+ core AS MATERIALIZED (
+   SELECT id FROM lab WHERE component = (SELECT r FROM rep)
+ ),
+ outs AS MATERIALIZED (
+   SELECT b AS id FROM reach WHERE a = (SELECT r FROM rep)
+     AND b NOT IN (SELECT id FROM core)
+ ),
+ ins AS MATERIALIZED (
+   SELECT a AS id FROM reach WHERE b = (SELECT r FROM rep)
+     AND a NOT IN (SELECT id FROM core)
+ ),
+ adj2 AS MATERIALIZED (
+   SELECT src, dst FROM adj
+   WHERE src NOT IN (SELECT id FROM core) AND dst NOT IN (SELECT id FROM core)
+ ),
+ fin(b) AS (
+   SELECT id AS b FROM ins
+   UNION
+   SELECT e.dst FROM fin f JOIN adj2 e ON f.b = e.src
+ ),
+ tout(a) AS (
+   SELECT id AS a FROM outs
+   UNION
+   SELECT e.src FROM tout t JOIN adj2 e ON t.a = e.dst
+ ),
+ uadj AS MATERIALIZED (SELECT src, dst FROM adj UNION SELECT dst, src FROM adj),
+ ur(b) AS (
+   SELECT r AS b FROM rep
+   UNION
+   SELECT e.dst FROM ur u JOIN uadj e ON u.b = e.src
+ )
+SELECT v.id, CASE
+    WHEN v.id IN (SELECT id FROM core) THEN 'CORE'
+    WHEN v.id IN (SELECT id FROM ins) THEN 'IN'
+    WHEN v.id IN (SELECT id FROM outs) THEN 'OUT'
+    WHEN v.id IN (SELECT b FROM fin) AND v.id IN (SELECT a FROM tout)
+      THEN 'TUBE'
+    WHEN v.id IN (SELECT b FROM ur) THEN 'TENDRIL'
+    ELSE 'DISC' END AS cls
+FROM v"""
+
+
+def reciprocity_web_sql() -> str:
+    """Overall reciprocity on the directed web graph — mirror of
+    operators/metrics.py::reciprocity (self-loops dropped, distinct pairs;
+    single integer division, bit-identical across engines)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ r AS (SELECT count(*) AS rec FROM e a
+       WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)),
+ t AS (SELECT count(*) AS tot FROM e)
+SELECT r.rec / t.tot AS reciprocity FROM r, t"""
+
+
+def degree_hist_web_sql(kind: str = "total") -> str:
+    """(deg, n) degree histogram on the web graph — mirror of
+    operators/metrics.py::degree_histogram (same in+out convention as the
+    gate-green degree_web_sql)."""
+    o = "(SELECT src AS id, count(*) AS c FROM edges GROUP BY src)"
+    i = "(SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)"
+    if kind == "total":
+        expr = "coalesce(o.c, 0) + coalesce(i.c, 0)"
+        sub = f"LEFT JOIN {o} o ON vv.id = o.id LEFT JOIN {i} i ON vv.id = i.id"
+    elif kind == "in":
+        expr = "coalesce(i.c, 0)"
+        sub = f"LEFT JOIN {i} i ON vv.id = i.id"
+    else:
+        expr = "coalesce(o.c, 0)"
+        sub = f"LEFT JOIN {o} o ON vv.id = o.id"
+    return (
+        f"WITH {WEB_EDGES_CTE.strip()},\n"
+        f" d AS (SELECT vv.id, {expr} AS deg FROM v vv {sub})\n"
+        f"SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n"
+        f" FROM d GROUP BY deg"
+    )

@@ -462,3 +462,67 @@ SELECT CAST(count(*) AS BIGINT) AS vocab_size,
        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
        CAST(max(f) AS BIGINT) AS max_token_freq
 FROM freq"""
+
+
+def doc_repetition_sql() -> str:
+    """Mirror of operators/sampling.py::doc_repetition — same bigram
+    construction; all ratios single integer divisions (bit-identical
+    doubles, no rounding needed)."""
+    return f"""WITH {_TOK},
+ base AS (SELECT doc_id AS id, t, len(t) AS n_tokens,
+                 len(list_distinct(t)) AS n_distinct FROM tok),
+ g AS (SELECT id, unnest(CASE WHEN len(t) >= 2
+         THEN list_transform(range(len(t) - 1),
+                             i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS g
+       FROM base),
+ cnt AS (SELECT id, g, count(*) AS c FROM g GROUP BY id, g),
+ rep AS (SELECT id, sum(c) AS nb, max(c) AS top_c,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+         FROM cnt GROUP BY id)
+SELECT b.id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       b.n_distinct / greatest(b.n_tokens, 1) AS distinct_token_ratio,
+       coalesce(r.top_c / r.nb, 0.0) AS top_bigram_frac,
+       coalesce(r.dup_c / r.nb, 0.0) AS dup_bigram_frac
+FROM base b LEFT JOIN rep r ON b.id = r.id"""
+
+
+def split_contamination_sql(
+    k: int = 3,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> str:
+    """Mirror of operators/sampling.py::split_contamination — same md5
+    split, same distinct k-shingles, same shares-a-train-shingle rule."""
+    return f"""WITH {_shingle_cte(k)},
+ sp AS (SELECT doc_id, {_split_case(weights, salt)} AS split FROM documents),
+ flat AS (SELECT doc_id, unnest(sh) AS sg FROM shd),
+ tsh AS (SELECT DISTINCT f.sg FROM flat f
+         JOIN sp ON f.doc_id = sp.doc_id WHERE sp.split = 'train'),
+ dirty AS (SELECT DISTINCT f.doc_id FROM flat f JOIN tsh t ON f.sg = t.sg)
+SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS contaminated,
+       sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) / count(*) AS frac
+FROM sp LEFT JOIN dirty d ON sp.doc_id = d.doc_id
+WHERE sp.split <> 'train'
+GROUP BY sp.split"""
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Mirror of operators/sampling.py::tfidf_top_terms — smoothed tf-idf,
+    row_number over (score desc, term asc)."""
+    return f"""WITH {_TOK},
+ tf AS (SELECT doc_id AS id, tk AS term, count(*) AS tf FROM
+          (SELECT doc_id, unnest(t) AS tk FROM tok) GROUP BY doc_id, tk),
+ nn AS (SELECT count(*) AS n FROM documents),
+ dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ sc AS (SELECT f.id, f.term,
+               f.tf * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS s
+        FROM tf f JOIN dfq d ON f.term = d.term, nn),
+ rk AS (SELECT id, term, s,
+               row_number() OVER (PARTITION BY id ORDER BY s DESC, term ASC)
+                 AS rnk
+        FROM sc)
+SELECT id, CAST(rnk AS INT) AS rnk, term, round(s, {ROUND}) AS tfidf
+FROM rk WHERE rnk <= {k}"""

@@ -316,3 +316,68 @@ EVENTS_EDGES_CTE = f"""
            GROUP BY a.uid, b.uid HAVING count(*) >= {COOC_MIN_SHARED}),
   edges AS (SELECT src, dst, weight FROM half
             UNION ALL SELECT dst AS src, src AS dst, weight FROM half)"""
+
+
+def bowtie_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Planted bow-tie fixture (Broder WWW 2000 shape) over customer ids.
+
+    With n ids and c1 = n // 4:  ids [0, c1) form a directed ring PLUS a
+    doubling chord i → (2i+1) mod c1 (the CORE SCC; the chord keeps both the
+    forward and reverse BFS diameters logarithmic, so the SCC kernel's
+    backward gather doesn't walk the ring one superstep per vertex),
+    [c1, 2c1) each point into the core (IN), [2c1, 3c1) are pointed at
+    from the core (OUT), and the remainder r = id - 3c1 cycles through
+    TENDRIL (r % 3 == 0: reached from IN, sink), TUBE (r % 3 == 1: reached
+    from IN and pointing into OUT, core-avoiding), DISC (r % 3 == 2:
+    isolated).  Every class of the decomposition is populated, and the
+    expected class is a closed-form function of id — the oracle needs no
+    graph traversal at all (bowtie_planted_sql)."""
+    ids = _customer_ids(spark, sf_dir)
+    n = ids.agg(F.count("*").alias("n"))
+    v = ids.crossJoin(F.broadcast(n))
+    c1 = F.floor(F.col("n") / 4).cast("long")
+    i, r = F.col("id"), F.col("id") - 3 * c1
+    w = F.lit(1.0).alias("weight")
+    core = v.where(i < c1).select(i.alias("src"), ((i + 1) % c1).alias("dst"), w)
+    chord = v.where((i < c1) & ((2 * i + 1) % c1 != i)).select(
+        i.alias("src"), ((2 * i + 1) % c1).alias("dst"), w
+    )
+    ins = v.where((i >= c1) & (i < 2 * c1)).select(
+        i.alias("src"), (i - c1).alias("dst"), w
+    )
+    outs = v.where((i >= 2 * c1) & (i < 3 * c1)).select(
+        (i - 2 * c1).alias("src"), i.alias("dst"), w
+    )
+    hang = v.where((i >= 3 * c1) & (r % 3 != 2)).select(
+        (c1 + r % c1).alias("src"), i.alias("dst"), w
+    )
+    tube_out = v.where((i >= 3 * c1) & (r % 3 == 1)).select(
+        i.alias("src"), (2 * c1 + r % c1).alias("dst"), w
+    )
+    edges = (
+        core.unionAll(chord)
+        .unionAll(ins)
+        .unionAll(outs)
+        .unionAll(hang)
+        .unionAll(tube_out)
+    )
+    return LinkGraph(vertices=ids, edges=edges, directed=True)
+
+
+BOWTIE_EDGES_CTE = """
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  nn AS (SELECT CAST(floor(count(*) / 4.0) AS BIGINT) AS c1 FROM v),
+  edges AS (
+      SELECT id AS src, (id + 1) % c1 AS dst, 1.0 AS weight
+      FROM v, nn WHERE id < c1
+      UNION ALL SELECT id, (2*id + 1) % c1, 1.0 FROM v, nn
+        WHERE id < c1 AND (2*id + 1) % c1 <> id
+      UNION ALL SELECT id, id - c1, 1.0 FROM v, nn
+        WHERE id >= c1 AND id < 2*c1
+      UNION ALL SELECT id - 2*c1, id, 1.0 FROM v, nn
+        WHERE id >= 2*c1 AND id < 3*c1
+      UNION ALL SELECT c1 + (id - 3*c1) % c1, id, 1.0 FROM v, nn
+        WHERE id >= 3*c1 AND (id - 3*c1) % 3 <> 2
+      UNION ALL SELECT id, 2*c1 + (id - 3*c1) % c1, 1.0 FROM v, nn
+        WHERE id >= 3*c1 AND (id - 3*c1) % 3 = 1
+  )"""

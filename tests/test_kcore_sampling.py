@@ -204,3 +204,62 @@ def test_top_ngrams_counts_and_order(spark):
         ("b a", 1, 1),
         ("b c", 1, 1),   # freq-1 ties broken by ngram asc
     ]
+
+
+def test_doc_repetition_signals(spark):
+    from graphina_spark.operators.sampling import doc_repetition
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "x"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (
+            r["n_tokens"],
+            r["distinct_token_ratio"],
+            r["top_bigram_frac"],
+            r["dup_bigram_frac"],
+        )
+        for r in doc_repetition(docs).collect()
+    }
+    # doc0: bigrams = [a b, b a, a b, b c] -> nb=4, top=2 ("a b"), dup mass=2
+    assert got[0] == (5, 3 / 5, 0.5, 0.5)
+    assert got[1] == (1, 1.0, 0.0, 0.0)
+    assert got[2] == (0, 0.0, 0.0, 0.0)
+
+
+def test_split_contamination_extremes(spark):
+    from graphina_spark.operators.sampling import split_contamination
+
+    same = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(60)],
+        "doc_id long, text string",
+    )
+    for r in split_contamination(same, k=3).collect():
+        assert r["split"] in ("valid", "test")
+        if r["n_docs"]:  # every eval doc shares every shingle with train
+            assert r["contaminated"] == r["n_docs"] and r["frac"] == 1.0
+    uniq = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(60)],
+        "doc_id long, text string",
+    )
+    for r in split_contamination(uniq, k=3).collect():
+        assert r["contaminated"] == 0 and r["frac"] == 0.0
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from graphina_spark.operators.sampling import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    got = {(r["id"], r["rnk"]): (r["term"], r["tfidf"]) for r in rows}
+    idf1 = math.log(4 / 2) + 1  # df=1
+    idf2 = math.log(4 / 3) + 1  # df=2
+    assert got[(0, 1)] == ("apple", round(2 * idf1, 6))
+    assert got[(0, 2)] == ("banana", round(1 * idf2, 6))
+    assert got[(2, 1)] == ("cherry", round(3 * idf2, 6))
