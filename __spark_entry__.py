@@ -853,6 +853,20 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
 
 
+def _q_edge_sample_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import sample_edges
+
+    return sample_edges(_web(spark, sf_dir), frac=0.3)
+
+
+def _q_vertex_sample_sub_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import induced_sample_subgraph
+
+    return induced_sample_subgraph(_web(spark, sf_dir), frac=0.5).edges.select(
+        "src", "dst"
+    )
+
+
 def _q_reciprocity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.metrics import reciprocity
 
@@ -998,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "reciprocity_web": _q_reciprocity_web,
         "degree_hist_web": _q_degree_hist_web,
+        "edge_sample_web": _q_edge_sample_web,
+        "vertex_sample_sub_web": _q_vertex_sample_sub_web,
     }
 
 
@@ -1089,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_web": O.bowtie_web_sql(),
         "reciprocity_web": O.reciprocity_web_sql(),
         "degree_hist_web": O.degree_hist_web_sql(kind="total"),
+        "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
+        "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
         **_text_oracles(),
     }
 

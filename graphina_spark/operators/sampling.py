@@ -345,3 +345,50 @@ def tfidf_top_terms(
         .where(F.col("rnk") <= k)
         .select("id", "rnk", "term", F.round("s", 6).alias("tfidf"))
     )
+
+
+def sample_vertices(
+    g,
+    frac: float,
+    salt: str = "vsample",
+) -> DataFrame:
+    """(id) — deterministic vertex sample: keep id iff its md5 bucket falls
+    below the ``frac`` threshold (same primitive as :func:`deterministic_split`).
+    Stable across reruns, row order, partitioning, and corpus versions —
+    the reproducible alternative to ``DataFrame.sample`` for training-data
+    graph subsets.  Zero shuffle (row-local predicate, pushed to the scan)."""
+    return g.vertices.select("id").where(
+        split_bucket(F.col("id"), salt) < F.lit(_hex_threshold(frac))
+    )
+
+
+def sample_edges(
+    g,
+    frac: float,
+    salt: str = "esample",
+) -> DataFrame:
+    """(src, dst, weight) — deterministic edge sample keyed on the edge pair
+    (md5 of 'src:dst'), same stability contract as :func:`sample_vertices`."""
+    key = F.concat(
+        F.lit(salt + ":"),
+        F.col("src").cast("string"),
+        F.lit(":"),
+        F.col("dst").cast("string"),
+    )
+    bucket = F.substring(F.md5(key), 1, 8)
+    return g.edges.where(bucket < F.lit(_hex_threshold(frac)))
+
+
+def induced_sample_subgraph(g, frac: float, salt: str = "vsample"):
+    """LinkGraph induced on a deterministic vertex sample — the standard
+    "debug at 1%" graph: vertex predicate + two semi-joins, no shuffle
+    beyond the joins themselves."""
+    from graphina_spark.graph import LinkGraph
+
+    verts = sample_vertices(g, frac, salt)
+    edges = (
+        g.edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst", "weight")
+    )
+    return LinkGraph(vertices=verts, edges=edges, directed=g.directed)

@@ -13,11 +13,14 @@ repeat until no active vertices:
   2. **Forward color**: propagate ``color(v) = max(color(v), colors of
      in-neighbors)`` to fixpoint — color(v) = the max-id active vertex that
      reaches v within the active subgraph.
-  3. **Backward gather**: BFS from each color root r (color(r) == r) along
-     REVERSED edges, restricted to vertices of the same color; every vertex
-     reached both ways (same color = forward-reachable, backward BFS =
-     reaches r) is in r's SCC.  All roots run in the same supersteps — one
-     frontier keyed by color.
+  3. **Backward gather**: max-propagation along REVERSED edges restricted
+     to same-color pairs (the same pointer-jumped kernel as step 2): the
+     propagated value at v is the max id v forward-reaches within its color
+     region, which equals the region root r exactly when v reaches r — so
+     members are ``backward(v) == color(v)``.  All regions resolve in the
+     same supersteps, and pointer jumping makes this O(log diameter) rounds
+     (a frontier BFS here walks one edge per superstep — a ring-shaped SCC
+     of size d would cost d rounds).
   4. Remove the identified SCCs from the active set.
 
 Each outer round removes ≥1 SCC per color region; web-scale graphs finish
@@ -153,7 +156,9 @@ def strongly_connected_components(
             break
         # ---- forward color to fixpoint
         color = _fixpoint_color(eact, active, max_iter)
-        # ---- backward BFS from roots within same color (all roots at once)
+        # ---- backward gather: max-propagation on reversed same-color edges
+        # (pointer-jumped, so a deep SCC resolves in O(log d) rounds instead
+        # of the d rounds a frontier BFS would take on e.g. a ring)
         rev = eact.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         colored_rev = (
             rev.join(color.withColumnRenamed("id", "src"), "src")
@@ -166,24 +171,19 @@ def strongly_connected_components(
             .select("src", "dst")
             .transform(_mat)
         )
-        roots = color.where(F.col("id") == F.col("color")).select("id")
-        seen = roots.select("id").transform(_mat)
-        frontier = seen
-        for _ in range(max_iter):
-            nxt = (
-                frontier.join(colored_rev, frontier["id"] == colored_rev["src"])
-                .select(F.col("dst").alias("id"))
-                .distinct()
-                .join(seen, "id", "left_anti")
-                .transform(_mat)
-            )
-            if nxt.isEmpty():
-                break
-            seen = seen.unionAll(nxt).transform(_mat)
-            frontier = nxt
-        members = seen.join(color, "id").select("id", F.col("color").alias("grp"))
+        back = _fixpoint_color(colored_rev, active, max_iter)
+        # back(v) = max id v forward-reaches within its color region; v is in
+        # its region root's SCC exactly when that max is the root itself
+        members = (
+            back.withColumnRenamed("color", "b")
+            .join(color, "id")
+            .where(F.col("b") == F.col("color"))
+            .select("id", F.col("color").alias("grp"))
+        )
         done = _accumulate(done, members)
-        active = active.join(seen, "id", "left_anti").transform(_mat)
+        active = active.join(
+            members.select("id"), "id", "left_anti"
+        ).transform(_mat)
         if not trimmed_any and members.isEmpty():  # pragma: no cover - safety
             raise RuntimeError("SCC made no progress")
     edges_all.unpersist()

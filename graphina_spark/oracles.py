@@ -1809,3 +1809,25 @@ def degree_hist_web_sql(kind: str = "total") -> str:
         f"SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n"
         f" FROM d GROUP BY deg"
     )
+
+
+def edge_sample_web_sql(frac: float = 0.3, salt: str = "esample") -> str:
+    """Mirror of operators/sampling.py::sample_edges on the web graph."""
+    from graphina_spark.operators.sampling import _hex_threshold
+
+    thr = _hex_threshold(frac)
+    return f"""WITH {WEB_EDGES_CTE.strip()}
+SELECT src, dst, weight FROM edges
+WHERE substr(md5('{salt}:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 8) < '{thr}'"""
+
+
+def vertex_sample_sub_web_sql(frac: float = 0.5, salt: str = "vsample") -> str:
+    """Mirror of operators/sampling.py::induced_sample_subgraph edges on the
+    web graph (sampled vertex set, induced edges)."""
+    from graphina_spark.operators.sampling import _hex_threshold
+
+    thr = _hex_threshold(frac)
+    keep = f"substr(md5('{salt}:' || CAST({{c}} AS VARCHAR)), 1, 8) < '{thr}'"
+    return f"""WITH {WEB_EDGES_CTE.strip()}
+SELECT src, dst FROM edges
+WHERE {keep.format(c='src')} AND {keep.format(c='dst')}"""
