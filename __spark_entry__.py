@@ -853,6 +853,41 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
 
 
+SALSA_ITERS = 4
+
+
+def _q_salsa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.salsa import salsa
+
+    df = salsa(_web(spark, sf_dir), fixed_iters=SALSA_ITERS)
+    return df.select(
+        "id",
+        F.round("hub", ROUND).alias("hub"),
+        F.round("authority", ROUND).alias("authority"),
+    )
+
+
+RICH_CLUB_K = 6
+
+
+def _q_rich_club_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import rich_club
+
+    return rich_club(_web(spark, sf_dir), k=RICH_CLUB_K)
+
+
+def _q_avg_nbr_deg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import average_neighbor_degree
+
+    return average_neighbor_degree(_web(spark, sf_dir))
+
+
+def _q_wcc_sizes_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.components import component_size_histogram
+
+    return component_size_histogram(_web(spark, sf_dir))
+
+
 def _q_edge_sample_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import sample_edges
 
@@ -1014,6 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_hist_web": _q_degree_hist_web,
         "edge_sample_web": _q_edge_sample_web,
         "vertex_sample_sub_web": _q_vertex_sample_sub_web,
+        "salsa_web": _q_salsa_web,
+        "rich_club_web": _q_rich_club_web,
+        "avg_nbr_deg_web": _q_avg_nbr_deg_web,
+        "wcc_sizes_web": _q_wcc_sizes_web,
     }
 
 
@@ -1107,6 +1146,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_hist_web": O.degree_hist_web_sql(kind="total"),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
+        "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),
+        "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
+        "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
+        "wcc_sizes_web": O.wcc_sizes_web_sql(),
         **_text_oracles(),
     }
 

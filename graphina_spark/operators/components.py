@@ -114,3 +114,15 @@ def count_components(g: LinkGraph) -> int:
 
 def is_connected(g: LinkGraph) -> bool:
     return count_components(g) <= 1
+
+
+def component_size_histogram(g: LinkGraph) -> DataFrame:
+    """(size, n) — number of weakly connected components per size (the
+    "one giant component + dust" readout).  WCC labels + two aggregations."""
+    return (
+        weakly_connected_components(g)
+        .groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n"))
+    )

@@ -142,3 +142,58 @@ def degree_histogram(g: LinkGraph, kind: str = "total"):
         .groupBy(F.col(col).cast("long").alias("deg"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def rich_club(g: LinkGraph, k: int):
+    """1 row (n_k, e_k, phi) — rich-club coefficient φ(k) = 2·E_k /
+    (N_k·(N_k−1)) over the undirected simple view (Zhou & Mondragón 2004):
+    how densely the hubs (degree > k) interconnect.  Shape: one degree
+    aggregation + two semi-joins + two counts; φ is a single integer
+    division (bit-identical across engines)."""
+    from graphina_spark.plans.materialize import local_materialize as _mat
+
+    ce = g.canonical_undirected_edges(dedup=True).transform(_mat)
+    deg = (
+        ce.select(F.col("src").alias("id"))
+        .unionAll(ce.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    rich = deg.where(F.col("d") > k).select("id").transform(_mat)
+    n_k = rich.count()
+    e_k = (
+        ce.join(rich.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(rich.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .count()
+    )
+    phi = (2.0 * e_k) / (n_k * (n_k - 1)) if n_k >= 2 else 0.0
+    return g.vertices.sparkSession.createDataFrame(
+        [(n_k, e_k, float(phi))], "n_k long, e_k long, phi double"
+    )
+
+
+def average_neighbor_degree(g: LinkGraph):
+    """(id, avg_nbr_deg) — mean degree of each vertex's distinct neighbors
+    over the undirected simple view (the k_nn assortativity profile's
+    per-node form); 0.0 for isolated vertices.  One symmetrize + two hash
+    aggregations + one join; the mean is one integer division."""
+    ce = g.canonical_undirected_edges(dedup=True)
+    sym = ce.unionAll(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    nbr = (
+        sym.join(deg.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("d").alias("sd"), F.count("*").alias("nd"))
+    )
+    return (
+        g.vertices.select("id")
+        .join(nbr, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("sd") / F.col("nd"), F.lit(0.0)).alias(
+                "avg_nbr_deg"
+            ),
+        )
+    )

@@ -1831,3 +1831,120 @@ def vertex_sample_sub_web_sql(frac: float = 0.5, salt: str = "vsample") -> str:
     return f"""WITH {WEB_EDGES_CTE.strip()}
 SELECT src, dst FROM edges
 WHERE {keep.format(c='src')} AND {keep.format(c='dst')}"""
+
+
+_CANON_CTE = (
+    "ce AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst"
+    " FROM edges WHERE src <> dst)"
+)
+
+
+def rich_club_web_sql(k: int = 6) -> str:
+    """Mirror of operators/metrics.py::rich_club on the web graph."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ {_CANON_CTE},
+ deg AS (SELECT id, count(*) AS d FROM (
+   SELECT src AS id FROM ce UNION ALL SELECT dst AS id FROM ce) GROUP BY id),
+ rich AS (SELECT id FROM deg WHERE d > {k}),
+ nk AS (SELECT count(*) AS n_k FROM rich),
+ ek AS (SELECT count(*) AS e_k FROM ce
+        WHERE src IN (SELECT id FROM rich) AND dst IN (SELECT id FROM rich))
+SELECT CAST(n_k AS BIGINT) AS n_k, CAST(e_k AS BIGINT) AS e_k,
+       CASE WHEN n_k >= 2 THEN (2.0 * e_k) / (n_k * (n_k - 1))
+            ELSE 0.0 END AS phi
+FROM nk, ek"""
+
+
+def avg_neighbor_degree_web_sql() -> str:
+    """Mirror of operators/metrics.py::average_neighbor_degree."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ {_CANON_CTE},
+ sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce),
+ deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+ nbr AS (SELECT s.src AS id, sum(g.d) AS sd, count(*) AS nd
+         FROM sym s JOIN deg g ON s.dst = g.id GROUP BY s.src)
+SELECT v.id, coalesce(n.sd / n.nd, 0.0) AS avg_nbr_deg
+FROM v LEFT JOIN nbr n ON v.id = n.id"""
+
+
+def wcc_sizes_web_sql() -> str:
+    """Mirror of operators/components.py::component_size_histogram on the
+    web graph (same hash-min WCC labels as the gate-green wcc_web_sql)."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},
+ sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+ reach(id, r) AS (
+   SELECT id, id AS r FROM v
+   UNION
+   SELECT s.dst AS id, reach.r FROM reach JOIN sym s ON reach.id = s.src
+ ),
+ lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+ sz AS (SELECT component, count(*) AS size FROM lab GROUP BY component)
+SELECT CAST(size AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n
+FROM sz GROUP BY size"""
+
+
+def salsa_web_sql(iters: int = 4) -> str:
+    """Unrolled SALSA (operators/salsa.py with fixed_iters=iters): per round
+    the authority chain is a backward+forward two-hop and the hub chain a
+    forward+backward two-hop over weight-normalized transitions
+    (wn_in = w/w_in(dst), wn_out = w/w_out(src)); L1 normalization per
+    round, init a = h = 1/n."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "verts AS MATERIALIZED (SELECT id FROM v)",
+        "nn2 AS (SELECT count(*) AS n FROM verts)",
+        "win AS (SELECT dst, sum(weight) AS w_in FROM edges GROUP BY dst)",
+        "wot AS (SELECT src, sum(weight) AS w_out FROM edges GROUP BY src)",
+        "en AS MATERIALIZED (SELECT e.src, e.dst,"
+        " e.weight / wi.w_in AS wn_in, e.weight / wo.w_out AS wn_out"
+        " FROM edges e JOIN win wi ON e.dst = wi.dst"
+        " JOIN wot wo ON e.src = wo.src)",
+        "a0 AS MATERIALIZED (SELECT id, 1.0 / n AS a FROM verts, nn2)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 / n AS h FROM verts, nn2)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"ua{k} AS MATERIALIZED (SELECT e.src AS id,"
+            f" sum(a.a * e.wn_in) AS m FROM en e"
+            f" JOIN a{p} a ON e.dst = a.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT vv.id, coalesce(s.s, 0.0) AS a"
+            f" FROM verts vv LEFT JOIN"
+            f" (SELECT e.dst AS id, sum(u.m * e.wn_out) AS s FROM en e"
+            f" JOIN ua{k} u ON e.src = u.id GROUP BY e.dst) s"
+            f" ON vv.id = s.id)"
+        )
+        ctes.append(
+            f"an{k} AS (SELECT CASE WHEN sum(abs(a)) > 0 THEN sum(abs(a))"
+            f" ELSE 1.0 END AS nrm FROM ar{k})"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT id, a / nrm AS a FROM ar{k}, an{k})"
+        )
+        ctes.append(
+            f"xh{k} AS MATERIALIZED (SELECT e.dst AS id,"
+            f" sum(h.h * e.wn_out) AS m FROM en e"
+            f" JOIN h{p} h ON e.src = h.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT vv.id, coalesce(s.s, 0.0) AS h"
+            f" FROM verts vv LEFT JOIN"
+            f" (SELECT e.src AS id, sum(x.m * e.wn_in) AS s FROM en e"
+            f" JOIN xh{k} x ON e.dst = x.id GROUP BY e.src) s"
+            f" ON vv.id = s.id)"
+        )
+        ctes.append(
+            f"hn{k} AS (SELECT CASE WHEN sum(abs(h)) > 0 THEN sum(abs(h))"
+            f" ELSE 1.0 END AS nrm FROM hr{k})"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT id, h / nrm AS h FROM hr{k}, hn{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.id, round(h.h, {ROUND}) AS hub,"
+        f" round(a.a, {ROUND}) AS authority"
+        f" FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )

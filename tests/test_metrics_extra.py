@@ -49,3 +49,41 @@ def test_deterministic_graph_sampling(spark):
     keep = set(r["id"] for r in sub.vertices.collect())
     for r in sub.edges.collect():
         assert r["src"] in keep and r["dst"] in keep
+
+
+def test_rich_club(spark):
+    from graphina_spark.operators.metrics import rich_club
+
+    # triangle of hubs 0,1,2 each also attached to 2 leaves -> deg 4;
+    # leaves have deg 1
+    edges = [(0, 1), (1, 2), (0, 2)]
+    leaves = []
+    nxt = 3
+    for h in (0, 1, 2):
+        for _ in range(2):
+            leaves.append((h, nxt))
+            nxt += 1
+    g = make_graph(spark, edges + leaves, n=nxt, directed=False)
+    row = rich_club(g, k=3).collect()[0]
+    assert (row["n_k"], row["e_k"]) == (3, 3)
+    assert row["phi"] == 1.0  # the hub triangle is fully connected
+    row2 = rich_club(g, k=10).collect()[0]
+    assert (row2["n_k"], row2["e_k"], row2["phi"]) == (0, 0, 0.0)
+
+
+def test_average_neighbor_degree(spark):
+    from graphina_spark.operators.metrics import average_neighbor_degree
+
+    # path 0-1-2: deg(0)=deg(2)=1, deg(1)=2; isolated 3
+    g = make_graph(spark, [(0, 1), (1, 2)], n=4, directed=False)
+    got = {r["id"]: r["avg_nbr_deg"] for r in average_neighbor_degree(g).collect()}
+    assert got == {0: 2.0, 1: 1.0, 2: 2.0, 3: 0.0}
+
+
+def test_component_size_histogram(spark):
+    from graphina_spark.operators.components import component_size_histogram
+
+    # components: {0,1,2}, {3,4}, {5}
+    g = make_graph(spark, [(0, 1), (1, 2), (3, 4)], n=6, directed=True)
+    got = {r["size"]: r["n"] for r in component_size_histogram(g).collect()}
+    assert got == {3: 1, 2: 1, 1: 1}
