@@ -853,6 +853,22 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
 
 
+HOST_MOD = 64  # synthetic host fan: h{id % 64}.example.com
+
+
+def _q_host_graph_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.hostgraph import host_links
+
+    g = _web(spark, sf_dir)
+    pages = g.vertices.select(
+        "id",
+        F.format_string(
+            "https://h%d.example.com/p/%d", F.col("id") % HOST_MOD, F.col("id")
+        ).alias("url"),
+    )
+    return host_links(pages, g.edges)
+
+
 SALSA_ITERS = 4
 
 
@@ -1050,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_sample_web": _q_edge_sample_web,
         "vertex_sample_sub_web": _q_vertex_sample_sub_web,
         "salsa_web": _q_salsa_web,
+        "host_graph_web": _q_host_graph_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
         "wcc_sizes_web": _q_wcc_sizes_web,
@@ -1147,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
         "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),
+        "host_graph_web": O.host_graph_web_sql(host_mod=HOST_MOD),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
         "wcc_sizes_web": O.wcc_sizes_web_sql(),

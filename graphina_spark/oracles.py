@@ -1948,3 +1948,17 @@ def salsa_web_sql(iters: int = 4) -> str:
         f" round(a.a, {ROUND}) AS authority"
         f" FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
     )
+
+
+def host_graph_web_sql(host_mod: int = 64) -> str:
+    """Mirror of operators/hostgraph.py::host_links over the web graph with
+    synthetic urls https://h{id % host_mod}.example.com/p/{id} (the Spark
+    side builds the url string and parses the host back with parse_url;
+    weights are integer-valued doubles so the sums are exact)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ hosts AS (SELECT id,
+   'h' || CAST(id % {host_mod} AS VARCHAR) || '.example.com' AS host FROM v)
+SELECT s.host AS src_host, d.host AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links, sum(e.weight) AS weight
+FROM edges e JOIN hosts s ON e.src = s.id JOIN hosts d ON e.dst = d.id
+GROUP BY s.host, d.host"""
