@@ -853,6 +853,23 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
 
 
+TRUST_SEEDS_BELOW = 16  # the 16 hub pages are the vetted seed set
+
+
+def _q_spam_mass_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.trustrank import spam_mass
+
+    g = _web(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") < TRUST_SEEDS_BELOW).select("id")
+    df = spam_mass(g, seeds, damping=0.85, fixed_iters=5, tol=None)
+    return df.select(
+        "id",
+        F.round("pr", ROUND).alias("pr"),
+        F.round("tr", ROUND).alias("tr"),
+        F.round("spam_mass", ROUND).alias("spam_mass"),
+    )
+
+
 HOST_MOD = 64  # synthetic host fan: h{id % 64}.example.com
 
 
@@ -1067,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_sample_sub_web": _q_vertex_sample_sub_web,
         "salsa_web": _q_salsa_web,
         "host_graph_web": _q_host_graph_web,
+        "spam_mass_web": _q_spam_mass_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
         "wcc_sizes_web": _q_wcc_sizes_web,
@@ -1165,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
         "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),
         "host_graph_web": O.host_graph_web_sql(host_mod=HOST_MOD),
+        "spam_mass_web": O.spam_mass_web_sql(iters=5, seed_below=TRUST_SEEDS_BELOW),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
         "wcc_sizes_web": O.wcc_sizes_web_sql(),

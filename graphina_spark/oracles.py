@@ -1962,3 +1962,61 @@ SELECT s.host AS src_host, d.host AS dst_host,
        CAST(count(*) AS BIGINT) AS n_links, sum(e.weight) AS weight
 FROM edges e JOIN hosts s ON e.src = s.id JOIN hosts d ON e.dst = d.id
 GROUP BY s.host, d.host"""
+
+
+def spam_mass_web_sql(
+    iters: int = PR_ITERS, d: float = PR_DAMPING, seed_below: int = 16
+) -> str:
+    """Mirror of operators/trustrank.py::spam_mass — one unrolled uniform
+    PageRank chain (u*) and one seed-personalized chain (t*, teleport AND
+    dangling mass on the normalized seed indicator id < seed_below), then
+    spam_mass = (pr − tr)/pr."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "verts AS MATERIALIZED (SELECT id FROM v)",
+        "nn2 AS (SELECT count(*) AS n FROM verts)",
+        f"ps AS (SELECT count(*) AS np FROM verts WHERE id < {seed_below})",
+        f"pvec AS MATERIALIZED (SELECT id, CASE WHEN id < {seed_below}"
+        f" THEN 1.0 / np ELSE 0.0 END AS p FROM verts, ps)",
+        "wout AS MATERIALIZED (SELECT src AS id, sum(weight) AS w_out"
+        " FROM edges GROUP BY src)",
+        "en AS MATERIALIZED (SELECT e.src, e.dst, e.weight / w.w_out AS w_norm"
+        " FROM edges e JOIN wout w ON e.src = w.id)",
+        "u0 AS MATERIALIZED (SELECT id, 1.0 / n AS pr FROM verts, nn2)",
+        "t0 AS MATERIALIZED (SELECT id, 1.0 / n AS pr FROM verts, nn2)",
+    ]
+    for k in range(1, iters + 1):
+        for chain in ("u", "t"):
+            p, c = f"{chain}{k - 1}", f"{chain}{k}"
+            ctes.append(
+                f"{chain}d{k} AS (SELECT coalesce(sum(r.pr), 0.0) AS dang"
+                f" FROM {p} r LEFT JOIN wout w ON r.id = w.id WHERE w.id IS NULL)"
+            )
+            ctes.append(
+                f"{chain}g{k} AS MATERIALIZED (SELECT en.dst AS id,"
+                f" sum(r.pr * en.w_norm) AS gather"
+                f" FROM {p} r JOIN en ON r.id = en.src GROUP BY en.dst)"
+            )
+            if chain == "u":
+                ctes.append(
+                    f"{c} AS MATERIALIZED (SELECT vv.id,"
+                    f" {1.0 - d} / nn2.n + {d} * {chain}d{k}.dang / nn2.n"
+                    f" + {d} * coalesce({chain}g{k}.gather, 0.0) AS pr"
+                    f" FROM verts vv LEFT JOIN {chain}g{k} ON vv.id = {chain}g{k}.id,"
+                    f" nn2, {chain}d{k})"
+                )
+            else:
+                ctes.append(
+                    f"{c} AS MATERIALIZED (SELECT pv.id,"
+                    f" {1.0 - d} * pv.p + {d} * {chain}d{k}.dang * pv.p"
+                    f" + {d} * coalesce({chain}g{k}.gather, 0.0) AS pr"
+                    f" FROM pvec pv LEFT JOIN {chain}g{k} ON pv.id = {chain}g{k}.id,"
+                    f" {chain}d{k})"
+                )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u.id, round(u.pr, {ROUND}) AS pr,"
+        f" round(t.pr, {ROUND}) AS tr,"
+        f" round((u.pr - t.pr) / u.pr, {ROUND}) AS spam_mass"
+        f" FROM u{iters} u JOIN t{iters} t ON u.id = t.id"
+    )
