@@ -853,6 +853,23 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
 
 
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html → Arrow anchor-parsing UDF → per-target anchor-text index
+    (the classic anchor-text ranking signal, aggregated by resolved href)."""
+    from graphina_spark.functions.extract import parse_anchors_udf
+    from graphina_spark.sources.derived import pages_from_customer
+
+    pages = pages_from_customer(spark, sf_dir)
+    anch = pages.select(
+        F.explode(parse_anchors_udf(F.col("html"), F.col("url"))).alias("a")
+    )
+    return anch.groupBy(F.col("a.href").alias("dst_url")).agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("a.text").alias("n_texts"),
+        F.min("a.text").alias("top_text"),
+    )
+
+
 TRUST_SEEDS_BELOW = 16  # the 16 hub pages are the vetted seed set
 
 
@@ -1085,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_web": _q_salsa_web,
         "host_graph_web": _q_host_graph_web,
         "spam_mass_web": _q_spam_mass_web,
+        "anchor_stats": _q_anchor_stats,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
         "wcc_sizes_web": _q_wcc_sizes_web,
@@ -1184,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),
         "host_graph_web": O.host_graph_web_sql(host_mod=HOST_MOD),
         "spam_mass_web": O.spam_mass_web_sql(iters=5, seed_below=TRUST_SEEDS_BELOW),
+        "anchor_stats": O.anchor_stats_sql(),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
         "wcc_sizes_web": O.wcc_sizes_web_sql(),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 TEXT_EXTRACT_VERSION = 1
 
@@ -98,6 +98,39 @@ def parse_links_pd(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out, index=html.index)
 
 
+# anchor tag with href + inner text (non-greedy to the matching </a>)
+_ANCHOR_RE = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+
+
+def _clean_anchor_text(t: str) -> str:
+    """Anchor inner text under the same frozen v1 rules as extract_text_pd:
+    tags → space, 5 entities decoded (&amp; last), whitespace collapsed."""
+    import re
+
+    t = re.sub(_TAG_RE, " ", t)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        t = t.replace(ent, ch)
+    return re.sub(_WS_RE, " ", t).strip()
+
+
+def parse_anchors_pd(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Per-page ordered list of (href, text) anchor structs — the anchor-text
+    signal (href resolved like parse_links_pd; text under the frozen v1
+    cleanup).  Duplicates kept; pages without anchors yield []."""
+    found = _decode(html).str.findall(_ANCHOR_RE)
+    base = url.astype(object)
+    out = [
+        [
+            {"href": _resolve(b, h), "text": _clean_anchor_text(t)}
+            for h, t in hs
+        ]
+        if isinstance(hs, list)
+        else []
+        for b, hs in zip(base, found)
+    ]
+    return pd.Series(out, index=html.index)
+
+
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     return extract_text_pd(html)
@@ -106,3 +139,15 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(StringType()))
 def parse_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return parse_links_pd(html, url)
+
+
+_ANCHOR_TYPE = ArrayType(
+    StructType(
+        [StructField("href", StringType()), StructField("text", StringType())]
+    )
+)
+
+
+@pandas_udf(_ANCHOR_TYPE)
+def parse_anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return parse_anchors_pd(html, url)

@@ -2020,3 +2020,19 @@ def spam_mass_web_sql(
         f" round((u.pr - t.pr) / u.pr, {ROUND}) AS spam_mass"
         f" FROM u{iters} u JOIN t{iters} t ON u.id = t.id"
     )
+
+
+def anchor_stats_sql() -> str:
+    """Mirror of the anchor-text index (functions/extract.py
+    parse_anchors_udf → groupBy href): the generator emits one anchor per
+    DISTINCT modular out-target (sources/pages.py _gen_modular dedupes
+    sorted target columns), href = URL_PREFIX + zfill(dst, 8), text =
+    'link ' + zfill(dst, 8)."""
+    return f"""WITH {PAGES_EDGES_CTE.strip()},
+ a AS (SELECT 'https://ex.com/p' || lpad(CAST(dst AS VARCHAR), 8, '0') AS dst_url,
+              'link ' || lpad(CAST(dst AS VARCHAR), 8, '0') AS text
+       FROM edges)
+SELECT dst_url, CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+       min(text) AS top_text
+FROM a GROUP BY dst_url"""

@@ -130,3 +130,28 @@ def test_pages_tiny_graphs(spark, n):
     assert len(pages) == n
     for r in pages:
         assert r["text"].startswith("Page ")
+
+
+def test_parse_anchors_pd_cleanup_and_resolution():
+    """Anchor text gets the frozen v1 cleanup (inner tags stripped, entities
+    decoded, whitespace collapsed); hrefs resolve like parse_links_pd."""
+    import pandas as pd
+
+    from graphina_spark.functions.extract import parse_anchors_pd
+
+    html = pd.Series(
+        [
+            b'<a href="/x">  Click <b>here</b> &amp; now </a>'
+            b'<a href="https://other.com/y">plain</a>'
+            b"<a href='rel'>q&lt;r</a>",
+            b"<p>no anchors</p>",
+        ]
+    )
+    url = pd.Series(["https://a.com/dir/page", "https://a.com/"])
+    got = parse_anchors_pd(html, url).tolist()
+    assert got[0] == [
+        {"href": "https://a.com/x", "text": "Click here & now"},
+        {"href": "https://other.com/y", "text": "plain"},
+        {"href": "https://a.com/dir/rel", "text": "q<r"},
+    ]
+    assert got[1] == []
