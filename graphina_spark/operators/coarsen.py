@@ -21,10 +21,9 @@ from pyspark.sql import functions as F
 from graphina_spark.graph import LinkGraph
 
 
-def host_of(url: Column) -> Column:
-    """Registrable host of an http(s) url (empty string when not parseable)
-    — the canonical grouping key for url → host contraction."""
-    return F.regexp_extract(url, r"^https?://([^/:?#]+)", 1)
+# canonical url→host key lives in operators/hostgraph.py (try_parse_url,
+# NULL on garbage); re-exported here for contraction callers
+from graphina_spark.operators.hostgraph import host_of  # noqa: F401,E402
 
 
 def contract_vertices(

@@ -44,4 +44,4 @@ def test_host_of(spark):
         "url string",
     )
     got = [r["h"] for r in df.select(host_of(F.col("url")).alias("h")).collect()]
-    assert got == ["a.example.com", "b.org", "c.net", ""]
+    assert got == ["a.example.com", "b.org", "c.net", None]
