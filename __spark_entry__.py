@@ -870,6 +870,21 @@ def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COCIT_MIN = 2  # pair-count floor for the co-citation/coupling gates
+
+
+def _q_cocitation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.cocitation import co_citation
+
+    return co_citation(_web(spark, sf_dir), min_count=COCIT_MIN)
+
+
+def _q_coupling_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.cocitation import bibliographic_coupling
+
+    return bibliographic_coupling(_web(spark, sf_dir), min_count=COCIT_MIN)
+
+
 TRUST_SEEDS_BELOW = 16  # the 16 hub pages are the vetted seed set
 
 
@@ -1103,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_web": _q_host_graph_web,
         "spam_mass_web": _q_spam_mass_web,
         "anchor_stats": _q_anchor_stats,
+        "cocitation_web": _q_cocitation_web,
+        "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
         "wcc_sizes_web": _q_wcc_sizes_web,
@@ -1203,6 +1220,8 @@ def oracle_sql() -> dict[str, str]:
         "host_graph_web": O.host_graph_web_sql(host_mod=HOST_MOD),
         "spam_mass_web": O.spam_mass_web_sql(iters=5, seed_below=TRUST_SEEDS_BELOW),
         "anchor_stats": O.anchor_stats_sql(),
+        "cocitation_web": O.cocitation_web_sql(min_count=COCIT_MIN),
+        "coupling_web": O.coupling_web_sql(min_count=COCIT_MIN),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
         "wcc_sizes_web": O.wcc_sizes_web_sql(),

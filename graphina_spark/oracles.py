@@ -2036,3 +2036,26 @@ SELECT dst_url, CAST(count(*) AS BIGINT) AS n_anchors,
        CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
        min(text) AS top_text
 FROM a GROUP BY dst_url"""
+
+
+def _pair_counts_sql(shared: str, other: str, max_degree: int, min_count: int) -> str:
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ adj AS (SELECT DISTINCT src, dst FROM edges),
+ dg AS (SELECT {shared} AS k, count(*) AS d FROM adj GROUP BY {shared}),
+ keep AS (SELECT a.{shared} AS k, a.{other} AS o FROM adj a
+          JOIN dg ON a.{shared} = dg.k WHERE dg.d <= {max_degree}),
+ p AS (SELECT x.o AS u, y.o AS v FROM keep x JOIN keep y ON x.k = y.k
+       WHERE x.o < y.o)
+SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+FROM p GROUP BY u, v HAVING count(*) >= {min_count}"""
+
+
+def cocitation_web_sql(max_degree: int = 10_000, min_count: int = 2) -> str:
+    """Mirror of operators/cocitation.py::co_citation (shared in-neighbor
+    pair counts, wedge centers above max_degree dropped)."""
+    return _pair_counts_sql("src", "dst", max_degree, min_count)
+
+
+def coupling_web_sql(max_degree: int = 10_000, min_count: int = 2) -> str:
+    """Mirror of operators/cocitation.py::bibliographic_coupling."""
+    return _pair_counts_sql("dst", "src", max_degree, min_count)
