@@ -870,6 +870,23 @@ def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REDIR_MOD = 8  # synthetic 301 chains: id -> id-1, terminals at id % 8 == 0
+
+
+def _q_redirects_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-jumped redirect-chain resolution on synthetic 301 chains
+    (id → id−1 until the next multiple of 8): final = id − (id % 8)."""
+    from graphina_spark.operators.redirects import resolve_redirects
+
+    ids = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    redirects = ids.where(F.col("id") % REDIR_MOD != 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    return resolve_redirects(redirects)
+
+
 COCIT_MIN = 2  # pair-count floor for the co-citation/coupling gates
 
 
@@ -1119,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass_web": _q_spam_mass_web,
         "anchor_stats": _q_anchor_stats,
         "cocitation_web": _q_cocitation_web,
+        "redirects_web": _q_redirects_web,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
@@ -1221,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_web": O.spam_mass_web_sql(iters=5, seed_below=TRUST_SEEDS_BELOW),
         "anchor_stats": O.anchor_stats_sql(),
         "cocitation_web": O.cocitation_web_sql(min_count=COCIT_MIN),
+        "redirects_web": O.redirects_web_sql(mod=REDIR_MOD),
         "coupling_web": O.coupling_web_sql(min_count=COCIT_MIN),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),

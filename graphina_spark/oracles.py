@@ -2059,3 +2059,14 @@ def cocitation_web_sql(max_degree: int = 10_000, min_count: int = 2) -> str:
 def coupling_web_sql(max_degree: int = 10_000, min_count: int = 2) -> str:
     """Mirror of operators/cocitation.py::bibliographic_coupling."""
     return _pair_counts_sql("dst", "src", max_degree, min_count)
+
+
+def redirects_web_sql(mod: int = 8) -> str:
+    """Closed-form oracle for resolve_redirects on the synthetic chains
+    src=id, dst=id−1 (id % mod ≠ 0): the chain walks down to the nearest
+    multiple of mod, so final = id − (id % mod).  No loops in the fixture
+    (loop handling is pinned by pytest instead — NULL finals aren't
+    SQL-expressible as a closed form here)."""
+    return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+SELECT id AS src, CAST(id - (id % {mod}) AS BIGINT) AS final
+FROM v WHERE id % {mod} <> 0"""
