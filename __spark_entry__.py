@@ -870,6 +870,29 @@ def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-v1 url canonicalization over deterministically messy urls;
+    the oracle is the CLOSED-FORM expected string, not a mirrored regex."""
+    from graphina_spark.functions.urls import canonical_url
+
+    ids = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    messy = F.concat(
+        F.lit("HTTP://WwW.Site"),
+        (F.col("id") % 7).cast("string"),
+        F.lit(".COM:80/p/"),
+        F.col("id").cast("string"),
+        F.when(
+            F.col("id") % 3 == 0, F.lit("?utm_source=a&utm_medium=b")
+        ).otherwise(
+            F.concat(F.lit("?utm_source=s&q="), (F.col("id") % 5).cast("string"))
+        ),
+        F.lit("#sec"),
+    )
+    return ids.select("id", canonical_url(messy).alias("curl"))
+
+
 REDIR_MOD = 8  # synthetic 301 chains: id -> id-1, terminals at id % 8 == 0
 
 
@@ -1137,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "cocitation_web": _q_cocitation_web,
         "redirects_web": _q_redirects_web,
+        "canon_urls": _q_canon_urls,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
@@ -1240,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": O.anchor_stats_sql(),
         "cocitation_web": O.cocitation_web_sql(min_count=COCIT_MIN),
         "redirects_web": O.redirects_web_sql(mod=REDIR_MOD),
+        "canon_urls": O.canon_urls_sql(),
         "coupling_web": O.coupling_web_sql(min_count=COCIT_MIN),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),

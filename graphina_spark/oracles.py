@@ -2070,3 +2070,18 @@ def redirects_web_sql(mod: int = 8) -> str:
     return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
 SELECT id AS src, CAST(id - (id % {mod}) AS BIGINT) AS final
 FROM v WHERE id % {mod} <> 0"""
+
+
+def canon_urls_sql() -> str:
+    """CLOSED-FORM expected output of functions/urls.py::canonical_url on
+    the synthetic messy urls built in __spark_entry__._q_canon_urls
+    (HTTP://WwW.Site{id%7}.COM:80/p/{id}?<tracking or q={id%5}>#sec):
+    scheme/host lowercased, :80 stripped, fragment gone, tracking params
+    dropped.  A semantic oracle — it does NOT re-run the normalizer."""
+    return """WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+SELECT id,
+       'http://www.site' || CAST(id % 7 AS VARCHAR) || '.com/p/'
+       || CAST(id AS VARCHAR)
+       || CASE WHEN id % 3 = 0 THEN ''
+               ELSE '?q=' || CAST(id % 5 AS VARCHAR) END AS curl
+FROM v"""
