@@ -40,3 +40,77 @@ def test_max_degree_drops_hub_centers(spark):
         for r in co_citation(g, max_degree=None).collect()
     }
     assert got_full[(5, 6)] == 3 and len(got_full) == 6
+
+
+# --- hypothesis: brute-force cross-check on random small digraphs ----------
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=16
+)
+
+
+def _brute(edges, shared_idx, other_idx, min_count):
+    adj = set(edges)
+    byk = {}
+    for e in adj:
+        byk.setdefault(e[shared_idx], set()).add(e[other_idx])
+    c = Counter()
+    for members in byk.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                c[(ms[i], ms[j])] += 1
+    return {p: n for p, n in c.items() if n >= min_count}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_lists)
+def test_cocitation_matches_bruteforce(spark, edges):
+    from graphina_spark.operators.cocitation import (
+        bibliographic_coupling,
+        co_citation,
+    )
+
+    g = make_graph(spark, edges, n=8, directed=True)
+    got = {
+        (r["u"], r["v"]): r["n_common"]
+        for r in co_citation(g, max_degree=None).collect()
+    }
+    assert got == _brute(edges, 0, 1, 1)
+    got2 = {
+        (r["u"], r["v"]): r["n_common"]
+        for r in bibliographic_coupling(g, max_degree=None).collect()
+    }
+    assert got2 == _brute(edges, 1, 0, 1)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_lists)
+def test_salsa_mass_conservation(spark, edges):
+    """Both SALSA vectors stay L1-normalized on any digraph with edges."""
+    from pyspark.sql import functions as F
+
+    from graphina_spark.operators.salsa import salsa
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        edges = [(0, 1)]
+    g = make_graph(spark, edges, n=8, directed=True)
+    sums = salsa(g, fixed_iters=2).agg(
+        F.sum(F.abs(F.col("hub"))), F.sum(F.abs(F.col("authority")))
+    ).first()
+    assert sums[0] == pytest.approx(1.0, abs=1e-9)
+    assert sums[1] == pytest.approx(1.0, abs=1e-9)
