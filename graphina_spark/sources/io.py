@@ -85,3 +85,41 @@ def load_graph(
         edges=spark.read.parquet(os.path.join(path, "edges")),
         directed=manifest["directed"],
     )
+
+
+def save_bucketed_edges(
+    edges,
+    table: str,
+    path: str,
+    buckets: int | None = None,
+) -> str:
+    """Persist an edge table hash-bucketed (and sorted) by ``src``.
+
+    The scale storage layout for repeated graph workloads: every
+    src-keyed join or aggregation against a bucketed edge table reads
+    co-located buckets and skips its shuffle entirely (Spark's bucketed
+    scan reports the hash partitioning to the planner), the same role
+    Iceberg's bucket partition transform plays on a real lakehouse.  A
+    bucketed-join plan for two reads of this table contains NO Exchange —
+    pinned by tests/test_bucketed_io.py.
+
+    ``path`` makes it an external table (no warehouse dependency); returns
+    the table name for ``spark.table``."""
+    spark = edges.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    (
+        edges.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def load_bucketed_edges(spark: SparkSession, table: str):
+    """Read back a bucketed edge table (bucket metadata intact — reading
+    the parquet directory directly would lose it)."""
+    return spark.table(table)
