@@ -870,6 +870,18 @@ def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, "source", STRATA_FRACS).select(
+        "doc_id", "source"
+    )
+
+
 def _q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-v1 url canonicalization over deterministically messy urls;
     the oracle is the CLOSED-FORM expected string, not a mirrored regex."""
@@ -1161,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_web": _q_cocitation_web,
         "redirects_web": _q_redirects_web,
         "canon_urls": _q_canon_urls,
+        "stratified_docs": _q_stratified_docs,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
@@ -1265,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_web": O.cocitation_web_sql(min_count=COCIT_MIN),
         "redirects_web": O.redirects_web_sql(mod=REDIR_MOD),
         "canon_urls": O.canon_urls_sql(),
+        "stratified_docs": O.stratified_docs_sql(STRATA_FRACS),
         "coupling_web": O.coupling_web_sql(min_count=COCIT_MIN),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),

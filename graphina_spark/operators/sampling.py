@@ -392,3 +392,33 @@ def induced_sample_subgraph(g, frac: float, salt: str = "vsample"):
         .select("src", "dst", "weight")
     )
     return LinkGraph(vertices=verts, edges=edges, directed=g.directed)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fracs: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strata",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive: keep
+    each row iff its md5 bucket falls below its stratum's threshold, so a
+    training mix like {"wiki": 1.0, "crawl": 0.1} is one row-local predicate
+    (zero shuffle, pushes to the scan) and is stable across reruns,
+    partitioning, and corpus growth (a row's fate depends only on its id).
+
+    Strata absent from ``fracs`` fall back to ``default_frac`` (0.0 = drop —
+    the allowlist behavior a curated mix wants)."""
+    thr = F.lit(_keep_threshold(default_frac))
+    for s, frac in sorted(fracs.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(_keep_threshold(frac))).otherwise(thr)
+    return df.where(split_bucket(F.col(id_col), salt) < thr)
+
+
+def _keep_threshold(frac: float) -> str:
+    """Like _hex_threshold but safe at frac=1.0 for a `bucket < thr` keep
+    predicate: 16^8 formats to 9 chars ('100000000'), which sorts BELOW
+    most 8-char hex buckets lexicographically and would silently drop
+    ~94% of a keep-everything stratum; 'g' sorts above every hex string."""
+    return "g" if frac >= 1.0 else _hex_threshold(frac)

@@ -2085,3 +2085,18 @@ SELECT id,
        || CASE WHEN id % 3 = 0 THEN ''
                ELSE '?q=' || CAST(id % 5 AS VARCHAR) END AS curl
 FROM v"""
+
+
+def stratified_docs_sql(fracs: dict, salt: str = "strata") -> str:
+    """Mirror of operators/sampling.py::stratified_sample on the documents
+    table — same md5 bucket rule, same per-stratum keep thresholds
+    (_keep_threshold: 'g' for frac≥1.0 so keep-everything strata survive
+    the lexicographic compare)."""
+    from graphina_spark.operators.sampling import _keep_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{_keep_threshold(f)}'" for s, f in sorted(fracs.items())
+    )
+    return f"""SELECT doc_id, source FROM documents
+WHERE substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE source {cases} ELSE '00000000' END"""

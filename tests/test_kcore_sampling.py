@@ -263,3 +263,22 @@ def test_tfidf_top_terms(spark):
     assert got[(0, 1)] == ("apple", round(2 * idf1, 6))
     assert got[(0, 2)] == ("banana", round(1 * idf2, 6))
     assert got[(2, 1)] == ("cherry", round(3 * idf2, 6))
+
+
+def test_stratified_sample_keep_all_and_drop(spark):
+    """frac=1.0 must keep EVERY row of its stratum (regression: the naive
+    16^8 hex threshold is 9 chars and lexicographically drops ~94%), and
+    strata absent from fracs drop entirely by default."""
+    from graphina_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "other") for i in range(200)],
+        "doc_id long, source string",
+    )
+    got = stratified_sample(df, "source", {"keep": 1.0}).collect()
+    assert len(got) == 100 and all(r["source"] == "keep" for r in got)
+    # rerun identical (determinism) and fractional stratum is a subset
+    half = stratified_sample(df, "source", {"keep": 0.5})
+    a = sorted(r["doc_id"] for r in half.collect())
+    b = sorted(r["doc_id"] for r in half.collect())
+    assert a == b and set(a) <= {r["doc_id"] for r in got} and 0 < len(a) < 100
