@@ -870,6 +870,18 @@ def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _q_kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.kmeans import kmeans
+
+    return kmeans(_embs(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS).select(
+        "id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
 STRATA_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
@@ -1174,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects_web": _q_redirects_web,
         "canon_urls": _q_canon_urls,
         "stratified_docs": _q_stratified_docs,
+        "kmeans_emb": _q_kmeans_emb,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
@@ -1311,4 +1324,5 @@ def _text_oracles() -> dict[str, str]:
         "doc_repetition": T.doc_repetition_sql(),
         "split_contamination": T.split_contamination_sql(k=3),
         "tfidf_terms": T.tfidf_top_terms_sql(k=3),
+        "kmeans_emb": T.kmeans_sql(k=KMEANS_K, iters=KMEANS_ITERS),
     }

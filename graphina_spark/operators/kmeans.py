@@ -1,0 +1,96 @@
+"""Distributed Lloyd k-means over an embedding column — fixed-iteration,
+cross-engine deterministic.
+
+Training-data curation clusters embeddings constantly (topic balancing,
+dedup cell discovery, SemDeDup-style pruning); this is the scale-shaped
+kernel: per round ONE pass over the vectors (centroids are k×d ≪ data —
+they live on the driver between rounds and broadcast into the assignment
+join) plus one (cluster, dim)-keyed mean aggregation.  No Python in the
+path — distances and means are column expressions over the exploded dims.
+
+Determinism contract (what lets a DuckDB oracle replay the trajectory):
+  - init: the vectors whose id is a multiple of ⌊n/k⌋ (the same sampled
+    rule as operators/ann.py::_centroids — a pure function of the data)
+  - assignment: squared-L2 rounded to 9 dp before the argmin, ties to the
+    smaller cluster id
+  - update: per-dimension mean rounded to 6 dp (absorbs cross-engine
+    summation-order ulps); an emptied cluster keeps its previous centroid
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphina_spark.plans.materialize import local_materialize as _mat
+
+DIST_ROUND = 9
+CENT_ROUND = 6
+
+
+def _sq_dist(vec, cvec):
+    """Σ (x−y)² via the dot-product identity (stays in one aggregate)."""
+    return F.aggregate(
+        F.zip_with(vec, cvec, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) — Lloyd assignments after exactly ``iters`` rounds."""
+    if k < 1 or iters < 1:
+        raise ValueError("need k >= 1 and iters >= 1")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).transform(_mat)
+    n = base.count()
+    step = max(1, n // k)
+    cents = (
+        base.where((F.col("id") % step == 0) & (F.col("id") < step * k))
+        .select(
+            (F.col("id") / step).cast("int").alias("cid"),
+            F.col("vec").alias("cvec"),
+        )
+        .transform(_mat)
+    )
+    assign = None
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "id",
+            "vec",
+            "cid",
+            F.round(_sq_dist(F.col("vec"), F.col("cvec")), DIST_ROUND).alias("d2"),
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "vec", "cid")
+            .transform(_mat)
+        )
+        means = (
+            assign.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), CENT_ROUND).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cid", F.transform("pm", lambda s: s["m"]).alias("cvec_new")
+            )
+        )
+        cents = (
+            cents.join(means, "cid", "left")
+            .select(
+                "cid", F.coalesce("cvec_new", "cvec").alias("cvec")
+            )
+            .transform(_mat)
+        )
+    return assign.select("id", F.col("cid").alias("cluster"))

@@ -526,3 +526,53 @@ def tfidf_top_terms_sql(k: int = 3) -> str:
         FROM sc)
 SELECT id, CAST(rnk AS INT) AS rnk, term, round(s, {ROUND}) AS tfidf
 FROM rk WHERE rnk <= {k}"""
+
+
+def kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Twin of operators/kmeans.py::kmeans — identical trajectory: sampled
+    init (id multiple of ⌊n/k⌋), per-round squared-L2 = left-to-right fold
+    of (x−y)² (bit-identical to Spark's F.aggregate over zip_with) rounded
+    to 9 dp, argmin ties to smaller cid, centroid update = per-dim mean
+    rounded to 6 dp, empty clusters keep their previous centroid."""
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        f"stepc AS (SELECT greatest(1, CAST(n // {k} AS BIGINT)) AS step FROM nn)",
+        "base AS MATERIALIZED (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT CAST(id // step AS INT) AS cid,"
+        f" vec AS cvec FROM base, stepc"
+        f" WHERE id % step = 0 AND id < step * {k})",
+        "dims AS (SELECT unnest(range(1, 1 + len(vec))) AS pos"
+        " FROM (SELECT vec FROM base LIMIT 1))",
+    ]
+    d2 = (
+        "round(list_aggregate(list_transform(list_zip(b.vec, c.cvec),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum'), 9)"
+    )
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT b.id, b.vec, c.cid, {d2} AS d2"
+            f" FROM base b CROSS JOIN c{p} c)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT id, vec, cid FROM ("
+            f"SELECT id, vec, cid, row_number() OVER ("
+            f"PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn FROM s{r}"
+            f") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS cvec_new"
+            f" FROM (SELECT a.cid, d.pos, round(avg(a.vec[d.pos]), 6) AS m"
+            f" FROM a{r} a CROSS JOIN dims d GROUP BY a.cid, d.pos)"
+            f" GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT c.cid,"
+            f" coalesce(m.cvec_new, c.cvec) AS cvec"
+            f" FROM c{p} c LEFT JOIN m{r} m ON c.cid = m.cid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(cid AS INT) AS cluster FROM a{iters}"
+    )
