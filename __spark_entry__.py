@@ -870,6 +870,40 @@ def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_T = 0.3
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.kmeans import semdedup_pairs
+
+    df = semdedup_pairs(
+        _embs(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T
+    )
+    return df.select("a", "b", "cluster", F.round("cosine", ROUND).alias("cosine"))
+
+
+TOP_PER_HOST = 3
+
+
+def _q_top_pages_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k pages by in-link weight within each host (the per-group top-k
+    crawl readout; deterministic tie-break on id).  One aggregation + one
+    per-host window — the window state is one host's pages."""
+    g = _web(spark, sf_dir)
+    from pyspark.sql import Window
+
+    indeg = g.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("weight").alias("w_in")
+    )
+    hosted = indeg.withColumn("host", (F.col("id") % HOST_MOD).cast("long"))
+    w = Window.partitionBy("host").orderBy(F.desc("w_in"), F.asc("id"))
+    return (
+        hosted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_PER_HOST)
+        .select("host", "id", "w_in", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -1187,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_urls": _q_canon_urls,
         "stratified_docs": _q_stratified_docs,
         "kmeans_emb": _q_kmeans_emb,
+        "top_pages_per_host": _q_top_pages_per_host,
+        "semdedup": _q_semdedup,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
@@ -1292,6 +1328,9 @@ def oracle_sql() -> dict[str, str]:
         "redirects_web": O.redirects_web_sql(mod=REDIR_MOD),
         "canon_urls": O.canon_urls_sql(),
         "stratified_docs": O.stratified_docs_sql(STRATA_FRACS),
+        "top_pages_per_host": O.top_pages_per_host_sql(
+            host_mod=HOST_MOD, k=TOP_PER_HOST
+        ),
         "coupling_web": O.coupling_web_sql(min_count=COCIT_MIN),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
@@ -1325,4 +1364,7 @@ def _text_oracles() -> dict[str, str]:
         "split_contamination": T.split_contamination_sql(k=3),
         "tfidf_terms": T.tfidf_top_terms_sql(k=3),
         "kmeans_emb": T.kmeans_sql(k=KMEANS_K, iters=KMEANS_ITERS),
+        "semdedup": T.semdedup_sql(
+            k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T
+        ),
     }

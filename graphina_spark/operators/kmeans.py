@@ -94,3 +94,48 @@ def kmeans(
             .transform(_mat)
         )
     return assign.select("id", F.col("cid").alias("cluster"))
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cluster, cosine) with a < b — SemDeDup (Abbas et al. 2023):
+    embedding near-duplicate pairs found *within k-means cells only*.  The
+    cells bound the quadratic: candidate pairs are Σ|cell|² instead of n²,
+    and at 10^9+ vectors k scales with n to keep E|cell| fixed, so the
+    per-cell self-join stays one bounded shuffle stage.  Complements the
+    LSH candidate generator in ann.embedding_neardup_pairs (cells group by
+    global geometry; hyperplane buckets by random projections)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    cl = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    withc = base.join(cl, "id")
+    a = withc.select(
+        F.col("id").alias("a"), F.col("vec").alias("avec"), "cluster"
+    )
+    b = withc.select(
+        F.col("id").alias("b"), F.col("vec").alias("bvec"), "cluster"
+    )
+    from graphina_spark.operators.ann import _dot, _norm
+
+    den = _norm(F.col("avec")) * _norm(F.col("bvec"))
+    return (
+        a.join(b, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            "cluster",
+            F.when(den > 0, _dot(F.col("avec"), F.col("bvec")) / den).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

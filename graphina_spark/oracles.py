@@ -2100,3 +2100,14 @@ def stratified_docs_sql(fracs: dict, salt: str = "strata") -> str:
     return f"""SELECT doc_id, source FROM documents
 WHERE substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)
       < CASE source {cases} ELSE '00000000' END"""
+
+
+def top_pages_per_host_sql(host_mod: int = 64, k: int = 3) -> str:
+    """Mirror of __spark_entry__._q_top_pages_per_host: in-link weight per
+    page, per-host row_number (w_in desc, id asc), top k."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ indeg AS (SELECT dst AS id, sum(weight) AS w_in FROM edges GROUP BY dst),
+ hosted AS (SELECT id, w_in, CAST(id % {host_mod} AS BIGINT) AS host FROM indeg),
+ ranked AS (SELECT host, id, w_in, row_number() OVER (
+     PARTITION BY host ORDER BY w_in DESC, id ASC) AS rnk FROM hosted)
+SELECT host, id, w_in, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {k}"""

@@ -528,12 +528,14 @@ SELECT id, CAST(rnk AS INT) AS rnk, term, round(s, {ROUND}) AS tfidf
 FROM rk WHERE rnk <= {k}"""
 
 
-def kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Twin of operators/kmeans.py::kmeans — identical trajectory: sampled
-    init (id multiple of ⌊n/k⌋), per-round squared-L2 = left-to-right fold
-    of (x−y)² (bit-identical to Spark's F.aggregate over zip_with) rounded
-    to 9 dp, argmin ties to smaller cid, centroid update = per-dim mean
-    rounded to 6 dp, empty clusters keep their previous centroid."""
+def _kmeans_ctes(k: int, iters: int) -> list:
+    """Shared CTE chain for kmeans_sql/semdedup_sql — identical trajectory
+    to operators/kmeans.py::kmeans: sampled init (id multiple of ⌊n/k⌋),
+    per-round squared-L2 = left-to-right fold of (x−y)² (bit-identical to
+    Spark's F.aggregate over zip_with) rounded to 9 dp, argmin ties to
+    smaller cid, centroid update = per-dim mean rounded to 6 dp, empty
+    clusters keep their previous centroid.  Final assignment CTE is
+    a{iters}."""
     ctes = [
         "nn AS (SELECT count(*) AS n FROM embeddings)",
         f"stepc AS (SELECT greatest(1, CAST(n // {k} AS BIGINT)) AS step FROM nn)",
@@ -572,7 +574,36 @@ def kmeans_sql(k: int = 8, iters: int = 2) -> str:
             f" coalesce(m.cvec_new, c.cvec) AS cvec"
             f" FROM c{p} c LEFT JOIN m{r} m ON c.cid = m.cid)"
         )
+    return ctes
+
+
+def kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Twin of operators/kmeans.py::kmeans (see _kmeans_ctes)."""
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters))
+        + f"\nSELECT id, CAST(cid AS INT) AS cluster FROM a{iters}"
+    )
+
+
+def semdedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.5) -> str:
+    """Twin of operators/kmeans.py::semdedup_pairs — within-cell pairs with
+    cosine ≥ threshold (cells from the identical kmeans trajectory)."""
+    ctes = _kmeans_ctes(k, iters)
+    cos = (
+        "list_dot_product(xa.vec, xb.vec)"
+        " / (sqrt(list_dot_product(xa.vec, xa.vec))"
+        " * sqrt(list_dot_product(xb.vec, xb.vec)))"
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, CAST(cid AS INT) AS cluster FROM a{iters}"
+        + f""",
+ pr AS (
+   SELECT xa.id AS a, xb.id AS b, CAST(xa.cid AS INT) AS cluster,
+          CASE WHEN sqrt(list_dot_product(xa.vec, xa.vec)) *
+                    sqrt(list_dot_product(xb.vec, xb.vec)) > 0
+               THEN {cos} END AS cosine
+   FROM a{iters} xa JOIN a{iters} xb
+     ON xa.cid = xb.cid AND xa.id < xb.id)
+SELECT a, b, cluster, round(cosine, {ROUND}) AS cosine
+FROM pr WHERE cosine >= {threshold}"""
     )

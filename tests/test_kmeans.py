@@ -42,3 +42,27 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     rows = [(0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [0.0, 0.01])]
     got = kmeans(_emb_df(spark, rows), k=3, iters=2).collect()
     assert len(got) == 3 and all(r["cluster"] is not None for r in got)
+
+
+def test_semdedup_finds_planted_within_cell_dupes(spark):
+    """Two far-apart blobs; a planted near-dup pair inside each blob must
+    surface, and no cross-blob pair can (cells separate the blobs)."""
+    from graphina_spark.operators.kmeans import semdedup_pairs
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0 + 0.2 * i, 1.0 - 0.2 * i]))
+    rows.append((8, [1.0, 1.0]))
+    rows.append((9, [1.0001, 1.0]))  # near-dup of 8 within blob A
+    for i in range(8):
+        rows.append((100 + i, [-50.0 - 0.2 * i, 30.0 + 0.2 * i]))
+    rows.append((108, [-50.0, 30.0]))
+    rows.append((109, [-50.0, 30.001]))  # near-dup of 108 within blob B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in semdedup_pairs(df, k=2, iters=2, threshold=0.9999999).collect()
+    }
+    assert (8, 9) in got and (108, 109) in got
+    for a, b in got:
+        assert (a < 100) == (b < 100)  # never a cross-blob pair
