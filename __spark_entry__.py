@@ -1125,6 +1125,34 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over events: one keyed-window shuffle, then
+    a reuse-partitioning groupBy — all-integer output."""
+    from graphina_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev)
+
+
+def _q_butterflies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user butterfly counts (bipartite 4-cycles) over the capped
+    (uid, window) incidence shared with events_graph."""
+    from graphina_spark.operators.butterflies import user_butterflies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_butterflies(ev)
+
+
+def _q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical scores for a fixed mixed-df query over the documents
+    corpus (Lucene non-negative idf; frozen token convention)."""
+    from graphina_spark.operators.retrieval import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    s = bm25_scores(docs, ["dup", "spark", "vector"])
+    return s.select("doc_id", F.round("score", ROUND).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": _q_pagerank_web,
@@ -1227,6 +1255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
         "wcc_sizes_web": _q_wcc_sizes_web,
+        "session_stats": _q_session_stats,
+        "butterflies_events": _q_butterflies_events,
+        "bm25_docs": _q_bm25_docs,
     }
 
 
@@ -1335,6 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
         "wcc_sizes_web": O.wcc_sizes_web_sql(),
+        "session_stats": O.session_stats_sql(),
+        "butterflies_events": O.user_butterflies_sql(),
         **_text_oracles(),
     }
 
@@ -1367,4 +1400,5 @@ def _text_oracles() -> dict[str, str]:
         "semdedup": T.semdedup_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T
         ),
+        "bm25_docs": T.bm25_scores_sql(terms=("dup", "spark", "vector")),
     }

@@ -2111,3 +2111,59 @@ def top_pages_per_host_sql(host_mod: int = 64, k: int = 3) -> str:
  ranked AS (SELECT host, id, w_in, row_number() OVER (
      PARTITION BY host ORDER BY w_in DESC, id ASC) AS rnk FROM hosted)
 SELECT host, id, w_in, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {k}"""
+
+
+def session_stats_sql(gap_s: int = 14_400) -> str:
+    """Mirror of operators/sessions.py::session_stats — gap-based
+    sessionization via lag + running-sum windows (same tz-free
+    epoch-seconds anchor as the events co-occurrence oracle)."""
+    return f"""WITH ev AS (
+   SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
+          event_type AS etype,
+          date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) AS es
+   FROM events),
+ lg AS (SELECT eid, uid, etype, es,
+               CASE WHEN lag(es) OVER (PARTITION BY uid ORDER BY es, eid)
+                           IS NULL
+                      OR es - lag(es) OVER (PARTITION BY uid ORDER BY es, eid)
+                           > {int(gap_s)}
+                    THEN 1 ELSE 0 END AS nw
+        FROM ev),
+ s AS (SELECT eid, uid, etype, es,
+              sum(nw) OVER (PARTITION BY uid ORDER BY es, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_idx
+       FROM lg)
+SELECT uid, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events, min(es) AS start_es, max(es) AS end_es,
+       max(es) - min(es) AS duration_s,
+       count(DISTINCT etype) AS n_types
+FROM s GROUP BY uid, session_idx"""
+
+
+def user_butterflies_sql(window_s: int = 3600, cap: int = 5000) -> str:
+    """Mirror of operators/butterflies.py::user_butterflies — per-user
+    bipartite 4-cycle counts over the capped (uid, win) incidence (same
+    derivation as EVENTS_EDGES_CTE's window bucketing)."""
+    return f"""WITH ev AS (
+   SELECT CAST(user_id AS BIGINT) AS uid,
+          date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) AS es
+   FROM events),
+ w0 AS (SELECT DISTINCT uid,
+               CAST(floor(es / {window_s}.0) AS BIGINT) AS win FROM ev),
+ w AS (SELECT uid, win FROM
+         (SELECT uid, win,
+                 row_number() OVER (PARTITION BY win ORDER BY uid) AS rn
+          FROM w0)
+       WHERE rn <= {cap}),
+ pr AS (SELECT a.uid AS u, b.uid AS v, count(*) AS shared
+        FROM w a JOIN w b ON a.win = b.win AND a.uid < b.uid
+        GROUP BY a.uid, b.uid HAVING count(*) >= 2),
+ bf AS (SELECT u AS id, shared * (shared - 1) // 2 AS bf FROM pr
+        UNION ALL
+        SELECT v AS id, shared * (shared - 1) // 2 AS bf FROM pr),
+ agg AS (SELECT id, sum(bf) AS butterflies FROM bf GROUP BY id),
+ users AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events)
+SELECT users.id,
+       CAST(coalesce(agg.butterflies, 0) AS BIGINT) AS butterflies
+FROM users LEFT JOIN agg ON users.id = agg.id"""

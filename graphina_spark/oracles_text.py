@@ -607,3 +607,31 @@ def semdedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.5) -> str:
 SELECT a, b, cluster, round(cosine, {ROUND}) AS cosine
 FROM pr WHERE cosine >= {threshold}"""
     )
+
+
+def bm25_scores_sql(
+    terms: tuple[str, ...] = ("dup", "spark", "vector"),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Mirror of operators/retrieval.py::bm25_scores — Okapi BM25 with
+    Lucene's non-negative idf over the frozen token convention (_TOK).
+    Arithmetic order matches the Spark column expression exactly."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH {_TOK},
+ toks AS (SELECT doc_id, unnest(t) AS term FROM tok),
+ dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+ nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ ad AS (SELECT avg(dl) AS avgdl FROM dl),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ({inlist}) GROUP BY doc_id, term),
+ dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+ idf AS (SELECT term, ln(1.0 + (nn.n - df + 0.5) / (df + 0.5)) AS idf
+         FROM dfq, nn),
+ prt AS (SELECT f.doc_id,
+                i.idf * (f.tf * {k1 + 1.0!r}) /
+                  (f.tf + {k1!r} * ({1.0 - b!r} + {b!r} * d.dl / ad.avgdl))
+                  AS part
+         FROM tf f JOIN idf i USING (term) JOIN dl d USING (doc_id), ad)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(part), {ROUND}) AS score
+FROM prt GROUP BY doc_id"""
