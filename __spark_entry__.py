@@ -1125,6 +1125,17 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec second-order walks (uniform first hop, exact
+    integer inverse-CDF bias p=2/q=2 scaled to (1,2,1)) on the web graph."""
+    from graphina_spark.operators.walks import node2vec_walks
+
+    g = _web(spark, sf_dir)
+    return node2vec_walks(
+        g, length=3, walks_per_node=1, w_return=1, w_common=2, w_far=1
+    )
+
+
 def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over events: one keyed-window shuffle, then
     a reuse-partitioning groupBy — all-integer output."""
@@ -1255,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_web": _q_rich_club_web,
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
         "wcc_sizes_web": _q_wcc_sizes_web,
+        "node2vec_web": _q_node2vec_web,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1366,6 +1378,9 @@ def oracle_sql() -> dict[str, str]:
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),
         "avg_nbr_deg_web": O.avg_neighbor_degree_web_sql(),
         "wcc_sizes_web": O.wcc_sizes_web_sql(),
+        "node2vec_web": O.node2vec_web_sql(
+            length=3, walks_per_node=1, w_return=1, w_common=2, w_far=1
+        ),
         "session_stats": O.session_stats_sql(),
         "butterflies_events": O.user_butterflies_sql(),
         **_text_oracles(),

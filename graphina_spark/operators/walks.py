@@ -108,3 +108,128 @@ def random_walks(
     adj.unpersist()
     degs.unpersist()
     return out
+
+
+def node2vec_walks(
+    g: LinkGraph,
+    length: int = 4,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_far: int = 1,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """(walk, step, id) — deterministic node2vec-style second-order walks
+    (Grover & Leskovec, KDD 2016).
+
+    Standing at ``cur`` having arrived from ``prev``, each out-neighbor x
+    gets an unnormalized integer weight:
+
+    - ``w_return`` if x == prev            (node2vec α = 1/p)
+    - ``w_common`` if edge prev→x exists   (α = 1)
+    - ``w_far``    otherwise               (α = 1/q)
+
+    Weights are INTEGERS (the α values scaled by lcm(p, q)) so the
+    inverse-CDF pick is exact integer arithmetic on both engines: choose the
+    first neighbor position where ``cum_weight · P > H(walk, t, cur) · total``
+    (H < P = 2³¹−1; ``cum·P`` stays < 2⁶² for weights·degree < 2³¹ — within
+    DuckDB's checked BIGINT).  Step 1 has no prev and hops uniformly, same
+    rule as :func:`random_walks`.
+
+    Scale shape: unlike the first-order walk's O(frontier) point lookup,
+    second-order bias NEEDS the full neighbor list of ``cur`` per step (the
+    sequential algorithm's alias tables cost O(Σ_e deg) memory — worse).
+    Each step is: frontier ⋈ adjacency on cur (fan-out Σ deg(cur)), a
+    LEFT membership probe against the edge set on (prev, dst), and one
+    per-walk window for the cumulative pick — 3 keyed shuffles per step,
+    all bounded by the frontier's neighborhood size, no driver state.
+    """
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    for w in (w_return, w_common, w_far):
+        if not isinstance(w, int) or w < 1:
+            raise ValueError("weights must be positive integers")
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    adj = indexed_adjacency(g).repartition("src").cache()
+    degs = adj.select("src", "deg").distinct().cache()
+    eu = adj.select(F.col("src").alias("pa"), F.col("dst").alias("pb")).cache()
+    base = (starts if starts is not None else g.vertices).select("id")
+    f0 = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
+                lambda j: F.col("id") * walks_per_node + j,
+            )
+        ).alias("walk"),
+        F.col("id").alias("cur"),
+    ).transform(_mat)
+    out = f0.select("walk", F.lit(0).alias("step"), F.col("cur").alias("id"))
+    if length == 0:
+        adj.unpersist(); degs.unpersist(); eu.unpersist()
+        return out
+    # step 1: uniform (no prev), but keep prev for step 2
+    frontier = (
+        f0.withColumnRenamed("cur", "src")
+        .join(degs, "src")
+        .withColumn(
+            "pos", _hop_hash(F.col("walk"), 1, F.col("src")) % F.col("deg") + 1
+        )
+        .join(adj, ["src", "pos"])
+        .select("walk", F.col("src").alias("prev"), F.col("dst").alias("cur"))
+        .transform(_mat)
+    )
+    out = out.unionAll(
+        frontier.select("walk", F.lit(1).alias("step"), F.col("cur").alias("id"))
+    )
+    wwin = Window.partitionBy("walk").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    twin = Window.partitionBy("walk")
+    for t in range(2, length + 1):
+        cand = (
+            frontier.join(adj, frontier["cur"] == adj["src"])
+            .join(
+                eu,
+                (F.col("prev") == F.col("pa")) & (adj["dst"] == F.col("pb")),
+                "left",
+            )
+            .select(
+                "walk",
+                "prev",
+                "cur",
+                "pos",
+                "dst",
+                F.when(adj["dst"] == F.col("prev"), F.lit(w_return))
+                .when(F.col("pb").isNotNull(), F.lit(w_common))
+                .otherwise(F.lit(w_far))
+                .alias("w"),
+            )
+        )
+        picked = (
+            cand.withColumn("cum", F.sum("w").over(wwin))
+            .withColumn("tot", F.sum("w").over(twin))
+            .where(
+                F.col("cum") * F.lit(ANF_P)
+                > _hop_hash(F.col("walk"), t, F.col("cur")) * F.col("tot")
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("walk").orderBy("pos")),
+            )
+            .where(F.col("rn") == 1)
+        )
+        frontier = picked.select(
+            "walk", F.col("cur").alias("prev"), F.col("dst").alias("cur")
+        ).transform(_mat)
+        out = out.unionAll(
+            frontier.select(
+                "walk", F.lit(t).alias("step"), F.col("cur").alias("id")
+            )
+        )
+    adj.unpersist()
+    degs.unpersist()
+    eu.unpersist()
+    return out

@@ -2167,3 +2167,65 @@ def user_butterflies_sql(window_s: int = 3600, cap: int = 5000) -> str:
 SELECT users.id,
        CAST(coalesce(agg.butterflies, 0) AS BIGINT) AS butterflies
 FROM users LEFT JOIN agg ON users.id = agg.id"""
+
+
+def node2vec_web_sql(
+    length: int = 3,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_far: int = 1,
+) -> str:
+    """Unrolled deterministic node2vec second-order walks
+    (operators/walks.py::node2vec_walks): step 1 uniform, steps ≥ 2 pick the
+    first neighbor position whose integer cumulative weight crosses
+    H(walk, t, cur)/P of the total — exact integer inverse-CDF, mirrored
+    CASE order (return beats common-neighbor)."""
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "adj AS MATERIALIZED (SELECT src,"
+        " row_number() OVER (PARTITION BY src ORDER BY dst) AS pos, dst,"
+        " count(*) OVER (PARTITION BY src) AS deg FROM eu)",
+        "degs AS MATERIALIZED (SELECT DISTINCT src, deg FROM adj)",
+        f"f0 AS MATERIALIZED (SELECT id * {walks_per_node} + j.j AS walk,"
+        f" id AS cur FROM v, (SELECT unnest(range({walks_per_node})) AS j) j)",
+    ]
+    selects = ["SELECT walk, CAST(0 AS INTEGER) AS step, cur AS id FROM f0"]
+    if length >= 1:
+        h1 = _walk_hash_sql("f.walk", 1, "f.cur")
+        ctes.append(
+            "f1 AS MATERIALIZED (SELECT f.walk, f.cur AS prev, a.dst AS cur"
+            " FROM f0 f JOIN degs d ON f.cur = d.src"
+            f" JOIN adj a ON a.src = f.cur AND a.pos = ({h1}) % d.deg + 1)"
+        )
+        selects.append("SELECT walk, CAST(1 AS INTEGER) AS step, cur AS id FROM f1")
+    for t in range(2, length + 1):
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT f.walk, f.prev, f.cur, a.pos, a.dst,"
+            f" CASE WHEN a.dst = f.prev THEN {w_return}"
+            f" WHEN n.src IS NOT NULL THEN {w_common}"
+            f" ELSE {w_far} END AS w"
+            f" FROM f{t - 1} f JOIN adj a ON a.src = f.cur"
+            " LEFT JOIN eu n ON n.src = f.prev AND n.dst = a.dst)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT walk, cur, pos, dst,"
+            " sum(w) OVER (PARTITION BY walk ORDER BY pos"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,"
+            f" sum(w) OVER (PARTITION BY walk) AS tot FROM c{t})"
+        )
+        ht = _walk_hash_sql("walk", t, "cur")
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT walk, cur AS prev, dst AS cur FROM"
+            f" (SELECT walk, cur, dst,"
+            " row_number() OVER (PARTITION BY walk ORDER BY pos) AS rn"
+            f" FROM s{t} WHERE cum * {ANF_P} > ({ht}) * tot)"
+            " WHERE rn = 1)"
+        )
+        selects.append(
+            f"SELECT walk, CAST({t} AS INTEGER) AS step, cur AS id FROM f{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
