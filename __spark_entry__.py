@@ -364,7 +364,7 @@ def _q_sssp_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.paths import sssp_distances
 
     g = _web(spark, sf_dir)
-    srcs = g.vertices.where(F.col("id") % 199 == 0).select("id")
+    srcs = g.vertices.where(F.col("id") % 59 == 0).select("id")
     d = sssp_distances(g, srcs)
     return d.select("source", "id", F.round("dist", ROUND).alias("dist"))
 
@@ -1125,6 +1125,21 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dist_oracle_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance-oracle estimates: exact BFS index from id%59
+    landmarks (forward + reversed), min-sum upper bound per query pair."""
+    from graphina_spark.operators.distoracle import landmark_distance_estimates
+
+    g = _web(spark, sf_dir)
+    n = g.num_vertices()
+    landmarks = g.vertices.where(F.col("id") % 59 == 0).select("id")
+    pairs = g.vertices.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 13 + 7) % F.lit(n)).alias("dst"),
+    )
+    return landmark_distance_estimates(g, landmarks, pairs, max_depth=6)
+
+
 def _q_node2vec_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node2vec second-order walks (uniform first hop, exact
     integer inverse-CDF bias p=2/q=2 scaled to (1,2,1)) on the web graph."""
@@ -1267,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_nbr_deg_web": _q_avg_nbr_deg_web,
         "wcc_sizes_web": _q_wcc_sizes_web,
         "node2vec_web": _q_node2vec_web,
+        "dist_oracle_web": _q_dist_oracle_web,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1380,6 +1396,9 @@ def oracle_sql() -> dict[str, str]:
         "wcc_sizes_web": O.wcc_sizes_web_sql(),
         "node2vec_web": O.node2vec_web_sql(
             length=3, walks_per_node=1, w_return=1, w_common=2, w_far=1
+        ),
+        "dist_oracle_web": O.dist_oracle_web_sql(
+            max_depth=6, lm_mod=59, pair_a=13, pair_b=7
         ),
         "session_stats": O.session_stats_sql(),
         "butterflies_events": O.user_butterflies_sql(),

@@ -2229,3 +2229,43 @@ def node2vec_web_sql(
             f"SELECT walk, CAST({t} AS INTEGER) AS step, cur AS id FROM f{t}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def dist_oracle_web_sql(
+    max_depth: int = 6, lm_mod: int = 199, pair_a: int = 13, pair_b: int = 7
+) -> str:
+    """Landmark distance-oracle estimates (operators/distoracle.py):
+    unrolled forward and backward BFS from the landmark set, then
+    min_l d(u→l) + d(l→v) per query pair (src=id, dst=(id·a+b) mod n)."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "adj AS (SELECT DISTINCT src, dst FROM edges)",
+        "radj AS (SELECT dst AS src, src AS dst FROM adj)",
+        f"f0 AS (SELECT id AS source, id, 0 AS dist FROM v WHERE id % {lm_mod} = 0)",
+        f"b0 AS (SELECT id AS source, id, 0 AS dist FROM v WHERE id % {lm_mod} = 0)",
+    ]
+    for k in range(1, max_depth + 1):
+        ctes.append(
+            f"f{k} AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM f{k - 1}"
+            f" UNION ALL SELECT p.source, e.dst AS id, {k} AS dist"
+            f" FROM f{k - 1} p JOIN adj e ON p.id = e.src) GROUP BY source, id)"
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM b{k - 1}"
+            f" UNION ALL SELECT p.source, e.dst AS id, {k} AS dist"
+            f" FROM b{k - 1} p JOIN radj e ON p.id = e.src) GROUP BY source, id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+ pairs AS (SELECT id AS src, (id * {pair_a} + {pair_b}) % n AS dst FROM v, nn),
+ est AS (SELECT p.src, p.dst, min(b.dist + f.dist) AS est
+         FROM pairs p
+         JOIN b{max_depth} b ON b.id = p.src
+         JOIN f{max_depth} f ON f.source = b.source AND f.id = p.dst
+         GROUP BY p.src, p.dst)
+SELECT src, dst, CAST(est AS INT) AS est FROM est"""
+    )
