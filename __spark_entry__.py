@@ -1125,6 +1125,17 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_diff_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl edge churn: web graph vs its deterministic recrawl
+    snapshot (new ring discovered, 1/11 link rot) — kept/added/removed."""
+    from graphina_spark.operators.diff import edge_diff
+    from graphina_spark.sources.derived import web_graph, web_graph_recrawl
+
+    return edge_diff(
+        web_graph(spark, sf_dir), web_graph_recrawl(spark, sf_dir)
+    )
+
+
 def _q_dist_oracle_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark distance-oracle estimates: exact BFS index from id%59
     landmarks (forward + reversed), min-sum upper bound per query pair."""
@@ -1283,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_sizes_web": _q_wcc_sizes_web,
         "node2vec_web": _q_node2vec_web,
         "dist_oracle_web": _q_dist_oracle_web,
+        "graph_diff_web": _q_graph_diff_web,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1400,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "dist_oracle_web": O.dist_oracle_web_sql(
             max_depth=6, lm_mod=59, pair_a=13, pair_b=7
         ),
+        "graph_diff_web": O.graph_diff_web_sql(),
         "session_stats": O.session_stats_sql(),
         "butterflies_events": O.user_butterflies_sql(),
         **_text_oracles(),

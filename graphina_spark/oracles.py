@@ -2269,3 +2269,39 @@ def dist_oracle_web_sql(
          GROUP BY p.src, p.dst)
 SELECT src, dst, CAST(est AS INT) AS est FROM est"""
     )
+
+
+def graph_diff_web_sql() -> str:
+    """Edge churn between the web graph and its recrawl snapshot
+    (operators/diff.py::edge_diff over sources/derived.py::web_graph_recrawl):
+    full outer join on (src, dst), status kept/added/removed."""
+    from graphina_spark.sources.derived import (
+        DANGLING_MOD,
+        MULTIPLIERS,
+        N_HUBS,
+        RECRAWL_NEW,
+        RECRAWL_ROT,
+    )
+
+    ra, rb, rm = RECRAWL_ROT
+    mult_b = "\n      UNION ALL ".join(
+        f"SELECT id AS src, (id*{a}+{b}) % n AS dst FROM v, nn"
+        for a, b in MULTIPLIERS + [RECRAWL_NEW]
+    )
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ e0b AS (
+      {mult_b}
+      UNION ALL SELECT id AS src, id % {N_HUBS} AS dst FROM v
+ ),
+ edges_b AS (
+      SELECT DISTINCT src, dst FROM e0b
+      WHERE src <> dst AND src % {DANGLING_MOD} <> 0
+        AND (src*{ra} + dst*{rb}) % {rm} <> 0
+ ),
+ edges_a AS (SELECT DISTINCT src, dst FROM edges)
+SELECT coalesce(a.src, b.src) AS src, coalesce(a.dst, b.dst) AS dst,
+       CASE WHEN a.src IS NOT NULL AND b.src IS NOT NULL THEN 'kept'
+            WHEN a.src IS NOT NULL THEN 'removed'
+            ELSE 'added' END AS status
+FROM edges_a a FULL OUTER JOIN edges_b b
+  ON a.src = b.src AND a.dst = b.dst"""

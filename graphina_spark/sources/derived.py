@@ -103,6 +103,50 @@ def pages_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_from_ids(ids, n=None)
 
 
+RECRAWL_ROT = (3, 7, 11)  # drop edges with (src*3 + dst*7) % 11 == 0
+RECRAWL_NEW = (19, 11)  # new discovered ring dst = (id*19 + 11) % n
+
+
+def web_graph_recrawl(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """The "second crawl" snapshot of :func:`web_graph`: same candidate
+    rules plus a newly-discovered affine ring (``RECRAWL_NEW``), minus
+    link-rot (``RECRAWL_ROT`` drops ~1/11 of pairs uniformly), under the
+    identical self-loop/dangling/distinct/weight rules — deterministic in
+    both engines (twin: the snapshot-B CTE in oracles.graph_diff_web_sql)."""
+    ra, rb, rm = RECRAWL_ROT
+    na, nb = RECRAWL_NEW
+    ids = _customer_ids(spark, sf_dir)
+    n = ids.agg(F.count("*").alias("n"))
+    v = ids.crossJoin(F.broadcast(n))
+    parts = [
+        v.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * a + b) % F.col("n")).alias("dst"),
+        )
+        for a, b in MULTIPLIERS + [RECRAWL_NEW]
+    ]
+    parts.append(
+        ids.select(F.col("id").alias("src"), (F.col("id") % N_HUBS).alias("dst"))
+    )
+    e0 = parts[0]
+    for p in parts[1:]:
+        e0 = e0.unionAll(p)
+    edges = (
+        e0.where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") % DANGLING_MOD != 0)
+            & ((F.col("src") * ra + F.col("dst") * rb) % rm != 0)
+        )
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+        )
+    )
+    return LinkGraph(vertices=ids, edges=edges, directed=True)
+
+
 # ---------------------------------------------------------------- DuckDB side
 # CTE fragments; the driver pre-registers `customer` as a view.
 

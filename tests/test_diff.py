@@ -1,0 +1,41 @@
+"""Graph snapshot diff invariants."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_graph
+
+
+def test_edge_diff_statuses(spark):
+    from graphina_spark.operators.diff import diff_summary, edge_diff
+
+    g1 = make_graph(spark, [(0, 1), (1, 2), (2, 3)], n=4, directed=True)
+    g2 = make_graph(spark, [(1, 2), (2, 3), (3, 0), (0, 2)], n=4, directed=True)
+    d = {
+        (r["src"], r["dst"]): r["status"] for r in edge_diff(g1, g2).collect()
+    }
+    assert d == {
+        (0, 1): "removed",
+        (1, 2): "kept",
+        (2, 3): "kept",
+        (3, 0): "added",
+        (0, 2): "added",
+    }
+    s = {r["status"]: r["n_edges"] for r in diff_summary(g1, g2).collect()}
+    assert s == {"kept": 2, "added": 2, "removed": 1}
+
+
+def test_diff_conservation_on_recrawl(spark, sf_dir):
+    from graphina_spark.operators.diff import edge_diff
+    from graphina_spark.sources.derived import web_graph, web_graph_recrawl
+
+    a = web_graph(spark, sf_dir)
+    b = web_graph_recrawl(spark, sf_dir)
+    d = edge_diff(a, b)
+    counts = {r["status"]: r["n_edges"] for r in
+              d.groupBy("status").agg(F.count("*").alias("n_edges")).collect()}
+    n_a = a.edges.select("src", "dst").distinct().count()
+    n_b = b.edges.select("src", "dst").distinct().count()
+    assert counts.get("kept", 0) + counts.get("removed", 0) == n_a
+    assert counts.get("kept", 0) + counts.get("added", 0) == n_b
+    # the recrawl rule really produces churn in both directions
+    assert counts.get("added", 0) > 0 and counts.get("removed", 0) > 0
