@@ -104,6 +104,10 @@ def main() -> None:
     run("luby_mis", lambda: maximal_independent_set(web))
     run("matching", lambda: maximal_matching(web))
 
+    from graphina_spark.operators.walks import node2vec_walks
+
+    run("node2vec_3steps", lambda: node2vec_walks(web, length=3))
+
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS
     out = {
