@@ -1125,6 +1125,14 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous sequence packing of the documents corpus
+    (md5-shuffled order, exclusive global token prefix sums, seq spans)."""
+    from graphina_spark.operators.packing import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), seq_len=512)
+
+
 def _q_graph_diff_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl edge churn: web graph vs its deterministic recrawl
     snapshot (new ring discovered, 1/11 link rot) — kept/added/removed."""
@@ -1295,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_web": _q_node2vec_web,
         "dist_oracle_web": _q_dist_oracle_web,
         "graph_diff_web": _q_graph_diff_web,
+        "pack_docs": _q_pack_docs,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1448,4 +1457,5 @@ def _text_oracles() -> dict[str, str]:
             k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T
         ),
         "bm25_docs": T.bm25_scores_sql(terms=("dup", "spark", "vector")),
+        "pack_docs": T.pack_docs_sql(seq_len=512),
     }

@@ -635,3 +635,26 @@ def bm25_scores_sql(
          FROM tf f JOIN idf i USING (term) JOIN dl d USING (doc_id), ad)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(part), {ROUND}) AS score
 FROM prt GROUP BY doc_id"""
+
+
+def pack_docs_sql(seq_len: int = 512, salt: str = "pack") -> str:
+    """Mirror of operators/packing.py::pack_documents — deterministic
+    md5-shuffled contiguous packing; the oracle computes the exclusive
+    prefix sum with one window (fine at sf scale; the Spark side uses the
+    two-pass range-partition pattern)."""
+    return f"""WITH {_TOK},
+ base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 md5('{salt}:' || CAST(doc_id AS VARCHAR)) AS key,
+                 CAST(len(t) AS BIGINT) AS n_tokens
+          FROM tok),
+ laid AS (SELECT doc_id, key, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_tok
+          FROM base)
+SELECT doc_id, key, n_tokens, start_tok,
+       start_tok // {int(seq_len)} AS seq_first,
+       start_tok % {int(seq_len)} AS off_first,
+       greatest(start_tok + n_tokens - 1, start_tok) // {int(seq_len)}
+         AS seq_last
+FROM laid"""
