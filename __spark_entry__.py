@@ -1125,6 +1125,15 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order first-touch funnel view→click→purchase per user
+    (composite (epoch-s, event_id) order key; one min-agg per step)."""
+    from graphina_spark.operators.funnel import funnel_stages
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
 def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contiguous sequence packing of the documents corpus
     (md5-shuffled order, exclusive global token prefix sums, seq spans)."""
@@ -1304,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_oracle_web": _q_dist_oracle_web,
         "graph_diff_web": _q_graph_diff_web,
         "pack_docs": _q_pack_docs,
+        "funnel_events": _q_funnel_events,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1422,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
             max_depth=6, lm_mod=59, pair_a=13, pair_b=7
         ),
         "graph_diff_web": O.graph_diff_web_sql(),
+        "funnel_events": O.funnel_stages_sql(("view", "click", "purchase")),
         "session_stats": O.session_stats_sql(),
         "butterflies_events": O.user_butterflies_sql(),
         **_text_oracles(),

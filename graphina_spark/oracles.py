@@ -2305,3 +2305,41 @@ SELECT coalesce(a.src, b.src) AS src, coalesce(a.dst, b.dst) AS dst,
             ELSE 'added' END AS status
 FROM edges_a a FULL OUTER JOIN edges_b b
   ON a.src = b.src AND a.dst = b.dst"""
+
+
+def funnel_stages_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Mirror of operators/funnel.py::funnel_stages — strict-order
+    first-touch funnel with the composite (epoch-seconds, event_id) order
+    key; one min-agg CTE per step."""
+    from graphina_spark.operators.funnel import EID_SCALE
+
+    ctes = [
+        "ev AS (SELECT CAST(user_id AS BIGINT) AS uid, event_type AS etype,"
+        " date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts)"
+        f" * {EID_SCALE} + CAST(event_id AS BIGINT) AS o FROM events)",
+        "u AS (SELECT DISTINCT uid FROM ev)",
+    ]
+    for i, step in enumerate(steps, start=1):
+        if i == 1:
+            ctes.append(
+                f"s1 AS (SELECT uid, min(o) AS po FROM ev"
+                f" WHERE etype = '{step}' GROUP BY uid)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.uid, min(e.o) AS po FROM ev e"
+                f" JOIN s{i - 1} p ON e.uid = p.uid AND e.o > p.po"
+                f" WHERE e.etype = '{step}' GROUP BY e.uid)"
+            )
+    stage = "CASE "
+    for i in range(len(steps), 0, -1):
+        stage += f"WHEN s{i}.uid IS NOT NULL THEN {i} "
+    stage += "ELSE 0 END"
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON u.uid = s{i}.uid" for i in range(1, len(steps) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u.uid, CAST({stage} AS INT) AS stage FROM u {joins}"
+    )
