@@ -1125,6 +1125,15 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle (first-touch cohorts, distinct
+    active users per offset) — all-integer output."""
+    from graphina_spark.operators.retention import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, period_s=86_400)
+
+
 def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order first-touch funnel view→click→purchase per user
     (composite (epoch-s, event_id) order key; one min-agg per step)."""
@@ -1314,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diff_web": _q_graph_diff_web,
         "pack_docs": _q_pack_docs,
         "funnel_events": _q_funnel_events,
+        "retention_events": _q_retention_events,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1433,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_diff_web": O.graph_diff_web_sql(),
         "funnel_events": O.funnel_stages_sql(("view", "click", "purchase")),
+        "retention_events": O.cohort_retention_sql(period_s=86_400),
         "session_stats": O.session_stats_sql(),
         "butterflies_events": O.user_butterflies_sql(),
         **_text_oracles(),

@@ -2343,3 +2343,18 @@ def funnel_stages_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) ->
         + ",\n".join(ctes)
         + f"\nSELECT u.uid, CAST({stage} AS INT) AS stage FROM u {joins}"
     )
+
+
+def cohort_retention_sql(period_s: int = 7 * 86_400) -> str:
+    """Mirror of operators/retention.py::cohort_retention — first-touch
+    cohorts and per-offset distinct active users."""
+    return f"""WITH ev AS (
+   SELECT CAST(user_id AS BIGINT) AS uid,
+          CAST(floor(date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts)
+                     / {period_s}.0) AS BIGINT) AS per
+   FROM events),
+ fst AS (SELECT uid, min(per) AS cohort FROM ev GROUP BY uid),
+ act AS (SELECT DISTINCT uid, per FROM ev)
+SELECT f.cohort, a.per - f.cohort AS "offset", count(*) AS n_users
+FROM act a JOIN fst f ON a.uid = f.uid
+GROUP BY f.cohort, a.per - f.cohort"""
