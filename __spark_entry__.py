@@ -1125,6 +1125,15 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order clickstream Markov transitions within sessions
+    (counts + row-normalized probabilities)."""
+    from graphina_spark.operators.transitions import session_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_transitions(ev)
+
+
 def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention triangle (first-touch cohorts, distinct
     active users per offset) — all-integer output."""
@@ -1324,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": _q_pack_docs,
         "funnel_events": _q_funnel_events,
         "retention_events": _q_retention_events,
+        "transitions_events": _q_transitions_events,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1444,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_diff_web": O.graph_diff_web_sql(),
         "funnel_events": O.funnel_stages_sql(("view", "click", "purchase")),
         "retention_events": O.cohort_retention_sql(period_s=86_400),
+        "transitions_events": O.session_transitions_sql(),
         "session_stats": O.session_stats_sql(),
         "butterflies_events": O.user_butterflies_sql(),
         **_text_oracles(),

@@ -2358,3 +2358,34 @@ def cohort_retention_sql(period_s: int = 7 * 86_400) -> str:
 SELECT f.cohort, a.per - f.cohort AS "offset", count(*) AS n_users
 FROM act a JOIN fst f ON a.uid = f.uid
 GROUP BY f.cohort, a.per - f.cohort"""
+
+
+def session_transitions_sql(gap_s: int = 14_400) -> str:
+    """Mirror of operators/transitions.py::session_transitions — the
+    sessionizer CTEs + a lead window per session + row-normalized counts."""
+    return f"""WITH ev AS (
+   SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
+          event_type AS etype,
+          date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) AS es
+   FROM events),
+ lg AS (SELECT eid, uid, etype, es,
+               CASE WHEN lag(es) OVER (PARTITION BY uid ORDER BY es, eid)
+                           IS NULL
+                      OR es - lag(es) OVER (PARTITION BY uid ORDER BY es, eid)
+                           > {int(gap_s)}
+                    THEN 1 ELSE 0 END AS nw
+        FROM ev),
+ s AS (SELECT eid, uid, etype, es,
+              sum(nw) OVER (PARTITION BY uid ORDER BY es, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_idx
+       FROM lg),
+ pr AS (SELECT etype AS cur,
+               lead(etype) OVER (PARTITION BY uid, session_idx
+                                 ORDER BY es, eid) AS nxt
+        FROM s),
+ cnt AS (SELECT cur, nxt, count(*) AS n FROM pr
+         WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+SELECT cur, nxt, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+FROM cnt"""
