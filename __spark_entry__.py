@@ -1125,6 +1125,13 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair PMI collocation scores over the documents corpus."""
+    from graphina_spark.operators.pmi import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), min_count=5)
+
+
 def _q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order clickstream Markov transitions within sessions
     (counts + row-normalized probabilities)."""
@@ -1334,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": _q_funnel_events,
         "retention_events": _q_retention_events,
         "transitions_events": _q_transitions_events,
+        "pmi_bigrams": _q_pmi_bigrams,
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
@@ -1491,4 +1499,5 @@ def _text_oracles() -> dict[str, str]:
         ),
         "bm25_docs": T.bm25_scores_sql(terms=("dup", "spark", "vector")),
         "pack_docs": T.pack_docs_sql(seq_len=512),
+        "pmi_bigrams": T.pmi_bigrams_sql(min_count=5),
     }

@@ -658,3 +658,29 @@ SELECT doc_id, key, n_tokens, start_tok,
        greatest(start_tok + n_tokens - 1, start_tok) // {int(seq_len)}
          AS seq_last
 FROM laid"""
+
+
+def pmi_bigrams_sql(min_count: int = 5) -> str:
+    """Mirror of operators/pmi.py::pmi_bigrams — adjacent-pair PMI over the
+    frozen token convention, identical arithmetic grouping."""
+    return f"""WITH {_TOK},
+ grams AS (
+   SELECT doc_id, CASE WHEN len(t) >= 2
+     THEN list_transform(range(len(t) - 1),
+                         i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+     ELSE CAST([] AS VARCHAR[]) END AS gs
+   FROM tok),
+ big AS (SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b,
+                count(*) AS n_ab
+         FROM (SELECT unnest(gs) AS g FROM grams)
+         GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+ uni AS (SELECT tk, count(*) AS n FROM
+           (SELECT unnest(t) AS tk FROM tok) GROUP BY tk),
+ nu AS (SELECT CAST(sum(n) AS DOUBLE) AS n_uni FROM uni),
+ nb AS (SELECT CAST(sum(len(gs)) AS DOUBLE) AS n_bi FROM grams)
+SELECT big.a, big.b, big.n_ab,
+       round(ln((big.n_ab / nb.n_bi) /
+                ((ua.n / nu.n_uni) * (ub.n / nu.n_uni))), {ROUND}) AS pmi
+FROM big
+JOIN uni ua ON big.a = ua.tk
+JOIN uni ub ON big.b = ub.tk, nu, nb"""
