@@ -61,13 +61,16 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     shards: "AdjShards | None" = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return ``(id: long, rank: double)``, Σ rank = 1.
 
     ``fixed_iters`` runs exactly that many supersteps with no early exit
     (used by the oracle-parity queries, where the DuckDB side is an unrolled
     fixed-iteration SQL).  ``nstart``/``personalization`` are DataFrames
-    ``(id, value)`` / ``(id, p)``.
+    ``(id, value)`` / ``(id, p)``.  Pass a dict as ``stats`` to receive
+    ``{"iterations": k, "delta": last L1 delta}`` — the observability hook
+    behind warm-start (incremental recrawl) convergence accounting.
     """
     if not (0.0 < damping < 1.0):
         raise ValueError("damping must be in (0, 1)")  # personalized_pagerank.rs:41-45
@@ -242,6 +245,9 @@ def pagerank(
         if it == n_iters - 1 and edges_norm is not None:
             edges_norm.unpersist()
         ranks = new_ranks
+        if stats is not None:
+            stats["iterations"] = it + 1
+            stats["delta"] = delta
         if delta is not None and delta < tol:
             break
 
