@@ -364,7 +364,7 @@ def _q_sssp_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.paths import sssp_distances
 
     g = _web(spark, sf_dir)
-    srcs = g.vertices.where(F.col("id") % 59 == 0).select("id")
+    srcs = g.vertices.where(F.col("id") % 199 == 0).select("id")
     d = sssp_distances(g, srcs)
     return d.select("source", "id", F.round("dist", ROUND).alias("dist"))
 
@@ -1078,10 +1078,86 @@ def _q_degree_hist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_web(spark, sf_dir), kind="total")
 
 
+def _q_powerlaw_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import powerlaw_alpha_mle
+
+    return powerlaw_alpha_mle(_web(spark, sf_dir), kmin=5, kind="in")
+
+
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import doc_repetition
 
     return doc_repetition(_docs(spark, sf_dir))
+
+
+def _q_ari_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.lpa import label_propagation
+    from graphina_spark.operators.partitions import adjusted_rand_index
+
+    g = _block(spark, sf_dir)
+    lpa = label_propagation(g, fixed_iters=4)
+    planted = g.vertices.select("id", F.floor(F.col("id") / 100).cast("long").alias("label"))
+    val = adjusted_rand_index(lpa, planted)
+    return spark.createDataFrame([(round(val, ROUND),)], "ari double")
+
+
+def _q_sweep_cut_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.cuts import sweep_cut
+
+    g = _block(spark, sf_dir)
+    scores = g.vertices.select("id", F.col("id").alias("score"))
+    return sweep_cut(g, scores)
+
+
+def _q_sweep_cut_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.cuts import sweep_cut
+
+    g = _web(spark, sf_dir)
+    scores = g.vertices.select("id", F.col("id").alias("score"))
+    return sweep_cut(g, scores)
+
+
+def _q_attr_assortativity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import attribute_assortativity
+
+    g = _web(spark, sf_dir)
+    hosts = g.vertices.select("id", (F.col("id") % HOST_MOD).alias("label"))
+    val = attribute_assortativity(g, hosts)
+    return spark.createDataFrame([(round(val, ROUND),)], "attr_assortativity double")
+
+
+def _q_conductance_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.cuts import community_cut_metrics
+
+    g = _web(spark, sf_dir)
+    hosts = g.vertices.select("id", (F.col("id") % HOST_MOD).alias("community"))
+    return community_cut_metrics(g, hosts)
+
+
+def _q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.substrings import duplicated_kgram_stats
+
+    return duplicated_kgram_stats(_docs(spark, sf_dir), k=8)
+
+
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.lmscore import lm_quality
+
+    return lm_quality(_docs(spark, sf_dir))
+
+
+def _q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.fingerprints import fingerprint_stats
+
+    return fingerprint_stats(_docs(spark, sf_dir), k=5, w=4)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.dsir import dsir_log_weights
+
+    return dsir_log_weights(
+        _docs(spark, sf_dir), F.col("source").isin("src0", "src1")
+    )
 
 
 def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,14 +1389,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_planted": _q_bowtie_planted,
         "bowtie_web": _q_bowtie_web,
         "doc_repetition": _q_doc_repetition,
+        "substring_dup": _q_substring_dup,
+        "lm_quality": _q_lm_quality,
+        "winnow_fp": _q_winnow_fp,
+        "dsir_weights": _q_dsir_weights,
         "split_contamination": _q_split_contamination,
         "tfidf_terms": _q_tfidf_terms,
         "reciprocity_web": _q_reciprocity_web,
         "degree_hist_web": _q_degree_hist_web,
+        "powerlaw_web": _q_powerlaw_web,
         "edge_sample_web": _q_edge_sample_web,
         "vertex_sample_sub_web": _q_vertex_sample_sub_web,
         "salsa_web": _q_salsa_web,
         "host_graph_web": _q_host_graph_web,
+        "conductance_web": _q_conductance_web,
+        "ari_block": _q_ari_block,
+        "attr_assortativity_web": _q_attr_assortativity_web,
+        "sweep_cut_block": _q_sweep_cut_block,
+        "sweep_cut_web": _q_sweep_cut_web,
         "spam_mass_web": _q_spam_mass_web,
         "anchor_stats": _q_anchor_stats,
         "cocitation_web": _q_cocitation_web,
@@ -1436,10 +1522,16 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_web": O.bowtie_web_sql(),
         "reciprocity_web": O.reciprocity_web_sql(),
         "degree_hist_web": O.degree_hist_web_sql(kind="total"),
+        "powerlaw_web": O.powerlaw_web_sql(kmin=5),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
         "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),
         "host_graph_web": O.host_graph_web_sql(host_mod=HOST_MOD),
+        "conductance_web": O.conductance_web_sql(host_mod=HOST_MOD),
+        "ari_block": O.ari_block_sql(),
+        "attr_assortativity_web": O.attr_assortativity_web_sql(host_mod=HOST_MOD),
+        "sweep_cut_block": O.sweep_cut_block_sql(),
+        "sweep_cut_web": O.sweep_cut_web_sql(),
         "spam_mass_web": O.spam_mass_web_sql(iters=5, seed_below=TRUST_SEEDS_BELOW),
         "anchor_stats": O.anchor_stats_sql(),
         "cocitation_web": O.cocitation_web_sql(min_count=COCIT_MIN),
@@ -1491,6 +1583,10 @@ def _text_oracles() -> dict[str, str]:
         "top_ngrams": T.top_ngrams_sql(n=NGRAM_N, k=NGRAM_K),
         "vocab_stats": T.vocab_stats_sql(),
         "doc_repetition": T.doc_repetition_sql(),
+        "substring_dup": T.substring_dup_sql(k=8),
+        "lm_quality": T.lm_quality_sql(),
+        "winnow_fp": T.winnow_fingerprint_sql(k=5, w=4),
+        "dsir_weights": T.dsir_weights_sql(targets=("src0", "src1")),
         "split_contamination": T.split_contamination_sql(k=3),
         "tfidf_terms": T.tfidf_top_terms_sql(k=3),
         "kmeans_emb": T.kmeans_sql(k=KMEANS_K, iters=KMEANS_ITERS),

@@ -106,6 +106,56 @@ def assortativity(g: LinkGraph) -> float:
     return num / den
 
 
+def attribute_assortativity(g: LinkGraph, labels) -> float:
+    """Newman categorical-mixing assortativity (Newman 2003 eq. 2) over a
+    discrete vertex attribute: r = (Σ_x e_xx − Σ_x a_x·b_x) /
+    (1 − Σ_x a_x·b_x), where e_xy is the fraction of edges from label x to
+    label y, a = row sums, b = column sums.  Each directed edge contributes
+    once; edges with an unlabeled endpoint are ignored.  +1 = every edge
+    stays inside its label class (e.g. links never leave a host), 0 = random
+    mixing, negative = disassortative.
+
+    Complements ``assortativity`` (degree mixing, the reference's
+    graph_metrics.rs:264-306) for the attribute case the reference lacks —
+    the standard "do pages link within their own host/language?" readout.
+
+    Scale shape: two label joins onto the edge frame (labels are (id, label),
+    broadcast when small), one ``groupBy(la, lb)`` contingency whose size is
+    bounded by (#labels)², then three tiny aggs — no self-joins, nothing
+    driver-side but the final 3-scalar formula.
+    """
+    lab = labels.select("id", "label")
+    e = (
+        g.edges.select("src", "dst")
+        .join(lab.select(F.col("id").alias("src"), F.col("label").alias("la")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("lb")), "dst")
+    )
+    cont = e.groupBy("la", "lb").agg(F.count("*").alias("n"))
+    total = cont.agg(F.sum("n").alias("m"))
+    exy = cont.crossJoin(F.broadcast(total)).select(
+        "la", "lb", (F.col("n") / F.col("m")).alias("e")
+    )
+    trace = exy.where(F.col("la") == F.col("lb")).agg(
+        F.coalesce(F.sum("e"), F.lit(0.0)).alias("t")
+    )
+    ab = (
+        exy.groupBy("la").agg(F.sum("e").alias("a"))
+        .join(
+            exy.groupBy("lb").agg(F.sum("e").alias("b")).withColumnRenamed("lb", "la"),
+            "la",
+            "inner",
+        )
+        .agg(F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0.0)).alias("s"))
+    )
+    row = trace.crossJoin(ab).first()
+    if row is None:
+        return 0.0
+    t, s = row["t"], row["s"]
+    if 1.0 - s == 0.0:
+        return 1.0  # single label class: perfectly assortative by convention
+    return (t - s) / (1.0 - s)
+
+
 def reciprocity(g: LinkGraph) -> float:
     """Fraction of directed edges whose reverse edge also exists
     (overall reciprocity; self-loops dropped, parallel edges collapsed).
@@ -196,4 +246,36 @@ def average_neighbor_degree(g: LinkGraph):
                 "avg_nbr_deg"
             ),
         )
+    )
+
+
+def powerlaw_alpha_mle(g: LinkGraph, kmin: int = 5, kind: str = "in"):
+    """1 row (kmin, n_tail, alpha, sigma) — continuous-approximation MLE of
+    the power-law exponent over the degree tail (Clauset, Shalizi & Newman,
+    SIAM Review 2009, eq. 3.7):
+
+        alpha = 1 + n / Σ_{k_i >= kmin} ln(k_i / (kmin − 1/2)),
+        sigma = (alpha − 1) / sqrt(n)   (standard error, eq. 3.6).
+
+    The one-scalar readout behind every "the web is a power law with
+    α ≈ 2.1" claim (Broder WWW 2000 measures exactly this on the crawl
+    in-degree distribution) — fitted here without collecting degrees: the
+    whole estimator is one filter + one 2-scalar aggregation over the cached
+    degrees frame, so it costs the same at 10¹² vertices as at 10³.
+    ``kind`` ∈ total|in|out (web convention: in).  NULL alpha when the tail
+    is empty.  DuckDB twin: oracles.py::powerlaw_web_sql.
+    """
+    col = {"total": "deg", "in": "in_deg", "out": "out_deg"}[kind]
+    tail = g.degrees().where(F.col(col) >= kmin)
+    return tail.agg(
+        F.lit(kmin).cast("long").alias("kmin"),
+        F.count("*").alias("n_tail"),
+        F.round(
+            1.0 + F.count("*") / F.sum(F.log(F.col(col) / (kmin - 0.5))), 6
+        ).alias("alpha"),
+        F.round(
+            (F.count("*") / F.sum(F.log(F.col(col) / (kmin - 0.5))))
+            / F.sqrt(F.count("*")),
+            6,
+        ).alias("sigma"),
     )

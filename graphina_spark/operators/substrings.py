@@ -1,0 +1,97 @@
+"""Exact-substring duplication stats — the "dedup at the span level" signal.
+
+Lee et al., *Deduplicating Training Data Makes Language Models Better*
+(ACL 2022) deduplicate at the substring level: any span of >= k tokens that
+occurs more than once in the corpus is a duplicate.  The published tool
+builds a suffix array — inherently sequential and memory-resident, a
+non-starter at 100 TB.  The Spark-shaped equivalent is the rolling k-gram
+inventory:
+
+- every document emits one row per token position: the k-token window
+  starting there, keyed by ``md5`` of the joined window (fixed-width key so
+  the shuffle moves 32-byte digests, not arbitrary-length text);
+- a window is *duplicated* iff its total occurrence count across the corpus
+  is >= 2 (two docs, or twice within one doc — same as the suffix-array
+  criterion);
+- per document we report how many of its k-gram positions are duplicated and
+  the duplicated fraction — the score a training pipeline thresholds on (or
+  uses to route docs to span-level surgery).
+
+Scale shape: the position table has exactly corpus-token-count rows (minus
+k-1 per doc); the whole operator is one ``groupBy(gram)`` count plus one
+join back on the same key — two shuffles on a fixed-width key, map-side
+partial aggregation on both, no self-join and no quadratic candidate set
+(contrast operators/dedup.py's pair generators, which bound PAIRS; this op
+never forms pairs at all).  A pathological hot gram costs one skewed
+reduce cell, not M^2 rows — AQE skew splitting handles it.
+
+This is an extension beyond the reference (habedi/graphina has no text
+pipeline); tokenization is the frozen convention of
+functions/textstats.py:36 and the DuckDB twin is
+oracles_text.py::substring_dup_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.functions.textstats import tokens_col
+
+DEFAULT_K = 8
+
+
+def kgram_positions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_K
+) -> DataFrame:
+    """(id, g) — one row per token position; ``g`` = md5 of the k-token
+    window starting there.  Documents shorter than k tokens emit no rows."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+    grams = toks.select(
+        "id",
+        F.when(
+            F.size("t") >= k,
+            F.expr(
+                f"transform(sequence(1, size(t) - {k} + 1),"
+                f" i -> md5(array_join(slice(t, i, {k}), ' ')))"
+            ),
+        )
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("gs"),
+    )
+    return grams.select("id", F.explode("gs").alias("g"))
+
+
+def duplicated_kgram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_K
+) -> DataFrame:
+    """(id, n_grams, dup_grams, dup_frac) per document.
+
+    ``dup_grams`` counts positions whose k-gram occurs >= 2 times in the
+    whole corpus (including repeats within the same document); ``dup_frac``
+    = dup_grams / n_grams (0.0 for docs with fewer than k tokens).
+    """
+    pos = kgram_positions(df, id_col, text_col, k)
+    # corpus-wide occurrence count per gram; duplicated = count >= 2.
+    # join back on the same key the count was grouped on — the second
+    # shuffle reuses the first's hash partitioning under AQE.
+    counts = pos.groupBy("g").agg(F.count("*").alias("c"))
+    flagged = pos.join(counts, "g").select(
+        "id", (F.col("c") >= 2).cast("long").alias("isdup")
+    )
+    stats = flagged.groupBy("id").agg(
+        F.count("*").alias("n_grams"), F.sum("isdup").alias("dup_grams")
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+        F.round(
+            F.when(
+                F.col("n_grams").isNotNull() & (F.col("n_grams") > 0),
+                F.col("dup_grams") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -2389,3 +2389,119 @@ def session_transitions_sql(gap_s: int = 14_400) -> str:
 SELECT cur, nxt, n,
        round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
 FROM cnt"""
+
+
+def conductance_web_sql(host_mod: int = 64) -> str:
+    """Mirror of operators/cuts.py::community_cut_metrics on the web graph
+    with host communities (id % host_mod — the hostgraph convention)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ sym AS (SELECT src, dst, weight FROM edges
+         UNION ALL SELECT dst AS src, src AS dst, weight FROM edges),
+ lab AS (SELECT id, id % {host_mod} AS community FROM v),
+ per AS (SELECT a.community AS community,
+                sum(s.weight) AS volume,
+                sum(CASE WHEN a.community <> b.community
+                         THEN s.weight ELSE 0 END) AS cut
+         FROM sym s JOIN lab a ON s.src = a.id JOIN lab b ON s.dst = b.id
+         GROUP BY a.community),
+ tot AS (SELECT sum(volume) AS tot FROM per)
+SELECT community, round(volume, {ROUND}) AS volume, round(cut, {ROUND}) AS cut,
+       round(volume - cut, {ROUND}) AS internal,
+       round(CASE WHEN least(volume, tot - volume) > 0
+                  THEN cut / least(volume, tot - volume) ELSE 0.0 END,
+             {ROUND}) AS conductance
+FROM per, tot"""
+
+
+def ari_block_sql(iters: int = LPA_ITERS, block: int = 100) -> str:
+    """Adjusted Rand Index between the unrolled-LPA labeling and the planted
+    floor(id/block) blocks — mirror of operators/partitions.py::
+    adjusted_rand_index composed with lpa_block_sql (same arithmetic order:
+    expected = sa*sb/cn2, maximum = (sa+sb)/2)."""
+    return f"""WITH lpa AS ({lpa_block_sql(iters)}),
+ j AS (SELECT id, label AS la, CAST(floor(id / {block}) AS BIGINT) AS lb FROM lpa),
+ cont AS (SELECT la, lb, count(*) AS nij FROM j GROUP BY la, lb),
+ s1 AS (SELECT sum(nij * (nij - 1) / 2.0) AS sij FROM cont),
+ s2 AS (SELECT sum(na * (na - 1) / 2.0) AS sa
+        FROM (SELECT la, sum(nij) AS na FROM cont GROUP BY la)),
+ s3 AS (SELECT sum(nb * (nb - 1) / 2.0) AS sb
+        FROM (SELECT lb, sum(nij) AS nb FROM cont GROUP BY lb)),
+ nn AS (SELECT count(*) * (count(*) - 1) / 2.0 AS cn2 FROM j)
+SELECT round(CASE WHEN cn2 = 0 THEN 1.0
+                  WHEN (sa + sb) / 2.0 = sa * sb / cn2 THEN 1.0
+                  ELSE (sij - sa * sb / cn2)
+                       / ((sa + sb) / 2.0 - sa * sb / cn2) END,
+             {ROUND}) AS ari
+FROM s1, s2, s3, nn"""
+
+
+def attr_assortativity_web_sql(host_mod: int = 64) -> str:
+    """Mirror of operators/metrics.py::attribute_assortativity with host
+    labels (id % host_mod — the hostgraph convention): Newman categorical
+    mixing r = (trace - sum a_x b_x) / (1 - sum a_x b_x)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ lab AS (SELECT id, id % {host_mod} AS label FROM v),
+ cont AS (SELECT a.label AS la, b.label AS lb, count(*) AS n
+          FROM edges e JOIN lab a ON e.src = a.id JOIN lab b ON e.dst = b.id
+          GROUP BY a.label, b.label),
+ m AS (SELECT sum(n) AS m FROM cont),
+ exy AS (SELECT la, lb, n * 1.0 / m.m AS e FROM cont, m),
+ tr AS (SELECT coalesce(sum(e), 0.0) AS t FROM exy WHERE la = lb),
+ ab AS (SELECT coalesce(sum(ra.a * cb.b), 0.0) AS s
+        FROM (SELECT la, sum(e) AS a FROM exy GROUP BY la) ra
+        JOIN (SELECT lb AS la, sum(e) AS b FROM exy GROUP BY lb) cb USING (la))
+SELECT round(CASE WHEN 1.0 - ab.s = 0.0 THEN 1.0
+                  ELSE (tr.t - ab.s) / (1.0 - ab.s) END, {ROUND}) AS attr_assortativity
+FROM tr, ab"""
+
+
+def _sweep_cut_sql(cte: str) -> str:
+    """Mirror of operators/cuts.py::sweep_cut ordered by id — min-conductance
+    prefix via delta cumsums (all-integer until the final ratio)."""
+    return f"""WITH {cte},
+ rk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rank FROM v),
+ und AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+         FROM edges WHERE src <> dst),
+ deg AS (SELECT id, count(*) AS deg FROM
+         (SELECT s AS id FROM und UNION ALL SELECT d AS id FROM und)
+         GROUP BY id),
+ er AS (SELECT least(ra.rank, rb.rank) AS minr, greatest(ra.rank, rb.rank) AS maxr
+        FROM und JOIN rk ra ON und.s = ra.id JOIN rk rb ON und.d = rb.id),
+ delta AS (SELECT pos AS rank, sum(dd) AS dlt FROM
+           (SELECT minr AS pos, 1 AS dd FROM er
+            UNION ALL SELECT maxr AS pos, -1 AS dd FROM er) GROUP BY pos),
+ rv AS (SELECT rk.rank, coalesce(deg.deg, 0) AS deg, coalesce(delta.dlt, 0) AS dlt
+        FROM rk LEFT JOIN deg ON rk.id = deg.id
+        LEFT JOIN delta ON rk.rank = delta.rank),
+ pre AS (SELECT rank, sum(deg) OVER (ORDER BY rank) AS vol,
+                sum(dlt) OVER (ORDER BY rank) AS cut FROM rv),
+ m AS (SELECT max(vol) AS m2 FROM pre)
+SELECT CAST(rank + 1 AS BIGINT) AS n_side, CAST(cut AS BIGINT) AS cut_edges,
+       CAST(vol AS BIGINT) AS volume,
+       round(cut * 1.0 / least(vol, m2 - vol), {ROUND}) AS conductance
+FROM pre, m
+WHERE least(vol, m2 - vol) > 0
+ORDER BY conductance, rank LIMIT 1"""
+
+
+def sweep_cut_block_sql() -> str:
+    return _sweep_cut_sql(BLOCK_EDGES_CTE.strip())
+
+
+def sweep_cut_web_sql() -> str:
+    return _sweep_cut_sql(WEB_EDGES_CTE.strip())
+
+
+def powerlaw_web_sql(kmin: int = 5) -> str:
+    """Mirror of operators/metrics.py::powerlaw_alpha_mle(kind="in") on the
+    web graph — same in-degree convention as degree_web_sql, same
+    continuous-approximation MLE arithmetic (1 + n/Σln(k/(kmin-0.5)))."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ d AS (SELECT dst AS id, count(*) AS deg FROM edges GROUP BY dst),
+ tail AS (SELECT deg FROM d WHERE deg >= {kmin})
+SELECT CAST({kmin} AS BIGINT) AS kmin,
+       CAST(count(*) AS BIGINT) AS n_tail,
+       round(1.0 + count(*) / sum(ln(deg / {kmin - 0.5})), {ROUND}) AS alpha,
+       round((count(*) / sum(ln(deg / {kmin - 0.5}))) / sqrt(count(*)),
+             {ROUND}) AS sigma
+FROM tail"""

@@ -684,3 +684,105 @@ SELECT big.a, big.b, big.n_ab,
 FROM big
 JOIN uni ua ON big.a = ua.tk
 JOIN uni ub ON big.b = ub.tk, nu, nb"""
+
+
+def substring_dup_sql(k: int = 8) -> str:
+    """Mirror of operators/substrings.py::duplicated_kgram_stats — rolling
+    k-token-window md5 inventory; a position is duplicated iff its window
+    occurs >= 2 times corpus-wide."""
+    return f"""WITH {_TOK},
+ pos AS (SELECT doc_id AS id, md5(array_to_string(t[i:i+{k}-1], ' ')) AS g
+         FROM tok, UNNEST(generate_series(1, len(t) - {k} + 1)) AS u(i)),
+ cnt AS (SELECT g, count(*) AS c FROM pos GROUP BY g),
+ st AS (SELECT p.id, count(*) AS n_grams,
+               sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS dup_grams
+        FROM pos p JOIN cnt c USING (g) GROUP BY p.id)
+SELECT d.doc_id AS id,
+       CAST(coalesce(st.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(st.dup_grams, 0) AS BIGINT) AS dup_grams,
+       round(CASE WHEN coalesce(st.n_grams, 0) > 0
+                  THEN st.dup_grams * 1.0 / st.n_grams ELSE 0.0 END,
+             {ROUND}) AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.id"""
+
+
+def lm_quality_sql(k: float = 0.5) -> str:
+    """Mirror of operators/lmscore.py::lm_quality (self-trained add-k bigram
+    model; prefix unigram counts; V = distinct corpus tokens)."""
+    return f"""WITH {_TOK},
+ pos AS (SELECT doc_id AS id, t[i] AS w1, t[i+1] AS w2
+         FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+ big AS (SELECT w1, w2, count(*) AS c12 FROM pos GROUP BY w1, w2),
+ uni AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY w1),
+ voc AS (SELECT count(DISTINCT w) AS v
+         FROM (SELECT unnest(t) AS w FROM tok)),
+ dbg AS (SELECT id, w1, w2, count(*) AS n FROM pos GROUP BY id, w1, w2),
+ st AS (SELECT dbg.id, sum(dbg.n) AS nb,
+               sum(dbg.n * -log2((big.c12 + {k}) / (uni.c1 + {k} * voc.v))) AS bits
+        FROM dbg JOIN big USING (w1, w2) JOIN uni USING (w1), voc
+        GROUP BY dbg.id)
+SELECT d.doc_id AS id, CAST(coalesce(st.nb, 0) AS BIGINT) AS n_bigrams,
+       round(CASE WHEN coalesce(st.nb, 0) > 0
+                  THEN st.bits / st.nb ELSE 0.0 END, {ROUND}) AS xent_bits
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.id"""
+
+
+def winnow_fingerprint_sql(k: int = 5, w: int = 4) -> str:
+    """Mirror of operators/fingerprints.py::fingerprint_stats — identical
+    composite min-key (md5 || lpad(10^9 - pos)) so the rightmost-min
+    winnowing selection is the same string minimum in both engines."""
+    return f"""WITH {_TOK},
+ pos AS (SELECT doc_id AS id, i AS pos,
+                md5(array_to_string(t[i:i+{k}-1], ' ')) AS g,
+                len(t) - {k} + 1 AS ng
+         FROM tok, UNNEST(generate_series(1, len(t) - {k} + 1)) AS u(i)),
+ keyed AS (SELECT id, pos, ng,
+                  g || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key
+           FROM pos),
+ win AS (SELECT id, pos, ng,
+                min(key) OVER (PARTITION BY id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND {w - 1} FOLLOWING) AS wk
+         FROM keyed),
+ sel AS (SELECT DISTINCT id, substr(wk, 1, 32) AS g
+         FROM win WHERE pos <= ng - {w} + 1),
+ dpg AS (SELECT g, count(*) AS nd FROM sel GROUP BY g),
+ st AS (SELECT s.id, count(*) AS nf,
+               sum(CASE WHEN dpg.nd >= 2 THEN 1 ELSE 0 END) AS ns
+        FROM sel s JOIN dpg USING (g) GROUP BY s.id)
+SELECT d.doc_id AS id,
+       CAST(coalesce(st.nf, 0) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(st.ns, 0) AS BIGINT) AS n_shared,
+       round(CASE WHEN coalesce(st.nf, 0) > 0
+                  THEN st.ns * 1.0 / st.nf ELSE 0.0 END, {ROUND}) AS shared_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.id"""
+
+
+def dsir_weights_sql(targets: tuple[str, ...] = ("src0", "src1"),
+                     alpha: float = 0.5) -> str:
+    """Mirror of operators/dsir.py::dsir_log_weights with
+    target = source IN targets; 256 md5-2-hex-prefix bigram buckets,
+    add-alpha smoothing on both models."""
+    tl = ", ".join(f"'{s}'" for s in targets)
+    return f"""WITH tok AS (SELECT doc_id, source IN ({tl}) AS tgt, list_filter(
+string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+ FROM documents),
+ pos AS (SELECT doc_id AS id, tgt,
+                substr(md5(t[i] || ' ' || t[i+1]), 1, 2) AS b
+         FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+ cnt AS (SELECT id, b, count(*) AS n FROM pos GROUP BY id, b),
+ model AS (SELECT b, sum(n) AS c_raw,
+                  sum(CASE WHEN tgt THEN n ELSE 0 END) AS c_tgt
+           FROM (SELECT p.id, p.b, any_value(p.tgt) AS tgt, count(*) AS n
+                 FROM pos p GROUP BY p.id, p.b)
+           GROUP BY b),
+ tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM model),
+ ratio AS (SELECT b,
+                  ln((c_tgt + {alpha}) / (t_tgt + {alpha * 256}))
+                  - ln((c_raw + {alpha}) / (t_raw + {alpha * 256})) AS lr
+           FROM model, tot),
+ st AS (SELECT cnt.id, sum(cnt.n) AS nf, sum(cnt.n * ratio.lr) AS lw
+        FROM cnt JOIN ratio USING (b) GROUP BY cnt.id)
+SELECT d.doc_id AS id, CAST(coalesce(st.nf, 0) AS BIGINT) AS n_feats,
+       round(coalesce(st.lw, 0.0), {ROUND}) AS log_weight
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.id"""

@@ -1,5 +1,7 @@
 """Reciprocity and degree histogram (operators/metrics.py additions)."""
 
+import pytest
+
 from tests.conftest import make_graph
 
 
@@ -87,3 +89,54 @@ def test_component_size_histogram(spark):
     g = make_graph(spark, [(0, 1), (1, 2), (3, 4)], n=6, directed=True)
     got = {r["size"]: r["n"] for r in component_size_histogram(g).collect()}
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_attribute_assortativity(spark):
+    from graphina_spark.operators.metrics import attribute_assortativity
+    import pyspark.sql.functions as F
+
+    # two label classes; 4 within-class edges, 2 cross-class edges
+    # e = [[2/6, 1/6], [1/6, 2/6]]; trace = 4/6; a = b = [0.5, 0.5];
+    # sum a*b = 0.5 -> r = (4/6 - 1/2) / (1 - 1/2) = 1/3
+    g = make_graph(
+        spark, [(0, 1), (1, 2), (3, 4), (4, 5), (2, 3), (5, 0)], n=6
+    )
+    labels = g.vertices.select(
+        "id", F.when(F.col("id") < 3, "x").otherwise("y").alias("label")
+    )
+    assert attribute_assortativity(g, labels) == pytest.approx(1.0 / 3.0)
+
+    # perfectly assortative: all edges within class
+    g2 = make_graph(spark, [(0, 1), (1, 0), (2, 3)], n=4)
+    lab2 = g2.vertices.select(
+        "id", F.when(F.col("id") < 2, "x").otherwise("y").alias("label")
+    )
+    assert attribute_assortativity(g2, lab2) == pytest.approx(1.0)
+
+    # single class everywhere -> 1.0 by convention
+    lab3 = g2.vertices.select("id", F.lit("only").alias("label"))
+    assert attribute_assortativity(g2, lab3) == pytest.approx(1.0)
+
+    # perfectly disassortative 2-class: r = -1
+    g3 = make_graph(spark, [(0, 2), (2, 1), (1, 3), (3, 0)], n=4)
+    lab4 = g3.vertices.select(
+        "id", F.when(F.col("id") < 2, "x").otherwise("y").alias("label")
+    )
+    assert attribute_assortativity(g3, lab4) == pytest.approx(-1.0)
+
+
+def test_powerlaw_alpha_mle(spark):
+    from graphina_spark.operators.metrics import powerlaw_alpha_mle
+    from tests.conftest import make_graph
+
+    # star-ish fixture: hub 0 has in-degree 8; spokes have in-degree 1;
+    # with kmin=2 only the hub is in the tail → alpha = 1 + 1/ln(8/1.5)
+    import math
+
+    g = make_graph(spark, [(i, 0) for i in range(1, 9)], n=9)
+    row = powerlaw_alpha_mle(g, kmin=2, kind="in").collect()[0]
+    assert row["kmin"] == 2 and row["n_tail"] == 1
+    assert abs(row["alpha"] - (1 + 1 / math.log(8 / 1.5))) < 1e-6
+    # empty tail → NULL alpha, zero count
+    row2 = powerlaw_alpha_mle(g, kmin=100, kind="in").collect()[0]
+    assert row2["n_tail"] == 0 and row2["alpha"] is None

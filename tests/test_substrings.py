@@ -1,0 +1,76 @@
+"""Exact-substring (rolling k-gram) duplication stats — unit semantics on
+hand-built documents (the driver's DuckDB gate covers engine parity)."""
+
+import pytest
+
+from graphina_spark.operators.substrings import (
+    duplicated_kgram_stats,
+    kgram_positions,
+)
+
+DOCS = [
+    # 0 and 1 share the identical 10-token text: every 4-gram position in
+    # both is duplicated
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    # 2 embeds a 6-token span of 0's text inside fresh context: the 4-grams
+    # fully inside the copied span are duplicated, the flanks are not
+    (2, "one two alpha beta gamma delta epsilon zeta nine ten"),
+    # 3 repeats a 4-gram within ITSELF (the suffix-array criterion counts
+    # corpus-wide occurrences, including same-doc repeats)
+    (3, "red green blue white red green blue white tail word"),
+    # 4 is all-unique
+    (4, "unrelated totally distinct vocabulary nothing shared anywhere"),
+    # 5 is shorter than k → zero grams
+    (5, "too short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_kgram_positions_counts(docs):
+    pos = kgram_positions(docs, k=4)
+    per = {r["id"]: r["n"] for r in pos.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+    # 10 tokens → 7 positions of length-4 windows
+    assert per[0] == 7 and per[1] == 7 and per[2] == 7 and per[3] == 7
+    assert per[4] == 4  # 7 tokens → 4 positions
+    assert 5 not in per  # 2 tokens < k → no rows
+
+
+def test_duplicated_kgram_stats(docs):
+    got = {
+        r["id"]: (r["n_grams"], r["dup_grams"], r["dup_frac"])
+        for r in duplicated_kgram_stats(docs, k=4).collect()
+    }
+    # exact dups: all 7 positions duplicated
+    assert got[0] == (7, 7, 1.0)
+    assert got[1] == (7, 7, 1.0)
+    # doc 2: copied span "alpha beta gamma delta epsilon zeta" (6 tokens)
+    # contributes 3 duplicated 4-gram positions out of 7
+    assert got[2][0] == 7 and got[2][1] == 3
+    # doc 3: "red green blue white" occurs twice WITHIN the doc → both
+    # positions duplicated, the straddling/tail windows are unique
+    assert got[3][0] == 7 and got[3][1] == 2
+    # all-unique and too-short docs
+    assert got[4] == (7 - 3, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+
+
+def test_case_and_punct_folded(spark):
+    # tokenization is the frozen convention: lowercase, [^a-z0-9]+ split —
+    # so case/punctuation variants of the same token stream ARE duplicates
+    df = spark.createDataFrame(
+        [
+            (0, "Alpha, beta; GAMMA delta epsilon!"),
+            (1, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["dup_grams"])
+        for r in duplicated_kgram_stats(df, k=5).collect()
+    }
+    assert got[0] == (1, 1) and got[1] == (1, 1)
