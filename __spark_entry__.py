@@ -1078,6 +1078,26 @@ def _q_degree_hist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_web(spark, sf_dir), kind="total")
 
 
+def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.lpa import seeded_label_propagation
+
+    g = _web(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") % 97 == 0).select(
+        "id", F.col("id").alias("label")
+    )
+    return seeded_label_propagation(g, seeds, fixed_iters=4)
+
+
+def _q_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir),
+        weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},
+        token_budget=1_000_000,
+    )
+
+
 def _q_powerlaw_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.metrics import powerlaw_alpha_mle
 
@@ -1398,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_web": _q_reciprocity_web,
         "degree_hist_web": _q_degree_hist_web,
         "powerlaw_web": _q_powerlaw_web,
+        "seeded_lpa_web": _q_seeded_lpa_web,
+        "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
         "vertex_sample_sub_web": _q_vertex_sample_sub_web,
         "salsa_web": _q_salsa_web,
@@ -1523,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity_web": O.reciprocity_web_sql(),
         "degree_hist_web": O.degree_hist_web_sql(kind="total"),
         "powerlaw_web": O.powerlaw_web_sql(kmin=5),
+        "seeded_lpa_web": O.seeded_lpa_web_sql(iters=4, seed_mod=97),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
         "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),
@@ -1586,6 +1609,10 @@ def _text_oracles() -> dict[str, str]:
         "substring_dup": T.substring_dup_sql(k=8),
         "lm_quality": T.lm_quality_sql(),
         "winnow_fp": T.winnow_fingerprint_sql(k=5, w=4),
+        "mixture_docs": T.mixture_plan_sql(
+            weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},
+            token_budget=1_000_000,
+        ),
         "dsir_weights": T.dsir_weights_sql(targets=("src0", "src1")),
         "split_contamination": T.split_contamination_sql(k=3),
         "tfidf_terms": T.tfidf_top_terms_sql(k=3),

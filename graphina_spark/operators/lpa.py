@@ -91,3 +91,62 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def seeded_label_propagation(
+    g: LinkGraph, seeds: DataFrame, fixed_iters: int = 4
+) -> DataFrame:
+    """(id: long, label: long|null) — semi-supervised label propagation with
+    hard-clamped seeds (Zhu & Ghahramani 2002, CMU-CALD-02-107, the
+    propagation step without the row-normalized soft scores).
+
+    ``seeds`` is (id, label); seed vertices keep their label forever, every
+    other vertex synchronously adopts the most frequent label among its
+    *labeled* neighbors — ties broken (count desc, label asc), the same
+    deterministic rule as :func:`label_propagation` — and stays NULL until a
+    label reaches it.  After k rounds exactly the vertices within k hops of
+    a seed are labeled, so the operator doubles as a bounded influence /
+    territory-assignment primitive (which crawl frontier belongs to which
+    seed list).
+
+    Scale shape: identical to the unseeded kernel — per round one
+    labels→edges join (only the labeled subset probes the edge frame, so
+    early rounds are *cheaper* than full LPA), one (dst, label) count with
+    map-side combine, one per-vertex argmax window; the clamp is a broadcast
+    left join against the seed frame.  DuckDB twin:
+    oracles.py::seeded_lpa_web_sql (unrolled, AS MATERIALIZED per round).
+    """
+    if fixed_iters <= 0:
+        raise ValueError("fixed_iters must be positive")
+    sym = g.undirected_view().select("src", "dst").repartition("src").cache()
+    seed = seeds.select("id", F.col("label").cast("long").alias("_seed"))
+    labels = (
+        g.vertices.select("id")
+        .join(seed, "id", "left")
+        .select("id", F.col("_seed").alias("label"))
+        .transform(_mat)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(fixed_iters):
+        freq = (
+            labels.where(F.col("label").isNotNull())
+            .alias("l")
+            .join(sym.alias("e"), F.col("l.id") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("id"), F.col("l.label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(seed, "id", "left")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_seed", "new_label", "label").alias("label"),
+            )
+            .transform(_mat)
+        )
+    return labels

@@ -422,3 +422,81 @@ def _keep_threshold(frac: float) -> str:
     most 8-char hex buckets lexicographically and would silently drop
     ~94% of a keep-everything stratum; 'g' sorts above every hex string."""
     return "g" if frac >= 1.0 else _hex_threshold(frac)
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """(source, available_tokens, target_tokens, rate, epochs) — the sampling
+    plan that realizes a target domain mixture under a token budget.
+
+    Every pretraining run starts here (GPT-3 Table 2.2, The Pile, LLaMA's
+    mixture tables): given per-source mixture ``weights`` (normalized over
+    the sources present) and a ``token_budget``, compute per source the
+    available token mass, the target mass ``budget · weight``, the sampling
+    ``rate = target / available`` (rate > 1 = the source must repeat), and
+    ``epochs = ceil(rate)`` capped at ``max_epochs`` — the practical repeat
+    guard (Muennighoff 2023: ≥4 epochs of repeated data stops helping).
+    Sources in the corpus but not in ``weights`` get weight 0 (rate 0 =
+    dropped); weights for absent sources are ignored (renormalization is
+    over PRESENT sources, so the plan always spends the full budget).
+
+    Scale shape: one groupBy(source) token aggregation (map-side combined) +
+    a broadcast weights table + closed-form arithmetic — a 100 TB corpus
+    plan is one pass, no collect.  The plan frame is #sources rows: feed it
+    to :func:`stratified_sample`'s rates to materialize the mixture.
+    DuckDB twin: oracles_text.py::mixture_plan_sql (identical
+    renormalization and rounding).
+    """
+    from graphina_spark.functions.textstats import token_count
+
+    spark = df.sparkSession
+    avail = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("available_tokens"))
+    )
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())], "source string, w double"
+    )
+    j = avail.join(F.broadcast(wdf), "source", "left").select(
+        "source", "available_tokens", F.coalesce("w", F.lit(0.0)).alias("w")
+    )
+    tot = j.agg(F.sum("w").alias("tw"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "available_tokens",
+            F.round(
+                F.lit(float(token_budget)) * F.col("w") / F.col("tw"), 6
+            ).alias("target_tokens"),
+            F.round(
+                F.lit(float(token_budget))
+                * F.col("w")
+                / F.col("tw")
+                / F.col("available_tokens"),
+                6,
+            ).alias("rate"),
+            F.least(
+                F.ceil(
+                    F.lit(float(token_budget))
+                    * F.col("w")
+                    / F.col("tw")
+                    / F.col("available_tokens")
+                ),
+                F.lit(int(max_epochs)),
+            )
+            .cast("long")
+            .alias("epochs"),
+        )
+    )

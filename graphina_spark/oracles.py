@@ -2505,3 +2505,35 @@ SELECT CAST({kmin} AS BIGINT) AS kmin,
        round((count(*) / sum(ln(deg / {kmin - 0.5}))) / sqrt(count(*)),
              {ROUND}) AS sigma
 FROM tail"""
+
+
+def seeded_lpa_web_sql(iters: int = 4, seed_mod: int = 97) -> str:
+    """Mirror of operators/lpa.py::seeded_label_propagation on the web graph
+    with seeds = vertices where id % seed_mod == 0 labeled by their own id.
+    Unrolled synchronous rounds; every round CTE is AS MATERIALIZED (it is
+    referenced twice — plain CTE inlining goes exponential)."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "sym AS (SELECT src, dst FROM edges UNION ALL"
+        " SELECT dst AS src, src AS dst FROM edges)",
+        f"seeds AS (SELECT id, id AS slabel FROM v WHERE id % {seed_mod} = 0)",
+        "l0 AS MATERIALIZED (SELECT v.id, s.slabel AS label"
+        " FROM v LEFT JOIN seeds s ON v.id = s.id)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.id, coalesce(s.slabel, b.new_label, l.label) AS label
+  FROM {p} l LEFT JOIN seeds s ON l.id = s.id LEFT JOIN (
+    SELECT id, label AS new_label FROM (
+      SELECT e.dst AS id, l2.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, l2.label ASC) AS rn
+      FROM sym e JOIN {p} l2 ON e.src = l2.id AND l2.label IS NOT NULL
+      GROUP BY e.dst, l2.label
+    ) t WHERE rn = 1
+  ) b ON l.id = b.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"

@@ -786,3 +786,25 @@ string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
 SELECT d.doc_id AS id, CAST(coalesce(st.nf, 0) AS BIGINT) AS n_feats,
        round(coalesce(st.lw, 0.0), {ROUND}) AS log_weight
 FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.id"""
+
+
+def mixture_plan_sql(weights: dict[str, float], token_budget: int,
+                     max_epochs: int = 4) -> str:
+    """Mirror of operators/sampling.py::mixture_plan — weights renormalized
+    over sources present in the corpus, identical arithmetic order."""
+    vals = ", ".join(f"('{k}', {float(v)})" for k, v in sorted(weights.items()))
+    b = float(token_budget)
+    return f"""WITH {_TOK},
+ avail AS (SELECT d.source, sum(len(t.t)) AS available_tokens
+           FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+           GROUP BY d.source),
+ wt (source, w) AS (VALUES {vals}),
+ j AS (SELECT a.source, a.available_tokens, coalesce(wt.w, 0.0) AS w
+       FROM avail a LEFT JOIN wt ON a.source = wt.source),
+ tot AS (SELECT sum(w) AS tw FROM j)
+SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
+       round({b} * w / tw, {ROUND}) AS target_tokens,
+       round({b} * w / tw / available_tokens, {ROUND}) AS rate,
+       CAST(least(ceil({b} * w / tw / available_tokens),
+                  {max_epochs}) AS BIGINT) AS epochs
+FROM j, tot"""
