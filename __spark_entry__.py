@@ -1078,6 +1078,14 @@ def _q_degree_hist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_web(spark, sf_dir), kind="total")
 
 
+def _q_eccentricity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.paths import eccentricity
+
+    g = _web(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 97 == 0).select("id")
+    return eccentricity(g, srcs, max_depth=12)
+
+
 def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.lpa import seeded_label_propagation
 
@@ -1086,6 +1094,18 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.col("id").alias("label")
     )
     return seeded_label_propagation(g, seeds, fixed_iters=4)
+
+
+def _q_silhouette_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.kmeans import centroid_silhouette
+
+    return centroid_silhouette(_embs(spark, sf_dir), k=8, iters=2)
+
+
+def _q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import source_divergence
+
+    return source_divergence(_docs(spark, sf_dir))
 
 
 def _q_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,6 +1439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_hist_web": _q_degree_hist_web,
         "powerlaw_web": _q_powerlaw_web,
         "seeded_lpa_web": _q_seeded_lpa_web,
+        "eccentricity_web": _q_eccentricity_web,
+        "silhouette_emb": _q_silhouette_emb,
+        "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
         "vertex_sample_sub_web": _q_vertex_sample_sub_web,
@@ -1546,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_hist_web": O.degree_hist_web_sql(kind="total"),
         "powerlaw_web": O.powerlaw_web_sql(kmin=5),
         "seeded_lpa_web": O.seeded_lpa_web_sql(iters=4, seed_mod=97),
+        "eccentricity_web": O.eccentricity_web_sql(max_depth=12, src_mod=97),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
         "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),
@@ -1609,6 +1633,8 @@ def _text_oracles() -> dict[str, str]:
         "substring_dup": T.substring_dup_sql(k=8),
         "lm_quality": T.lm_quality_sql(),
         "winnow_fp": T.winnow_fingerprint_sql(k=5, w=4),
+        "silhouette_emb": T.silhouette_sql(k=8, iters=2),
+        "source_kl": T.source_kl_sql(),
         "mixture_docs": T.mixture_plan_sql(
             weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},
             token_budget=1_000_000,

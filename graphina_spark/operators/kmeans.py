@@ -139,3 +139,68 @@ def semdedup_pairs(
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n, mean_silhouette) — simplified (centroid-based)
+    silhouette per cluster over the :func:`kmeans` assignment.
+
+    The simplified silhouette (Hruschka et al. 2004; what sklearn calls the
+    "medoid shortcut" and large-scale evaluators actually compute) replaces
+    the O(n²) pairwise distances of the classic coefficient with distances
+    to centroids: a(i) = ‖x_i − c(own)‖, b(i) = min over other clusters
+    ‖x_i − c‖, s(i) = (b − a)/max(a, b) (0 when both are 0).  Evaluation
+    centroids are the per-dimension means of the FINAL assignment (same
+    6-dp rounding as the Lloyd update, so the trajectory and the evaluation
+    agree bit-for-bit with the DuckDB twin).
+
+    Scale shape: one per-dim mean aggregation + one broadcast of k centroid
+    rows + one map-side-combinable groupBy — evaluating 10¹² vectors costs
+    one pass; nothing pairwise, nothing driver-side beyond k×dim doubles.
+    DuckDB twin: oracles_text.py::silhouette_sql.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    assign = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    av = assign.join(base, assign["id"] == base["id"]).select(
+        assign["id"], F.col("cluster").alias("cid"), "vec"
+    )
+    ecents = (
+        av.select("cid", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), CENT_ROUND).alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col("cid").alias("ecid"), F.transform("pm", lambda s: s["m"]).alias("cvec"))
+    )
+    d = av.crossJoin(F.broadcast(ecents)).select(
+        "id",
+        "cid",
+        "ecid",
+        F.round(F.sqrt(_sq_dist(F.col("vec"), F.col("cvec"))), DIST_ROUND).alias("d"),
+    )
+    ab = d.groupBy("id", "cid").agg(
+        F.min(F.when(F.col("ecid") == F.col("cid"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("ecid") != F.col("cid"), F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        "cid",
+        F.when(
+            F.greatest("a", F.coalesce("b", F.lit(0.0))) > 0,
+            (F.coalesce("b", F.lit(0.0)) - F.col("a"))
+            / F.greatest("a", F.coalesce("b", F.lit(0.0))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    return s.groupBy(F.col("cid").cast("int").alias("cluster")).agg(
+        F.count("*").alias("n"), F.round(F.avg("s"), 6).alias("mean_silhouette")
+    )

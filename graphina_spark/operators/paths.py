@@ -135,3 +135,25 @@ def all_pairs_bfs_lengths(g: LinkGraph, max_depth: int | None = None) -> DataFra
     exact but quadratic — intended for subgraphs/samples; at web scale use
     ``bfs_distances`` with a landmark source set."""
     return bfs_distances(g, g.vertices.select("id"), max_depth=max_depth)
+
+
+def eccentricity(
+    g: LinkGraph, sources: DataFrame, max_depth: int | None = None
+) -> DataFrame:
+    """(source, n_reached, eccentricity) — per-source BFS eccentricity
+    restricted to the reachable set (graph_metrics.rs:40-98 computes the
+    same per-vertex max-BFS-depth quantity inside diameter/radius; this is
+    the per-source readout for a *sampled* source set, the honest web-scale
+    contract — all-sources eccentricity is the documented diameter non-goal,
+    served by the ANF sketch in operators/distmetrics.py).
+
+    ``n_reached`` counts the source itself; a source with no out-edges has
+    eccentricity 0.  One groupBy over the multi-source BFS frontier table —
+    the BFS dominates, the readout is map-side-combinable.  DuckDB twin:
+    oracles.py::eccentricity_web_sql.
+    """
+    d = bfs_distances(g, sources, max_depth=max_depth)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_reached"),
+        F.max("dist").cast("long").alias("eccentricity"),
+    )

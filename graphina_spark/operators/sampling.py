@@ -500,3 +500,52 @@ def mixture_plan(
             .alias("epochs"),
         )
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_tokens, kl_bits) — KL(p_source ‖ p_corpus) in bits over
+    unigram token distributions: how far each source's language drifts from
+    the corpus mixture.  The standard domain-shift readout a data pipeline
+    tracks per crawl/source (CCNet monitors exactly this family; DSIR's
+    importance weights are the per-document form — this is the per-source
+    dashboard scalar).  No smoothing is needed: every source token occurs
+    in the corpus by construction, so the ratio is always finite.
+
+    Scale shape: one (source, token) count (map-side combined, ≤
+    vocab × sources rows) joined to the corpus token counts on the same key
+    plus two broadcast 1-row totals — two shuffles on the token key, no
+    per-doc state, no pairs.  DuckDB twin: oracles_text.py::source_kl_sql.
+    """
+    from graphina_spark.functions.textstats import tokens_col
+
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens_col(F.col(text_col))).alias("w"),
+    )
+    per = tok.groupBy("source", "w").agg(F.count("*").alias("cs"))
+    corpus = per.groupBy("w").agg(F.sum("cs").alias("c"))
+    tots = per.groupBy("source").agg(F.sum("cs").alias("ts"))
+    grand = corpus.agg(F.sum("c").alias("t"))
+    return (
+        per.join(corpus, "w")
+        .join(F.broadcast(tots), "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.sum("cs").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("cs") / F.col("ts"))
+                    * F.log2(
+                        (F.col("cs") / F.col("ts")) / (F.col("c") / F.col("t"))
+                    )
+                ),
+                6,
+            ).alias("kl_bits"),
+        )
+    )

@@ -2537,3 +2537,15 @@ def seeded_lpa_web_sql(iters: int = 4, seed_mod: int = 97) -> str:
 )"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
+
+
+def eccentricity_web_sql(max_depth: int = 6, src_mod: int = 97) -> str:
+    """Mirror of operators/paths.py::eccentricity over the bfs_dist_web
+    unroll (same frontier CTE chain, then one per-source aggregation)."""
+    inner = bfs_dist_web_sql(max_depth=max_depth, src_mod=src_mod)
+    return (
+        f"WITH b AS ({inner})\n"
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_reached,\n"
+        "       CAST(max(dist) AS BIGINT) AS eccentricity\n"
+        "FROM b GROUP BY source"
+    )

@@ -808,3 +808,55 @@ SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
        CAST(least(ceil({b} * w / tw / available_tokens),
                   {max_epochs}) AS BIGINT) AS epochs
 FROM j, tot"""
+
+
+def silhouette_sql(k: int = 8, iters: int = 2) -> str:
+    """Twin of operators/kmeans.py::centroid_silhouette — evaluation
+    centroids re-averaged from the final assignment with the same 6-dp
+    rounding, distances rounded to 9 dp before the ratio."""
+    ctes = _kmeans_ctes(k, iters)
+    dd = (
+        "round(sqrt(list_aggregate(list_transform(list_zip(a.vec, e.cvec),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum')), 9)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+ ec AS MATERIALIZED (SELECT cid AS ecid, list(m ORDER BY pos) AS cvec
+       FROM (SELECT a.cid, d.pos, round(avg(a.vec[d.pos]), 6) AS m
+             FROM a{iters} a CROSS JOIN dims d GROUP BY a.cid, d.pos)
+       GROUP BY cid),
+ dist AS (SELECT a.id, a.cid, e.ecid, {dd} AS d
+          FROM a{iters} a CROSS JOIN ec e),
+ ab AS (SELECT id, cid,
+               min(CASE WHEN ecid = cid THEN d END) AS a,
+               min(CASE WHEN ecid <> cid THEN d END) AS b
+        FROM dist GROUP BY id, cid),
+ s AS (SELECT cid,
+              CASE WHEN greatest(a, coalesce(b, 0.0)) > 0
+                   THEN (coalesce(b, 0.0) - a) / greatest(a, coalesce(b, 0.0))
+                   ELSE 0.0 END AS s
+       FROM ab)
+SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), {ROUND}) AS mean_silhouette
+FROM s GROUP BY cid"""
+    )
+
+
+def source_kl_sql() -> str:
+    """Mirror of operators/sampling.py::source_divergence — same grouping
+    keys and arithmetic order (cs/ts · log2((cs/ts)/(c/t)))."""
+    return f"""WITH {_TOK},
+ ex AS (SELECT d.source, u.w
+        FROM documents d JOIN tok t ON d.doc_id = t.doc_id,
+             UNNEST(t.t) AS u(w)),
+ per AS (SELECT source, w, count(*) AS cs FROM ex GROUP BY source, w),
+ corpus AS (SELECT w, sum(cs) AS c FROM per GROUP BY w),
+ tots AS (SELECT source, sum(cs) AS ts FROM per GROUP BY source),
+ grand AS (SELECT sum(c) AS t FROM corpus)
+SELECT per.source, CAST(sum(per.cs) AS BIGINT) AS n_tokens,
+       round(sum((per.cs * 1.0 / tots.ts)
+                 * log2((per.cs * 1.0 / tots.ts) / (corpus.c * 1.0 / grand.t))),
+             {ROUND}) AS kl_bits
+FROM per JOIN corpus USING (w) JOIN tots USING (source), grand
+GROUP BY per.source"""
