@@ -1078,6 +1078,16 @@ def _q_degree_hist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_web(spark, sf_dir), kind="total")
 
 
+def _q_host_distinct_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.cardinality import approx_distinct_by_key
+
+    g = _web(spark, sf_dir)
+    e = g.edges.select((F.col("src") % HOST_MOD).alias("host"), "dst")
+    return approx_distinct_by_key(e, "host", "dst", k=8).withColumnRenamed(
+        "key", "host"
+    )
+
+
 def _q_eccentricity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.paths import eccentricity
 
@@ -1440,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_web": _q_powerlaw_web,
         "seeded_lpa_web": _q_seeded_lpa_web,
         "eccentricity_web": _q_eccentricity_web,
+        "host_distinct_web": _q_host_distinct_web,
         "silhouette_emb": _q_silhouette_emb,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
@@ -1570,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_web": O.powerlaw_web_sql(kmin=5),
         "seeded_lpa_web": O.seeded_lpa_web_sql(iters=4, seed_mod=97),
         "eccentricity_web": O.eccentricity_web_sql(max_depth=12, src_mod=97),
+        "host_distinct_web": O.host_distinct_web_sql(host_mod=HOST_MOD, k=8),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
         "salsa_web": O.salsa_web_sql(iters=SALSA_ITERS),

@@ -2549,3 +2549,49 @@ def eccentricity_web_sql(max_depth: int = 6, src_mod: int = 97) -> str:
         "       CAST(max(dist) AS BIGINT) AS eccentricity\n"
         "FROM b GROUP BY source"
     )
+
+
+def host_distinct_web_sql(host_mod: int = 64, k: int = 8) -> str:
+    """Mirror of operators/cardinality.py::approx_distinct_by_key over the
+    web graph with key = src % host_mod ("host"), val = dst: same portable
+    FM hash family (see anf_web_sql), bit_or merge, integer register mass +
+    the deterministic 2^(mean lzb)/phi estimate."""
+    from graphina_spark.operators.distmetrics import (
+        ANF_A,
+        ANF_B,
+        ANF_P,
+        ANF_PHI,
+        ANF_REG_BITS,
+    )
+
+    cap = ANF_REG_BITS - 1
+    init_cols = []
+    for j in range(k):
+        h = f"((h2_{j} * h2_{j} + {ANF_B[j]}) % {ANF_P})"
+        tz = (
+            f"CASE WHEN {h} = 0 THEN {cap} ELSE LEAST(CAST(round(log2(CAST("
+            f"({h} & -{h}) AS DOUBLE))) AS INT), {cap}) END"
+        )
+        init_cols.append(f"CAST(pow(2.0, {tz}) AS BIGINT) AS m{j}")
+    h1_cols = ", ".join(
+        f"(((dst + 1) * {ANF_A[j]} + {ANF_B[j]}) % {ANF_P}) AS h1_{j}"
+        for j in range(k)
+    )
+    h2_cols = ", ".join(
+        f"((h1_{j} * h1_{j} + {ANF_A[j]}) % {ANF_P}) AS h2_{j}" for j in range(k)
+    )
+    lzb = [
+        f"CAST(round(log2(CAST(((~m{j}) & (m{j} + 1)) AS DOUBLE))) AS BIGINT)"
+        for j in range(k)
+    ]
+    mass = " + ".join(lzb)
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ hv1 AS (SELECT src % {host_mod} AS key, {h1_cols} FROM edges),
+ hv2 AS (SELECT key, {h2_cols} FROM hv1),
+ reg AS (SELECT key, {', '.join(init_cols)} FROM hv2),
+ merged AS (SELECT key, {', '.join(f'bit_or(m{j}) AS m{j}' for j in range(k))}
+            FROM reg GROUP BY key)
+SELECT key AS host, CAST({mass} AS BIGINT) AS register_mass,
+       round(pow(2.0, ({mass}) / {float(k)}) / {ANF_PHI}, {ROUND})
+         AS approx_distinct
+FROM merged"""
