@@ -1106,6 +1106,12 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_pca_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.pca import top_component
+
+    return top_component(_embs(spark, sf_dir), iters=6)
+
+
 def _q_silhouette_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.kmeans import centroid_silhouette
 
@@ -1452,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity_web": _q_eccentricity_web,
         "host_distinct_web": _q_host_distinct_web,
         "silhouette_emb": _q_silhouette_emb,
+        "pca_emb": _q_pca_emb,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1646,6 +1653,7 @@ def _text_oracles() -> dict[str, str]:
         "lm_quality": T.lm_quality_sql(),
         "winnow_fp": T.winnow_fingerprint_sql(k=5, w=4),
         "silhouette_emb": T.silhouette_sql(k=8, iters=2),
+        "pca_emb": T.pca_emb_sql(iters=6),
         "source_kl": T.source_kl_sql(),
         "mixture_docs": T.mixture_plan_sql(
             weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},

@@ -860,3 +860,54 @@ SELECT per.source, CAST(sum(per.cs) AS BIGINT) AS n_tokens,
              {ROUND}) AS kl_bits
 FROM per JOIN corpus USING (w) JOIN tots USING (source), grand
 GROUP BY per.source"""
+
+
+def pca_emb_sql(iters: int = 6) -> str:
+    """Twin of operators/pca.py::top_component — unrolled power rounds; the
+    projection is the same left-to-right zip-fold as Spark's F.aggregate
+    (list_aggregate over list_zip, the kmeans-proven bit-compatible form);
+    v is rounded to 9 dp per round, readout to 6 dp, sign fixed by the
+    first nonzero coordinate."""
+    dot_v = (
+        "list_aggregate(list_transform(list_zip(b.x, v.v),"
+        " t -> t[1] * t[2]), 'sum')"
+    )
+    ctes = [
+        "base AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS x"
+        " FROM embeddings)",
+        "dims AS (SELECT unnest(range(1, 1 + len(x))) AS pos"
+        " FROM (SELECT x FROM base LIMIT 1))",
+        "v0 AS MATERIALIZED (SELECT list_prepend(1.0,"
+        " list_transform(range(2, 1 + len(x)), i -> 0.0)) AS v"
+        " FROM (SELECT x FROM base LIMIT 1))",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT d.pos,"
+            f" sum(b.x[d.pos] * {dot_v.replace('v.v', f'v.v')}) AS s"
+            f" FROM base b CROSS JOIN v{p} v CROSS JOIN dims d GROUP BY d.pos)"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT list(round(s / nrm, 9)"
+            f" ORDER BY pos) AS v FROM w{r},"
+            f" (SELECT sqrt(sum(s * s)) AS nrm FROM w{r}))"
+        )
+    ctes.append(
+        f"""vs AS MATERIALIZED (
+  SELECT CASE WHEN coalesce(list_filter(v, c -> c <> 0)[1], 1.0) < 0
+              THEN list_transform(v, c -> -c) ELSE v END AS v
+  FROM v{iters})"""
+    )
+    ctes.append(
+        "ray AS (SELECT round(sum(pp * pp) / count(*), 6) AS eigenvalue"
+        " FROM (SELECT list_aggregate(list_transform(list_zip(b.x, v.v),"
+        " t -> t[1] * t[2]), 'sum') AS pp FROM base b CROSS JOIN vs v))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT CAST(d.pos - 1 AS INT) AS pos, round(v.v[d.pos], 6) AS v,
+       ray.eigenvalue
+FROM dims d CROSS JOIN vs v CROSS JOIN ray"""
+    )
