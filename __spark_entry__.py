@@ -1106,6 +1106,18 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_nbr_emb_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.smoothing import neighborhood_mean_embedding
+
+    return neighborhood_mean_embedding(_web(spark, sf_dir), _embs(spark, sf_dir))
+
+
+def _q_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.quantize import quantization_recall
+
+    return quantization_recall(_embs(spark, sf_dir), k=5, query_mod=25)
+
+
 def _q_pca_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.pca import top_component
 
@@ -1459,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_distinct_web": _q_host_distinct_web,
         "silhouette_emb": _q_silhouette_emb,
         "pca_emb": _q_pca_emb,
+        "quant_recall": _q_quant_recall,
+        "nbr_emb_web": _q_nbr_emb_web,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1654,6 +1668,8 @@ def _text_oracles() -> dict[str, str]:
         "winnow_fp": T.winnow_fingerprint_sql(k=5, w=4),
         "silhouette_emb": T.silhouette_sql(k=8, iters=2),
         "pca_emb": T.pca_emb_sql(iters=6),
+        "quant_recall": T.quant_recall_sql(k=5, query_mod=25),
+        "nbr_emb_web": T.nbr_emb_sql(),
         "source_kl": T.source_kl_sql(),
         "mixture_docs": T.mixture_plan_sql(
             weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},

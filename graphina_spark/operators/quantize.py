@@ -1,0 +1,117 @@
+"""Scalar int8 embedding quantization + retrieval-recall evaluation.
+
+The vector-infra primitive every 100 TB embedding store runs before
+serving: per-dimension affine int8 quantization (asymmetric min/max — the
+faiss ``SQ8``/``ScalarQuantizer`` scheme) shrinks the corpus 4×, and the
+question that decides whether it ships is *recall against the exact index*.
+This module does both:
+
+- :func:`scalar_quantize` — per-dim corpus min/max (one exact aggregation),
+  then ``q = round(255·(x−min)/(max−min))`` clamped to [0, 255], stored with
+  the 2·d codebook floats.  EXACT min/max make the codes a deterministic
+  function of the corpus, so the DuckDB twin reproduces every code.
+- :func:`quantization_recall` — dequantize (``min + q·(max−min)/255``), run
+  the same exact top-k as operators/ann.py::cosine_topk on the dequantized
+  vectors, and report recall@k per query = |topk_quant ∩ topk_exact| / k —
+  the standard acceptance readout (faiss benchmarks, Milvus/SQ docs).
+
+Scale shape: quantization is one min/max aggregation (a 2·d-double
+broadcast codebook) + one projection — embarrassingly parallel.  The recall
+harness reuses the broadcast-nested-loop exact scorer on a SAMPLED query
+set (documented exactness baseline at gate scale; swap the scorer for
+lsh/ivf_cosine_topk at production scale — recall composes with any scorer).
+
+DuckDB twin: oracles_text.py::quant_recall_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphina_spark.operators.ann import cosine_topk
+
+Q_LEVELS = 255
+
+
+def scalar_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec: array<int>, mins: array<double>, scales: array<double>) —
+    per-dim asymmetric int8 codes with the (broadcast) codebook columns
+    attached; constant dimensions (max == min) quantize to 0."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    mm = (
+        base.select(F.posexplode("x").alias("pos", "xi"))
+        .groupBy("pos")
+        .agg(F.min("xi").alias("lo"), F.max("xi").alias("hi"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("t")
+        )
+        .select(
+            F.transform("t", lambda s: s["lo"]).alias("mins"),
+            F.transform("t", lambda s: (s["hi"] - s["lo"]) / F.lit(float(Q_LEVELS))).alias(
+                "scales"
+            ),
+        )
+    )
+    q = base.crossJoin(F.broadcast(mm)).select(
+        "id",
+        F.expr(
+            f"transform(x, (xi, i) -> CASE WHEN scales[i] > 0 THEN"
+            f" least({Q_LEVELS}, greatest(0,"
+            f" CAST(round((xi - mins[i]) / scales[i]) AS INT))) ELSE 0 END)"
+        ).alias("qvec"),
+        "mins",
+        "scales",
+    )
+    return q
+
+
+def quantization_recall(
+    df: DataFrame,
+    k: int = 5,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, hits, recall) — |topk over dequantized ∩ topk exact| / k
+    for the sampled queries (``id % query_mod == 0``)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    deq = scalar_quantize(base).select(
+        "id",
+        F.expr(
+            "transform(qvec, (qi, i) -> mins[i] + qi * scales[i])"
+        ).alias("dvec"),
+    )
+    dbase = deq.select(F.col("id").alias("vec_id"), F.col("dvec").alias("embedding"))
+    queries_e = base.where(F.col("vec_id") % query_mod == 0)
+    queries_q = dbase.where(F.col("vec_id") % query_mod == 0)
+    exact = cosine_topk(base, k=k, queries=queries_e).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    quant = cosine_topk(dbase, k=k, queries=queries_q).select(
+        "query_id", F.col("neighbor_id").alias("n_quant")
+    )
+    hits = (
+        exact.join(
+            quant,
+            (exact["query_id"] == quant["query_id"])
+            & (exact["n_exact"] == quant["n_quant"]),
+        )
+        .groupBy(exact["query_id"].alias("qid"))
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(hits, qids["query_id"] == hits["qid"], "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
+    )

@@ -911,3 +911,78 @@ SELECT CAST(d.pos - 1 AS INT) AS pos, round(v.v[d.pos], 6) AS v,
        ray.eigenvalue
 FROM dims d CROSS JOIN vs v CROSS JOIN ray"""
     )
+
+
+def quant_recall_sql(k: int = 5, query_mod: int = 25) -> str:
+    """Twin of operators/quantize.py::quantization_recall — identical exact
+    min/max codebook, round-half-away int8 codes (both engines round
+    non-negative halves up), the same zip-fold cosine rounded to 9 dp for
+    ranking with id-asc tie-break, integer hit counts."""
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " t -> t[1] * t[2]), 'sum')"
+    )
+    cos = (
+        f"CASE WHEN sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')}) > 0 THEN"
+        f" {dot.format(a='q.v', b='b.v')} /"
+        f" (sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')})) END"
+    )
+    topk = (
+        "SELECT qid, nid FROM ("
+        "  SELECT q.id AS qid, b.id AS nid,"
+        f"        round({cos}, 9) AS c"
+        "   FROM {src} q JOIN {src} b ON q.id % {qm} = 0 AND q.id <> b.id)"
+        " t WHERE c IS NOT NULL"
+        " QUALIFY row_number() OVER (PARTITION BY qid"
+        "   ORDER BY c DESC, nid ASC) <= {k}"
+    )
+    return f"""WITH base AS MATERIALIZED (
+   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+ dims AS (SELECT unnest(range(1, 1 + len(x))) AS pos
+          FROM (SELECT x FROM base LIMIT 1)),
+ mm AS MATERIALIZED (
+   SELECT pos, min(xv) AS lo, (max(xv) - min(xv)) / 255.0 AS sc
+   FROM (SELECT d.pos, b.x[d.pos] AS xv FROM base b CROSS JOIN dims d)
+   GROUP BY pos),
+ dq AS MATERIALIZED (
+   SELECT id, list(dv ORDER BY pos) AS v FROM (
+     SELECT b.id, m.pos,
+            CASE WHEN m.sc > 0 THEN m.lo + least(255, greatest(0,
+                 CAST(round((b.x[m.pos] - m.lo) / m.sc) AS INT))) * m.sc
+                 ELSE m.lo END AS dv
+     FROM base b CROSS JOIN mm m)
+   GROUP BY id),
+ ex AS MATERIALIZED (
+   SELECT id, x AS v FROM base),
+ te AS ({topk.format(src='ex', qm=query_mod, k=k)}),
+ tq AS ({topk.format(src='dq', qm=query_mod, k=k)}),
+ hits AS (SELECT te.qid, count(*) AS h
+          FROM te JOIN tq ON te.qid = tq.qid AND te.nid = tq.nid
+          GROUP BY te.qid),
+ qs AS (SELECT DISTINCT qid FROM te)
+SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.h, 0) / {float(k)}, {ROUND}) AS recall
+FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
+
+
+def nbr_emb_sql() -> str:
+    """Mirror of operators/smoothing.py::neighborhood_mean_embedding over
+    the web graph (include_self=False): symmetrized neighbor multiset, mean
+    over embedded neighbors only, 6-dp rounding.  Needs both the customer
+    (graph) and embeddings views; WEB edge derivation inlined from
+    oracles.WEB_EDGES_CTE."""
+    from graphina_spark.sources.derived import WEB_EDGES_CTE
+
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ sym AS (SELECT src, dst FROM edges
+         UNION ALL SELECT dst AS src, src AS dst FROM edges),
+ e AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS x
+       FROM embeddings),
+ dims AS (SELECT unnest(range(1, 1 + len(x))) AS pos
+          FROM (SELECT x FROM e LIMIT 1))
+SELECT s.src AS id, CAST(d.pos - 1 AS INT) AS pos,
+       round(avg(e.x[d.pos]), {ROUND}) AS v
+FROM sym s JOIN e ON s.dst = e.nid CROSS JOIN dims d
+GROUP BY s.src, d.pos"""

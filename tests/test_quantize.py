@@ -1,0 +1,54 @@
+"""Scalar int8 quantization — code correctness and recall harness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphina_spark.operators.quantize import quantization_recall, scalar_quantize
+
+
+def test_codes_and_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, -1.0, 5.0]),
+            (1, [25.5, 0.0, 5.0]),
+            (2, [51.0, 1.0, 5.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r for r in scalar_quantize(df).collect()}
+    # dim 0: min 0, max 51 → scale 0.2; codes 0, 128 (25.5/0.2 = 127.5 → half
+    # up), 255.  dim 1: min −1, max 1 → scale 2/255.  dim 2: constant → 0.
+    assert out[0]["qvec"] == [0, 0, 0]
+    assert out[1]["qvec"][0] == 128 and out[2]["qvec"][0] == 255
+    assert out[0]["qvec"][1] == 0 and out[2]["qvec"][1] == 255
+    assert [out[i]["qvec"][2] for i in range(3)] == [0, 0, 0]
+    # codebook attached and shared
+    assert out[0]["mins"] == [0.0, -1.0, 5.0]
+    # dequantized max error ≤ scale/2 per dim
+    deq0 = out[1]["mins"][0] + out[1]["qvec"][0] * out[1]["scales"][0]
+    assert abs(deq0 - 25.5) <= 0.2 / 2 + 1e-12
+
+
+def test_recall_harness(spark):
+    # directionally separated clusters (no zero vectors); int8 noise may
+    # reshuffle *within*-cluster ranks, so pin the harness contract — every
+    # sampled query reported, hits ≤ k, and aggregate recall well above
+    # chance (k/(n−1) ≈ 0.1) — not perfection
+    rows = []
+    for i in range(30):
+        c = i % 3
+        rows.append((i, [100.0 * c + 1.0 + 0.01 * i, 50.0 * c + 2.0, 1.0 * (i % 5) + 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantization_recall(df, k=3, query_mod=7).collect()
+    assert {r["query_id"] for r in out} == {0, 7, 14, 21, 28}
+    assert all(0 <= r["hits"] <= 3 for r in out)
+    assert sum(r["recall"] for r in out) / len(out) > 0.5
+
+
+def test_identical_vectors_perfect_recall(spark):
+    # duplicate rings: quantization is value-identical within each ring, so
+    # the top-k sets cannot change at all
+    rows = [(i, [float(1 + i % 4), float(2 + (i % 4) * 3), 7.0]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantization_recall(df, k=4, query_mod=6).collect()
+    assert all(r["recall"] == 1.0 for r in out)
