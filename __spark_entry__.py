@@ -1106,6 +1106,12 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=50, weight_col="n_chars")
+
+
 def _q_nbr_emb_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.smoothing import neighborhood_mean_embedding
 
@@ -1473,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_emb": _q_pca_emb,
         "quant_recall": _q_quant_recall,
         "nbr_emb_web": _q_nbr_emb_web,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1670,6 +1677,7 @@ def _text_oracles() -> dict[str, str]:
         "pca_emb": T.pca_emb_sql(iters=6),
         "quant_recall": T.quant_recall_sql(k=5, query_mod=25),
         "nbr_emb_web": T.nbr_emb_sql(),
+        "weighted_sample_docs": T.weighted_sample_sql(k=50),
         "source_kl": T.source_kl_sql(),
         "mixture_docs": T.mixture_plan_sql(
             weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},

@@ -549,3 +549,51 @@ def source_divergence(
             ).alias("kl_bits"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """(id, weight, es_key) — k-item weighted sample WITHOUT replacement
+    (Efraimidis & Spirakis 2006): draw u_i ~ U(0,1), keep the k largest
+    u_i^(1/w_i) — equivalently the k largest ln(u_i)/w_i.  P(item in
+    sample) is exactly proportional-without-replacement, the distributed
+    one-pass answer to "sample 1M docs ∝ quality score".
+
+    Determinism (the repo's sampling convention, operators/sampling.py::
+    deterministic_split): u_i is not random but md5-derived —
+    ``hexint = first 8 hex chars of md5(salt:id)``, ``u = (hexint + 1) /
+    (16^8 + 1)`` ∈ (0,1) — so the sample is reproducible across runs,
+    partitionings and engines, and refreshes only when ``salt`` changes.
+    Rows with weight ≤ 0 are excluded (ES domain).
+
+    Scale shape: one projection + one global top-k (TakeOrdered — per
+    partition a k-row heap, then a k·partitions merge on the driver; k
+    rows of driver state, no full sort, no shuffle of the corpus).
+    DuckDB twin: oracles_text.py::weighted_sample_sql.
+    """
+    hexint = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hexint + 1) / F.lit(float(16**8 + 1))
+    scored = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("double").alias("weight"),
+            (F.log(u) / F.col(weight_col)).alias("_key"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_key"), F.asc("id"))
+        .limit(k)
+        .select("id", "weight", F.round("_key", 6).alias("es_key"))
+    )

@@ -986,3 +986,24 @@ SELECT s.src AS id, CAST(d.pos - 1 AS INT) AS pos,
        round(avg(e.x[d.pos]), {ROUND}) AS v
 FROM sym s JOIN e ON s.dst = e.nid CROSS JOIN dims d
 GROUP BY s.src, d.pos"""
+
+
+def weighted_sample_sql(k: int = 50, salt: str = "wsample") -> str:
+    """Mirror of operators/sampling.py::weighted_sample over documents with
+    weight = n_chars.  The md5-hex → integer conversion is spelled as a
+    fixed-order digit sum (DuckDB has no hex→int cast); it equals Spark's
+    conv(hex, 16, 10) exactly."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"""WITH hx AS (
+   SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+          substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+   FROM documents WHERE n_chars > 0),
+ key AS (SELECT id, weight,
+                ln(({digits} + 1) / {float(16 ** 8 + 1)}) / weight AS k
+         FROM hx)
+SELECT id, weight, round(k, {ROUND}) AS es_key
+FROM key ORDER BY k DESC, id ASC LIMIT {k}"""

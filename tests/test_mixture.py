@@ -43,3 +43,31 @@ def test_epoch_cap(docs):
     # rate = 1000/5 = 200 → capped at 4 epochs
     assert plan["b"]["rate"] == 200.0
     assert plan["b"]["epochs"] == 4
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from graphina_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "x", 1.0 if i < 500 else 100.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w double")
+    s1 = weighted_sample(df, k=80, weight_col="w").collect()
+    s2 = weighted_sample(df, k=80, weight_col="w").collect()
+    # reproducible
+    assert sorted(r["id"] for r in s1) == sorted(r["id"] for r in s2)
+    assert len(s1) == 80
+    # heavy items (100x weight, 1/6 of the pool) dominate the sample
+    heavy = sum(1 for r in s1 if r["id"] >= 500)
+    assert heavy > 60
+    # different salt → different sample
+    s3 = weighted_sample(df, k=80, weight_col="w", salt="other").collect()
+    assert sorted(r["id"] for r in s3) != sorted(r["id"] for r in s1)
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from graphina_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, "", 0.0), (1, "", -3.0), (2, "", 1.0)], "doc_id long, text string, w double"
+    )
+    out = weighted_sample(df, k=10, weight_col="w").collect()
+    assert [r["id"] for r in out] == [2]
