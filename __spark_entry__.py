@@ -1106,6 +1106,20 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_st_dist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.paths import bidirectional_distance
+
+    g = _web(spark, sf_dir)
+    pairs = (
+        g.vertices.where(F.col("id") % 199 == 0)
+        .select(F.col("id").alias("s"))
+        .crossJoin(
+            g.vertices.where(F.col("id") % 173 == 0).select(F.col("id").alias("t"))
+        )
+    )
+    return bidirectional_distance(g, pairs, max_rounds=8)
+
+
 def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import weighted_sample
 
@@ -1480,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_recall": _q_quant_recall,
         "nbr_emb_web": _q_nbr_emb_web,
         "weighted_sample_docs": _q_weighted_sample_docs,
+        "st_dist_web": _q_st_dist_web,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1609,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_web": O.powerlaw_web_sql(kmin=5),
         "seeded_lpa_web": O.seeded_lpa_web_sql(iters=4, seed_mod=97),
         "eccentricity_web": O.eccentricity_web_sql(max_depth=12, src_mod=97),
+        "st_dist_web": O.st_dist_web_sql(max_depth=16, src_mod=199, dst_mod=173),
         "host_distinct_web": O.host_distinct_web_sql(host_mod=HOST_MOD, k=8),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),

@@ -157,3 +157,77 @@ def eccentricity(
         F.count("*").alias("n_reached"),
         F.max("dist").cast("long").alias("eccentricity"),
     )
+
+
+def bidirectional_distance(
+    g: LinkGraph, pairs: DataFrame, max_rounds: int = 8
+) -> DataFrame:
+    """(s, t, dist) — exact directed shortest-path length for a batch of
+    (s, t) query pairs by meet-in-the-middle BFS (the distributed batch form
+    of the reference's bidirectional search, traversal/algorithms.rs:365-509
+    ``bidis`` / :511 ``try_bidirectional_search``).  Unreachable pairs (or
+    pairs farther than 2·max_rounds) are absent.
+
+    Each round expands BOTH cumulative seen sets one hop — forward along
+    out-edges from s, backward along in-edges from t — and probes their
+    intersection on (pair, vertex).  Frontiers are deltas (anti-join vs
+    seen), expansions touch O(frontier) adjacency rows, and the meet probe
+    is one join on the (pair, vertex) key.  Correctness of first-meet: seen
+    sets hold MINIMAL per-side distances, so any s→t path of length L has
+    met by round ⌈L/2⌉; the first round with a meet already contains every
+    candidate of length ≤ 2r, hence min(df+db) over that intersection is
+    the exact distance.  The win vs one-sided BFS is the classic b^(d/2)
+    vs b^d frontier volume — per query two short cones instead of one deep
+    one.  DuckDB twin: oracles.py::st_dist_web_sql (one-sided unroll —
+    semantics, not schedule).
+    """
+    p = pairs.select(
+        F.col("s").cast("long").alias("s"), F.col("t").cast("long").alias("t")
+    ).distinct()
+    pid = p.select("s", "t")
+    out_adj = g.edges.select("src", "dst").distinct().repartition("src")
+    in_adj = g.edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).distinct().repartition("src")
+
+    fwd = pid.select("s", "t", F.col("s").alias("id"), F.lit(0).alias("df")).transform(_mat)
+    bwd = pid.select("s", "t", F.col("t").alias("id"), F.lit(0).alias("db")).transform(_mat)
+    ffront, bfront = fwd, bwd
+
+    def _meet(fz, bz):
+        return (
+            fz.join(bz.select("s", "t", "id", "db"), ["s", "t", "id"])
+            .groupBy("s", "t")
+            .agg(F.min(F.col("df") + F.col("db")).alias("dist"))
+        )
+
+    best = _meet(fwd, bwd).transform(_mat)  # resolves s == t (dist 0)
+    for r in range(1, max_rounds + 1):
+        fnxt = (
+            ffront.join(out_adj, ffront["id"] == out_adj["src"])
+            .select("s", "t", F.col("dst").alias("id"))
+            .distinct()
+            .join(fwd.select("s", "t", "id"), ["s", "t", "id"], "left_anti")
+            .withColumn("df", F.lit(r))
+            .transform(_mat)
+        )
+        bnxt = (
+            bfront.join(in_adj, bfront["id"] == in_adj["src"])
+            .select("s", "t", F.col("dst").alias("id"))
+            .distinct()
+            .join(bwd.select("s", "t", "id"), ["s", "t", "id"], "left_anti")
+            .withColumn("db", F.lit(r))
+            .transform(_mat)
+        )
+        if fnxt.isEmpty() and bnxt.isEmpty():
+            break
+        fwd = fwd.unionAll(fnxt).transform(_mat)
+        bwd = bwd.unionAll(bnxt).transform(_mat)
+        ffront, bfront = fnxt, bnxt
+        best = (
+            best.unionAll(_meet(fwd, bwd))
+            .groupBy("s", "t")
+            .agg(F.min("dist").alias("dist"))
+            .transform(_mat)
+        )
+    return best.select("s", "t", F.col("dist").cast("long").alias("dist"))

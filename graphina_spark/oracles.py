@@ -2595,3 +2595,19 @@ SELECT key AS host, CAST({mass} AS BIGINT) AS register_mass,
        round(pow(2.0, ({mass}) / {float(k)}) / {ANF_PHI}, {ROUND})
          AS approx_distinct
 FROM merged"""
+
+
+def st_dist_web_sql(
+    max_depth: int = 16, src_mod: int = 199, dst_mod: int = 173
+) -> str:
+    """Semantic twin of operators/paths.py::bidirectional_distance for the
+    query batch s % src_mod == 0 × t % dst_mod == 0: a one-sided BFS unroll
+    (the bidirectional schedule is a performance choice, not a semantics
+    one) filtered to the target set; depth cap = 2 × the Spark side's
+    max_rounds."""
+    inner = bfs_dist_web_sql(max_depth=max_depth, src_mod=src_mod)
+    return (
+        f"WITH b AS ({inner})\n"
+        f"SELECT source AS s, id AS t, CAST(dist AS BIGINT) AS dist\n"
+        f"FROM b WHERE id % {dst_mod} = 0"
+    )

@@ -74,3 +74,28 @@ def test_source_kl_skewed_source_positive(spark):
     assert abs(out["odd"]["kl_bits"] - 1.0) < 1e-9
     assert out["odd"]["n_tokens"] == 8
     assert out["base"]["kl_bits"] > 0.0
+
+
+def test_bidirectional_distance_exact(spark):
+    from graphina_spark.operators.paths import bidirectional_distance
+
+    # directed cycle 0→1→2→3→4→0 plus chord 1→3
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3)], n=5)
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 0), (0, 0), (2, 1), (0, 4)], "s long, t long"
+    )
+    out = {(r["s"], r["t"]): r["dist"] for r in bidirectional_distance(g, pairs).collect()}
+    assert out[(0, 3)] == 2  # via chord 0→1→3
+    assert out[(3, 0)] == 2  # 3→4→0
+    assert out[(0, 0)] == 0
+    assert out[(2, 1)] == 4  # 2→3→4→0→1
+    assert out[(0, 4)] == 3  # 0→1→3→4 via the chord
+
+
+def test_bidirectional_distance_unreachable_absent(spark):
+    from graphina_spark.operators.paths import bidirectional_distance
+
+    g = make_graph(spark, [(0, 1), (2, 3)], n=4)  # two directed components
+    pairs = spark.createDataFrame([(0, 3), (1, 0)], "s long, t long")
+    out = bidirectional_distance(g, pairs, max_rounds=4).collect()
+    assert out == []  # 0→3 cross-component; 1→0 against the edge direction
