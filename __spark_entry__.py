@@ -1106,6 +1106,12 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_rfm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.rfm import rfm_scores
+
+    return rfm_scores(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_st_dist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.paths import bidirectional_distance
 
@@ -1495,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nbr_emb_web": _q_nbr_emb_web,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "st_dist_web": _q_st_dist_web,
+        "rfm_events": _q_rfm_events,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1625,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "seeded_lpa_web": O.seeded_lpa_web_sql(iters=4, seed_mod=97),
         "eccentricity_web": O.eccentricity_web_sql(max_depth=12, src_mod=97),
         "st_dist_web": O.st_dist_web_sql(max_depth=16, src_mod=199, dst_mod=173),
+        "rfm_events": O.rfm_events_sql(),
         "host_distinct_web": O.host_distinct_web_sql(host_mod=HOST_MOD, k=8),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),

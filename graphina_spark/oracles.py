@@ -2611,3 +2611,34 @@ def st_dist_web_sql(
         f"SELECT source AS s, id AS t, CAST(dist AS BIGINT) AS dist\n"
         f"FROM b WHERE id % {dst_mod} = 0"
     )
+
+
+def rfm_events_sql() -> str:
+    """Mirror of operators/rfm.py::rfm_scores — rank arithmetic quintiles
+    over the total order (metric, uid); recency score inverted (5 = most
+    recent).  row_number is 1-based where the Spark prefix is 0-based:
+    score = 1 + floor(5·(rn−1)/n)."""
+    return """WITH ev AS (
+   SELECT CAST(user_id AS BIGINT) AS uid,
+          CAST(date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts)
+               AS BIGINT) AS es,
+          CAST(value AS DOUBLE) AS v
+   FROM events),
+ h AS (SELECT max(es) AS h FROM ev),
+ base AS (
+   SELECT uid,
+          CAST(floor((h.h - max(es)) / 86400.0) AS BIGINT) AS recency_days,
+          count(*) AS frequency, round(sum(v), 2) AS monetary
+   FROM ev, h GROUP BY uid, h.h),
+ n AS (SELECT count(*) AS n FROM base),
+ ranked AS (
+   SELECT b.*,
+          row_number() OVER (ORDER BY recency_days, uid) AS rr,
+          row_number() OVER (ORDER BY frequency, uid) AS rf,
+          row_number() OVER (ORDER BY monetary, uid) AS rm
+   FROM base b)
+SELECT uid, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
+       CAST(6 - (1 + floor(5 * (rr - 1) / n.n)) AS INT) AS r,
+       CAST(1 + floor(5 * (rf - 1) / n.n) AS INT) AS f,
+       CAST(1 + floor(5 * (rm - 1) / n.n) AS INT) AS m
+FROM ranked, n"""
