@@ -168,66 +168,44 @@ def bidirectional_distance(
     ``bidis`` / :511 ``try_bidirectional_search``).  Unreachable pairs (or
     pairs farther than 2·max_rounds) are absent.
 
-    Each round expands BOTH cumulative seen sets one hop — forward along
-    out-edges from s, backward along in-edges from t — and probes their
-    intersection on (pair, vertex).  Frontiers are deltas (anti-join vs
-    seen), expansions touch O(frontier) adjacency rows, and the meet probe
-    is one join on the (pair, vertex) key.  Correctness of first-meet: seen
-    sets hold MINIMAL per-side distances, so any s→t path of length L has
-    met by round ⌈L/2⌉; the first round with a meet already contains every
-    candidate of length ≤ 2r, hence min(df+db) over that intersection is
-    the exact distance.  The win vs one-sided BFS is the classic b^(d/2)
-    vs b^d frontier volume — per query two short cones instead of one deep
-    one.  DuckDB twin: oracles.py::st_dist_web_sql (one-sided unroll —
-    semantics, not schedule).
+    Batch factoring — the part that makes this scale: the two cones are
+    keyed by DISTINCT source and DISTINCT target, never by pair.  One
+    forward multi-source BFS from the |S| distinct sources (out-edges, depth
+    ≤ max_rounds), one backward multi-source BFS from the |T| distinct
+    targets (reversed edges — db(v) = dist(v→t)), then one meet join on the
+    vertex id with min(df+db) per requested pair.  State is
+    (|S| + |T|) × reach rows instead of |S|·|T| × reach (a per-pair frontier
+    walks the same cone |T| times and OOMs at sf0.1 — measured, hence this
+    shape); the meet join streams through a map-side partial min keyed by
+    the ≤ |S|·|T| result pairs.  Any s→t path of length L ≤ 2·max_rounds
+    splits as df + db with both halves ≤ max_rounds, so the cap is exact.
+    DuckDB twin: oracles.py::st_dist_web_sql (one-sided unroll — semantics,
+    not schedule).
     """
     p = pairs.select(
         F.col("s").cast("long").alias("s"), F.col("t").cast("long").alias("t")
-    ).distinct()
-    pid = p.select("s", "t")
-    out_adj = g.edges.select("src", "dst").distinct().repartition("src")
-    in_adj = g.edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    ).distinct().repartition("src")
-
-    fwd = pid.select("s", "t", F.col("s").alias("id"), F.lit(0).alias("df")).transform(_mat)
-    bwd = pid.select("s", "t", F.col("t").alias("id"), F.lit(0).alias("db")).transform(_mat)
-    ffront, bfront = fwd, bwd
-
-    def _meet(fz, bz):
-        return (
-            fz.join(bz.select("s", "t", "id", "db"), ["s", "t", "id"])
-            .groupBy("s", "t")
-            .agg(F.min(F.col("df") + F.col("db")).alias("dist"))
+    ).distinct().transform(_mat)
+    srcs = p.select(F.col("s").alias("id")).distinct()
+    tgts = p.select(F.col("t").alias("id")).distinct()
+    fwd = bfs_distances(g, srcs, max_depth=max_rounds)
+    rev = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        ),
+        directed=g.directed,
+    )
+    bwd = bfs_distances(rev, tgts, max_depth=max_rounds)
+    meet = (
+        fwd.select(F.col("source").alias("s"), "id", F.col("dist").alias("df"))
+        .join(
+            bwd.select(F.col("source").alias("t"), "id", F.col("dist").alias("db")),
+            "id",
         )
-
-    best = _meet(fwd, bwd).transform(_mat)  # resolves s == t (dist 0)
-    for r in range(1, max_rounds + 1):
-        fnxt = (
-            ffront.join(out_adj, ffront["id"] == out_adj["src"])
-            .select("s", "t", F.col("dst").alias("id"))
-            .distinct()
-            .join(fwd.select("s", "t", "id"), ["s", "t", "id"], "left_anti")
-            .withColumn("df", F.lit(r))
-            .transform(_mat)
-        )
-        bnxt = (
-            bfront.join(in_adj, bfront["id"] == in_adj["src"])
-            .select("s", "t", F.col("dst").alias("id"))
-            .distinct()
-            .join(bwd.select("s", "t", "id"), ["s", "t", "id"], "left_anti")
-            .withColumn("db", F.lit(r))
-            .transform(_mat)
-        )
-        if fnxt.isEmpty() and bnxt.isEmpty():
-            break
-        fwd = fwd.unionAll(fnxt).transform(_mat)
-        bwd = bwd.unionAll(bnxt).transform(_mat)
-        ffront, bfront = fnxt, bnxt
-        best = (
-            best.unionAll(_meet(fwd, bwd))
-            .groupBy("s", "t")
-            .agg(F.min("dist").alias("dist"))
-            .transform(_mat)
-        )
-    return best.select("s", "t", F.col("dist").cast("long").alias("dist"))
+        .groupBy("s", "t")
+        .agg(F.min(F.col("df") + F.col("db")).alias("dist"))
+    )
+    return (
+        meet.join(p, ["s", "t"], "left_semi")
+        .select("s", "t", F.col("dist").cast("long").alias("dist"))
+    )
