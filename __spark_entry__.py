@@ -1106,6 +1106,15 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_rank_drift_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.diff import rank_drift
+    from graphina_spark.sources.derived import web_graph_recrawl
+
+    return rank_drift(
+        _web(spark, sf_dir), web_graph_recrawl(spark, sf_dir), fixed_iters=5
+    )
+
+
 def _q_rfm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.rfm import rfm_scores
 
@@ -1502,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "st_dist_web": _q_st_dist_web,
         "rfm_events": _q_rfm_events,
+        "rank_drift_web": _q_rank_drift_web,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1633,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity_web": O.eccentricity_web_sql(max_depth=12, src_mod=97),
         "st_dist_web": O.st_dist_web_sql(max_depth=16, src_mod=199, dst_mod=173),
         "rfm_events": O.rfm_events_sql(),
+        "rank_drift_web": O.rank_drift_web_sql(iters=5),
         "host_distinct_web": O.host_distinct_web_sql(host_mod=HOST_MOD, k=8),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),

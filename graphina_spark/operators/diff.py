@@ -45,3 +45,41 @@ def diff_summary(g_old: LinkGraph, g_new: LinkGraph) -> DataFrame:
     return edge_diff(g_old, g_new).groupBy("status").agg(
         F.count("*").alias("n_edges")
     )
+
+
+def rank_drift(
+    g_old: LinkGraph, g_new: LinkGraph, damping: float = 0.85, fixed_iters: int = 5
+) -> DataFrame:
+    """(id, pr_old, pr_new, drift) — per-page PageRank movement between two
+    crawl snapshots: the crawl-ops question behind every "why did this site
+    drop" report.  Runs the SAME fixed-iteration kernel on both snapshots
+    (shared vertex universe assumed — pages absent from a snapshot simply
+    have no inbound mass there) and joins the score vectors; ``drift`` =
+    pr_new − pr_old over 6-dp-rounded scores (the gate convention, so both
+    engines subtract identical values).
+
+    Scale shape: two independent PageRank runs (each the one-shuffle-per-
+    superstep kernel) + one co-keyed join on id — drift adds one exchange
+    beyond the ranking itself.  Composes with :func:`edge_diff` (the edge-
+    level churn view) for a full snapshot report.  DuckDB twin:
+    oracles.py::rank_drift_web_sql (two unrolled PR chains, nested CTEs).
+    """
+    from graphina_spark.operators.pagerank import pagerank
+
+    a = pagerank(g_old, damping=damping, fixed_iters=fixed_iters, tol=None).select(
+        "id", F.round("rank", 6).alias("pr_old")
+    )
+    b = pagerank(g_new, damping=damping, fixed_iters=fixed_iters, tol=None).select(
+        "id", F.round("rank", 6).alias("pr_new")
+    )
+    return (
+        a.join(b, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("pr_old", F.lit(0.0)).alias("pr_old"),
+            F.coalesce("pr_new", F.lit(0.0)).alias("pr_new"),
+            F.round(
+                F.coalesce("pr_new", F.lit(0.0)) - F.coalesce("pr_old", F.lit(0.0)), 6
+            ).alias("drift"),
+        )
+    )

@@ -2642,3 +2642,48 @@ SELECT uid, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
        CAST(1 + floor(5 * (rf - 1) / n.n) AS INT) AS f,
        CAST(1 + floor(5 * (rm - 1) / n.n) AS INT) AS m
 FROM ranked, n"""
+
+
+def _recrawl_edges_cte() -> str:
+    """The recrawl snapshot's weighted edge derivation, shaped like
+    WEB_EDGES_CTE (mirror of sources/derived.py::web_graph_recrawl)."""
+    from graphina_spark.sources.derived import (
+        DANGLING_MOD,
+        MULTIPLIERS,
+        N_HUBS,
+        RECRAWL_NEW,
+        RECRAWL_ROT,
+    )
+
+    ra, rb, rm = RECRAWL_ROT
+    mult_b = "\n      UNION ALL ".join(
+        f"SELECT id AS src, (id*{a}+{b}) % n AS dst FROM v, nn"
+        for a, b in MULTIPLIERS + [RECRAWL_NEW]
+    )
+    return f"""
+  v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  nn AS (SELECT count(*) AS n FROM v),
+  e0 AS (
+      {mult_b}
+      UNION ALL SELECT id AS src, id % {N_HUBS} AS dst FROM v
+  ),
+  edges AS (
+      SELECT DISTINCT src, dst, CAST((src+dst) % 5 + 1 AS DOUBLE) AS weight
+      FROM e0 WHERE src <> dst AND src % {DANGLING_MOD} <> 0
+        AND (src*{ra} + dst*{rb}) % {rm} <> 0
+  )"""
+
+
+def rank_drift_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Mirror of operators/diff.py::rank_drift between the web graph and its
+    recrawl snapshot — two complete unrolled PR chains nested as CTE
+    subqueries, drift over the 6-dp-rounded scores."""
+    pa = pagerank_web_sql(iters, d)
+    pb = pagerank_web_sql(iters, d, edges_cte=_recrawl_edges_cte())
+    return f"""WITH pa AS ({pa}),
+ pb AS ({pb})
+SELECT coalesce(pa.id, pb.id) AS id,
+       coalesce(pa.pr, 0.0) AS pr_old,
+       coalesce(pb.pr, 0.0) AS pr_new,
+       round(coalesce(pb.pr, 0.0) - coalesce(pa.pr, 0.0), {ROUND}) AS drift
+FROM pa FULL OUTER JOIN pb ON pa.id = pb.id"""

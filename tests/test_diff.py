@@ -39,3 +39,24 @@ def test_diff_conservation_on_recrawl(spark, sf_dir):
     assert counts.get("kept", 0) + counts.get("added", 0) == n_b
     # the recrawl rule really produces churn in both directions
     assert counts.get("added", 0) > 0 and counts.get("removed", 0) > 0
+
+
+def test_rank_drift_semantics(spark):
+    from graphina_spark.operators.diff import rank_drift
+    from tests.conftest import make_graph
+
+    # old: star into 0; new: the same star but one spoke's edge removed —
+    # 0 must lose rank, and drift must be pr_new − pr_old exactly
+    old = make_graph(spark, [(1, 0), (2, 0), (3, 0)], n=4)
+    new = make_graph(spark, [(1, 0), (2, 0)], n=4)
+    out = {r["id"]: r for r in rank_drift(old, new, fixed_iters=4).collect()}
+    assert len(out) == 4
+    assert out[0]["drift"] < 0
+    assert abs(out[0]["drift"] - round(out[0]["pr_new"] - out[0]["pr_old"], 6)) < 1e-9
+    # identical snapshots → zero drift everywhere
+    zero = (
+        rank_drift(old, old, fixed_iters=4)
+        .agg(F.sum(F.abs(F.col("drift"))))
+        .first()[0]
+    )
+    assert zero == 0.0
