@@ -1106,6 +1106,18 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.sampling import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=100)
+
+
+def _q_two_sweep_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.distmetrics import two_sweep_lower_bound
+
+    return two_sweep_lower_bound(_web(spark, sf_dir))
+
+
 def _q_rank_drift_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.diff import rank_drift
     from graphina_spark.sources.derived import web_graph_recrawl
@@ -1512,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dist_web": _q_st_dist_web,
         "rfm_events": _q_rfm_events,
         "rank_drift_web": _q_rank_drift_web,
+        "two_sweep_web": _q_two_sweep_web,
+        "zipf_docs": _q_zipf_docs,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1644,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         "st_dist_web": O.st_dist_web_sql(max_depth=16, src_mod=199, dst_mod=173),
         "rfm_events": O.rfm_events_sql(),
         "rank_drift_web": O.rank_drift_web_sql(iters=5),
+        "two_sweep_web": O.two_sweep_web_sql(max_depth=12),
         "host_distinct_web": O.host_distinct_web_sql(host_mod=HOST_MOD, k=8),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),
         "vertex_sample_sub_web": O.vertex_sample_sub_web_sql(frac=0.5),
@@ -1713,6 +1728,7 @@ def _text_oracles() -> dict[str, str]:
         "quant_recall": T.quant_recall_sql(k=5, query_mod=25),
         "nbr_emb_web": T.nbr_emb_sql(),
         "weighted_sample_docs": T.weighted_sample_sql(k=50),
+        "zipf_docs": T.zipf_fit_sql(top_n=100),
         "source_kl": T.source_kl_sql(),
         "mixture_docs": T.mixture_plan_sql(
             weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},

@@ -228,3 +228,47 @@ def approx_distance_metrics(
         [(float(eff), float(apl))],
         "effective_diameter double, avg_path_length double",
     )
+
+
+def two_sweep_lower_bound(g: LinkGraph) -> DataFrame:
+    """1 row (start, far_node, lower_bound) — the double-BFS ("2-sweep")
+    diameter lower bound (Magnien, Latapy & Habib, JEA 2009): BFS from a
+    start vertex, take the farthest vertex found, BFS again from it; the
+    second eccentricity is a lower bound on the diameter that is exact on
+    many real graphs.  The practical companion to the ANF *upper* curve
+    (``anf_neighborhood_function``): together they bracket the diameter
+    without all-pairs work.
+
+    Determinism: start = the minimum vertex id; "farthest" ties break to
+    the smallest id — the same rule both engines apply, so the bound is
+    reproducible.  Undirected semantics (the bound argument needs symmetric
+    reachability): edges are symmetrized like the WCC kernel.
+
+    Scale shape: exactly two multi-source-BFS runs with a single source
+    each (O(diameter) rounds, one keyed shuffle per round) + two 1-row
+    argmin readouts.  DuckDB twin: oracles.py::two_sweep_web_sql.
+    """
+    from graphina_spark.operators.paths import bfs_distances
+
+    und = LinkGraph(
+        vertices=g.vertices,
+        edges=g.undirected_view().select("src", "dst", "weight"),
+        directed=True,
+    )
+    spark = g.vertices.sparkSession
+    start = g.vertices.agg(F.min("id").alias("id"))
+    d1 = bfs_distances(und, start.select("id"))
+    far = (
+        d1.orderBy(F.desc("dist"), F.asc("id"))
+        .limit(1)
+        .select(F.col("id").alias("far_id"))
+    )
+    d2 = bfs_distances(und, far.select(F.col("far_id").alias("id")))
+    row2 = (
+        d2.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    )
+    s = start.collect()[0]["id"]
+    return spark.createDataFrame(
+        [(int(s), int(row2["source"]), int(row2["dist"]))],
+        "start long, far_node long, lower_bound long",
+    )

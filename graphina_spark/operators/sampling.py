@@ -597,3 +597,55 @@ def weighted_sample(
         .limit(k)
         .select("id", "weight", F.round("_key", 6).alias("es_key"))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1 row (n_terms, alpha, intercept) — least-squares fit of the Zipf
+    rank–frequency law over the top ``top_n`` corpus tokens:
+    ln f(r) ≈ intercept − alpha·ln r.  The corpus-health readout every
+    tokenizer/dedup report includes (a natural corpus sits near α ≈ 1;
+    template/boilerplate-heavy crawls flatten it).
+
+    Rank order is total — (frequency desc, token asc) — so the fit is
+    deterministic across engines and partitionings.  Scale shape: one token
+    count aggregation (map-side combined over the corpus), a top-N
+    TakeOrdered (N rows of driver-adjacent state, never a vocab-wide global
+    window), then closed-form regression sums over N rows.  DuckDB twin:
+    oracles_text.py::zipf_fit_sql.
+    """
+    from pyspark.sql import Window
+
+    from graphina_spark.functions.textstats import tokens_col
+
+    tok = df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("f"))
+    top = counts.orderBy(F.desc("f"), F.asc("w")).limit(top_n)
+    # rank within the ≤ top_n surviving rows: bounded single-task window by
+    # construction (the limit precedes it), not a vocab-wide sort
+    w = Window.orderBy(F.desc("f"), F.asc("w"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

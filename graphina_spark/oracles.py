@@ -2687,3 +2687,31 @@ SELECT coalesce(pa.id, pb.id) AS id,
        coalesce(pb.pr, 0.0) AS pr_new,
        round(coalesce(pb.pr, 0.0) - coalesce(pa.pr, 0.0), {ROUND}) AS drift
 FROM pa FULL OUTER JOIN pb ON pa.id = pb.id"""
+
+
+def two_sweep_web_sql(max_depth: int = 12) -> str:
+    """Mirror of operators/distmetrics.py::two_sweep_lower_bound on the web
+    graph: recursive BFS (depth-capped, min-dist per vertex) from min(id)
+    over the symmetrized edges, farthest vertex ties to smallest id, second
+    BFS from it, max distance = the diameter lower bound."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},
+ sym AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+ s0 AS (SELECT min(id) AS id FROM v),
+ w1(id, dist) AS (
+   SELECT id, 0 FROM s0
+   UNION
+   SELECT s.dst, w.dist + 1 FROM w1 w JOIN sym s ON w.id = s.src
+   WHERE w.dist < {max_depth}),
+ b1 AS (SELECT id, min(dist) AS dist FROM w1 GROUP BY id),
+ far AS (SELECT id FROM b1 ORDER BY dist DESC, id ASC LIMIT 1),
+ w2(id, dist) AS (
+   SELECT id, 0 FROM far
+   UNION
+   SELECT s.dst, w.dist + 1 FROM w2 w JOIN sym s ON w.id = s.src
+   WHERE w.dist < {max_depth}),
+ b2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY id)
+SELECT (SELECT id FROM s0) AS start,
+       (SELECT id FROM far) AS far_node,
+       (SELECT max(dist) FROM b2) AS lower_bound"""

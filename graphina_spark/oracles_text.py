@@ -1007,3 +1007,22 @@ def weighted_sample_sql(k: int = 50, salt: str = "wsample") -> str:
          FROM hx)
 SELECT id, weight, round(k, {ROUND}) AS es_key
 FROM key ORDER BY k DESC, id ASC LIMIT {k}"""
+
+
+def zipf_fit_sql(top_n: int = 100) -> str:
+    """Mirror of operators/sampling.py::zipf_fit — identical total rank
+    order (freq desc, token asc) and regression arithmetic."""
+    return f"""WITH {_TOK},
+ cnt AS (SELECT w, count(*) AS f
+         FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+ top AS (SELECT w, f FROM cnt ORDER BY f DESC, w ASC LIMIT {top_n}),
+ xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS DOUBLE)) AS x,
+               ln(CAST(f AS DOUBLE)) AS y
+        FROM top),
+ s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round(-((sxy - sx * sy / n) / (sxx - sx * sx / n)), {ROUND}) AS alpha,
+       round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n,
+             {ROUND}) AS intercept
+FROM s"""

@@ -99,3 +99,33 @@ def test_bidirectional_distance_unreachable_absent(spark):
     pairs = spark.createDataFrame([(0, 3), (1, 0)], "s long, t long")
     out = bidirectional_distance(g, pairs, max_rounds=4).collect()
     assert out == []  # 0→3 cross-component; 1→0 against the edge direction
+
+
+def test_two_sweep_lower_bound(spark):
+    from graphina_spark.operators.distmetrics import two_sweep_lower_bound
+
+    # path 0-1-2-3-4-5 (undirected view): true diameter 5, 2-sweep finds it
+    g = make_graph(spark, [(i, i + 1) for i in range(5)], n=6, directed=False)
+    r = two_sweep_lower_bound(g).collect()[0]
+    assert r["start"] == 0
+    assert r["lower_bound"] == 5
+    assert r["far_node"] == 5  # farthest from 0, ties to smallest id
+
+
+def test_zipf_fit_exact_power_law(spark):
+    import math
+
+    from graphina_spark.operators.sampling import zipf_fit
+
+    # corpus with f(r) = 2^(10-r) for tokens t1..t6 → ln f = const − ln2·…
+    # exact alpha requires f(r) ∝ r^-a; build f(r) = 720/r instead (a = 1)
+    words = []
+    for r in range(1, 7):
+        words += [f"w{r}"] * (720 // r)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    out = zipf_fit(docs, top_n=6).collect()[0]
+    assert out["n_terms"] == 6
+    assert abs(out["alpha"] - 1.0) < 0.01  # exact harmonic counts
+    assert abs(out["intercept"] - math.log(720.0)) < 0.01
