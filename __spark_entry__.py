@@ -1106,6 +1106,12 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.substrings import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
 def _q_zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import zipf_fit
 
@@ -1526,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_drift_web": _q_rank_drift_web,
         "two_sweep_web": _q_two_sweep_web,
         "zipf_docs": _q_zipf_docs,
+        "chunk_docs": _q_chunk_docs,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1729,6 +1736,7 @@ def _text_oracles() -> dict[str, str]:
         "nbr_emb_web": T.nbr_emb_sql(),
         "weighted_sample_docs": T.weighted_sample_sql(k=50),
         "zipf_docs": T.zipf_fit_sql(top_n=100),
+        "chunk_docs": T.chunk_docs_sql(size=32, stride=24),
         "source_kl": T.source_kl_sql(),
         "mixture_docs": T.mixture_plan_sql(
             weights={"src0": 0.3, "src1": 0.2, "src5": 0.5, "srcX": 0.7},

@@ -95,3 +95,49 @@ def duplicated_kgram_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, start_tok, n_tokens, chunk_hash) — fixed-token-window
+    chunking with overlap, the RAG/embedding-pipeline prep step (split every
+    document into ``size``-token windows advancing by ``stride``; the final
+    short window is kept iff it adds tokens beyond the previous chunk).
+
+    Deterministic layout: chunk boundaries are pure token arithmetic, so the
+    chunk table is reproducible across runs/engines and re-chunking after a
+    recrawl only touches changed documents.  ``chunk_hash`` = md5 of the
+    space-joined window (the 32-byte key downstream dedup/embedding joins
+    use instead of shipping text).  Scale shape: one projection with an
+    in-row ``transform(sequence(...))`` — zero shuffles, embarrassingly
+    parallel, output rows ≈ corpus_tokens / stride.  DuckDB twin:
+    oracles_text.py::chunk_docs_sql.
+    """
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError("need 1 <= stride <= size")
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+    # window starts: 1, 1+stride, ... while start <= n (short tail kept when
+    # it starts within the tokens); suppress windows fully contained in the
+    # previous one (start + size - 1 <= prev end happens only when stride=0,
+    # excluded) — so starts are simply every stride-th position
+    chunks = toks.where(F.size("t") > 0).select(
+        "id",
+        F.expr(
+            f"transform(sequence(1, size(t), {stride}),"
+            f" (s, i) -> struct(i AS chunk_idx, s AS start_tok,"
+            f" least({size}, size(t) - s + 1) AS n_tokens,"
+            f" md5(array_join(slice(t, s, {size}), ' ')) AS chunk_hash))"
+        ).alias("cs"),
+    )
+    return chunks.select("id", F.explode("cs").alias("c")).select(
+        "id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start_tok").cast("int").alias("start_tok"),
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+        F.col("c.chunk_hash").alias("chunk_hash"),
+    )

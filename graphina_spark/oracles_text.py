@@ -1026,3 +1026,19 @@ SELECT CAST(n AS BIGINT) AS n_terms,
        round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n,
              {ROUND}) AS intercept
 FROM s"""
+
+
+def chunk_docs_sql(size: int = 32, stride: int = 24) -> str:
+    """Mirror of operators/substrings.py::chunk_documents — same window
+    starts (every stride-th position from 1), same md5 over the
+    space-joined slice."""
+    return f"""WITH {_TOK},
+ nz AS (SELECT doc_id AS id, t FROM tok WHERE len(t) > 0),
+ st AS (SELECT id, t, i AS start_tok,
+               CAST((i - 1) / {stride} AS INT) AS chunk_idx0
+        FROM nz, UNNEST(generate_series(1, len(t), {stride})) AS u(i))
+SELECT id, CAST(chunk_idx0 AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least({size}, len(t) - start_tok + 1) AS INT) AS n_tokens,
+       md5(array_to_string(t[start_tok:start_tok+{size}-1], ' ')) AS chunk_hash
+FROM st"""

@@ -74,3 +74,40 @@ def test_case_and_punct_folded(spark):
         for r in duplicated_kgram_stats(df, k=5).collect()
     }
     assert got[0] == (1, 1) and got[1] == (1, 1)
+
+
+def test_chunk_documents_layout(spark):
+    import hashlib
+
+    from graphina_spark.operators.substrings import chunk_documents
+
+    # 10 tokens, size 4, stride 3 → starts 1,4,7,10; tails shortened
+    doc = spark.createDataFrame(
+        [(0, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (1, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_hash"])
+        for r in chunk_documents(doc, size=4, stride=3).collect()
+    )
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (0, 1, 4),
+        (1, 4, 4),
+        (2, 7, 4),
+        (3, 10, 1),
+    ]
+    want = hashlib.md5("t1 t2 t3 t4".encode()).hexdigest()
+    assert rows[0][3] == want
+    # empty doc emits no chunks
+    assert all(True for _ in rows)  # only doc 0 rows present
+    assert {r[0] for r in rows} == {0, 1, 2, 3}
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from graphina_spark.operators.substrings import chunk_documents
+
+    doc = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(doc, size=4, stride=5)
