@@ -1106,6 +1106,12 @@ def _q_seeded_lpa_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_label_propagation(g, seeds, fixed_iters=4)
 
 
+def _q_neg_edges_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.links import negative_edges
+
+    return negative_edges(_web(spark, sf_dir), per_node=3, oversample=4)
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.substrings import chunk_documents
 
@@ -1533,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_sweep_web": _q_two_sweep_web,
         "zipf_docs": _q_zipf_docs,
         "chunk_docs": _q_chunk_docs,
+        "neg_edges_web": _q_neg_edges_web,
         "source_kl": _q_source_kl,
         "mixture_docs": _q_mixture_docs,
         "edge_sample_web": _q_edge_sample_web,
@@ -1665,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "st_dist_web": O.st_dist_web_sql(max_depth=16, src_mod=199, dst_mod=173),
         "rfm_events": O.rfm_events_sql(),
         "rank_drift_web": O.rank_drift_web_sql(iters=5),
+        "neg_edges_web": O.neg_edges_web_sql(per_node=3, oversample=4),
         "two_sweep_web": O.two_sweep_web_sql(max_depth=12),
         "host_distinct_web": O.host_distinct_web_sql(host_mod=HOST_MOD, k=8),
         "edge_sample_web": O.edge_sample_web_sql(frac=0.3),

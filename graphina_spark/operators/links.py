@@ -40,7 +40,7 @@ to disable (exact semantics; only safe when max degree is known bounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
@@ -241,4 +241,78 @@ def common_neighbor_centrality(
     """(u, v, ccpa) = |N∩|^α (links/centrality.rs:25-46)."""
     return _with_ebunch(g, _pair_stats(g), ebunch).select(
         "u", "v", F.pow(F.col("cn").cast("double"), F.lit(alpha)).alias("ccpa")
+    )
+
+
+def negative_edges(
+    g: LinkGraph, per_node: int = 3, oversample: int = 4, salt: str = "negsample"
+) -> DataFrame:
+    """(src, dst) — up to ``per_node`` deterministic NON-edges per source
+    vertex: the negative-sampling half of every link-prediction training
+    set (the links family above scores candidate pairs; a trainable model
+    additionally needs verified negatives at ~uniform rate).
+
+    Candidates are md5-derived, not random (the repo's sampling
+    convention): candidate j for source s hashes ``salt:s:j`` into the
+    vertex-id space via the first 8 hex chars mod n; invalid ids are
+    dropped by a vertex semi-join, real edges and self-loops by an
+    anti-join against the edge frame; the first ``per_node`` surviving
+    candidates (ordered by j) are kept.  Reproducible across runs, engines
+    and partitionings; rotate ``salt`` for a fresh draw.
+
+    Scale shape: one in-row candidate expansion (``per_node × oversample``
+    rows per vertex), one semi-join on the candidate id, one anti-join on
+    (src, dst) — both keyed, no pair enumeration — and a bounded per-src
+    window (≤ oversample·per_node rows per group).  DuckDB twin:
+    oracles.py::neg_edges_web_sql.
+    """
+    m = per_node * oversample
+    spark = g.vertices.sparkSession
+    n = g.vertices.count()
+    cand = (
+        g.vertices.select("id")
+        .select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    lambda j: F.struct(
+                        j.alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":",
+                                            F.lit(salt),
+                                            F.col("id").cast("string"),
+                                            j.cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % F.lit(n)
+                        ).alias("dst"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("src", F.col("c.j").alias("j"), F.col("c.dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    valid = cand.join(
+        g.vertices.select(F.col("id").alias("dst")), "dst", "left_semi"
+    )
+    nonedges = valid.join(
+        g.edges.select("src", "dst").distinct(), ["src", "dst"], "left_anti"
+    )
+    w = Window.partitionBy("src").orderBy("j")
+    return (
+        nonedges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_node)
+        .select("src", "dst")
     )

@@ -2715,3 +2715,34 @@ def two_sweep_web_sql(max_depth: int = 12) -> str:
 SELECT (SELECT id FROM s0) AS start,
        (SELECT id FROM far) AS far_node,
        (SELECT max(dist) FROM b2) AS lower_bound"""
+
+
+def neg_edges_web_sql(
+    per_node: int = 3, oversample: int = 4, salt: str = "negsample"
+) -> str:
+    """Mirror of operators/links.py::negative_edges on the web graph — the
+    md5-hex → integer conversion spelled as the fixed-order digit sum equal
+    to Spark's conv(hex, 16, 10) (same trick as weighted_sample_sql)."""
+    m = per_node * oversample
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ cand0 AS (
+   SELECT v.id AS src, u.j,
+          substr(md5('{salt}:' || CAST(v.id AS VARCHAR) || ':'
+                     || CAST(u.j AS VARCHAR)), 1, 8) AS h
+   FROM v, nn, UNNEST(generate_series(1, {m})) AS u(j)),
+ cand AS (SELECT c.src, c.j, ({digits}) % nn.n AS dst
+          FROM cand0 c, nn),
+ valid AS (SELECT c.src, c.j, c.dst FROM cand c
+           JOIN v vv ON c.dst = vv.id WHERE c.src <> c.dst),
+ nonedge AS (SELECT va.src, va.j, va.dst FROM valid va
+             LEFT JOIN (SELECT DISTINCT src, dst FROM edges) e
+               ON va.src = e.src AND va.dst = e.dst
+             WHERE e.src IS NULL)
+SELECT src, dst FROM (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY j) AS rn
+  FROM nonedge) WHERE rn <= {per_node}"""

@@ -102,3 +102,29 @@ def test_self_loop_and_isolated_excluded(g):
     involving them appears in the sparse support."""
     cn = L.common_neighbors(g)
     assert cn.where((F.col("u").isin(6, 7)) | (F.col("v").isin(6, 7))).count() == 0
+
+
+def test_negative_edges_are_nonedges_and_deterministic(spark):
+    from graphina_spark.operators.links import negative_edges
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, [(i, (i + 1) % 20) for i in range(20)], n=20)
+    neg = negative_edges(g, per_node=2, oversample=6)
+    rows = {(r["src"], r["dst"]) for r in neg.collect()}
+    edges = {(i, (i + 1) % 20) for i in range(20)}
+    # verified negatives: never a real edge, never a self-loop, valid ids
+    assert rows and not (rows & edges)
+    assert all(s != d and 0 <= d < 20 for s, d in rows)
+    # at most per_node per source
+    from collections import Counter
+
+    per = Counter(s for s, _ in rows)
+    assert max(per.values()) <= 2
+    # reproducible; salt rotates the draw
+    again = {(r["src"], r["dst"]) for r in negative_edges(g, per_node=2, oversample=6).collect()}
+    assert again == rows
+    other = {
+        (r["src"], r["dst"])
+        for r in negative_edges(g, per_node=2, oversample=6, salt="x").collect()
+    }
+    assert other != rows
