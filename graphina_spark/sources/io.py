@@ -54,6 +54,120 @@ def write_edge_list(g: LinkGraph, path: str, sep: str = ",") -> None:
     ).write.mode("overwrite").text(path)
 
 
+def read_adjacency_list(
+    spark: SparkSession,
+    path: str,
+    sep: str = " ",
+    directed: bool = True,
+    default_weight: float = 1.0,
+) -> LinkGraph:
+    """Adjacency-list text file → LinkGraph (io.rs:221-282 semantics).
+
+    Line format: ``<src><sep><nbr><sep><weight><sep><nbr><sep><weight>...``
+    — first token is the source node, the rest are (neighbor, weight) token
+    pairs; a trailing neighbor without a weight gets ``default_weight``
+    (io.rs:254-266).  ``#`` starts a comment (truncated anywhere in the
+    line, io.rs:240-242); a line with only a source token declares an
+    isolated vertex (io.rs:249-251 adds the node before reading pairs).
+
+    Also accepts the ``<nbr>:<weight>`` colon-pair tokens the reference's
+    own ``write_adjacency_list`` emits (io.rs:319-361) — the reference's
+    writer output is not parseable by its reader (write emits colon pairs,
+    read expects separator pairs); supporting both makes round-trips work
+    against files from either producer.
+
+    Scale: one distributed text scan; all splitting/expansion is in-row
+    column expressions (no Python UDF), edges come off an explode — no
+    shuffle until the vertex distinct.
+    """
+    lines = spark.read.text(path)
+    toks = (
+        lines.select(F.trim(F.substring_index("value", "#", 1)).alias("v"))
+        .where(F.col("v") != "")
+        .select(F.filter(F.split("v", sep), lambda x: F.trim(x) != "").alias("t"))
+        .where(F.size("t") > 0)
+    )
+    # rest tokens after the source; colon mode iff any token contains ':'
+    rows = toks.select(
+        F.trim(F.get(F.col("t"), 0)).cast("long").alias("src"),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("rest"),
+    ).where(F.col("src").isNotNull())
+    pairs = rows.select(
+        "src",
+        F.when(
+            F.exists("rest", lambda x: x.contains(":")),
+            F.expr(
+                "transform(rest, x -> struct(split(x, ':')[0] as n,"
+                " split(x, ':')[1] as w))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "case when size(rest) = 0 then"
+                " cast(array() as array<struct<n:string,w:string>>)"
+                " else transform(sequence(0, size(rest) - 1, 2),"
+                " i -> struct(rest[i] as n,"
+                " if(i + 1 < size(rest), rest[i + 1], null) as w)) end"
+            )
+        )
+        .alias("pairs"),
+    )
+    flat = pairs.select("src", F.explode_outer("pairs").alias("p")).select(
+        "src",
+        F.trim(F.col("p.n")).cast("long").alias("dst"),
+        F.coalesce(F.trim(F.col("p.w")).cast("double"), F.lit(default_weight)).alias(
+            "weight"
+        ),
+    )
+    edges = flat.where(F.col("dst").isNotNull())
+    vertices = (
+        flat.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return LinkGraph.from_edges(edges, directed=directed, vertices=vertices)
+
+
+def write_adjacency_list(g: LinkGraph, path: str, sep: str = " ") -> None:
+    """LinkGraph → adjacency-list text (io.rs:319-361 format):
+    ``<src><sep><nbr1>:<w1><sep><nbr2>:<w2>...``, one line per vertex,
+    isolated vertices as a bare source token.  Neighbor pairs are sorted
+    by (dst, weight) so output is deterministic (the reference iterates
+    insertion order; a distributed writer has none).  Integral weights are
+    printed without the trailing ``.0`` to mirror Rust's ``{}`` float
+    Display.  One groupBy(src) shuffle + one left join; text parts are
+    written distributed (a directory, like write_edge_list)."""
+    adj = g.edges.groupBy("src").agg(
+        F.array_sort(F.collect_list(F.struct("dst", "weight"))).alias("ns")
+    )
+    lines = (
+        g.vertices.select(F.col("id").alias("src"))
+        .join(adj, "src", "left")
+        .select(
+            F.concat(
+                F.col("src").cast("string"),
+                F.coalesce(
+                    F.aggregate(
+                        "ns",
+                        F.lit(""),
+                        lambda acc, x: F.concat(
+                            acc,
+                            F.lit(sep),
+                            x["dst"].cast("string"),
+                            F.lit(":"),
+                            F.regexp_replace(
+                                x["weight"].cast("string"), r"\.0$", ""
+                            ),
+                        ),
+                    ),
+                    F.lit(""),
+                ),
+            ).alias("value")
+        )
+    )
+    lines.write.mode("overwrite").text(path)
+
+
 def save_graph(g: LinkGraph, path: str) -> None:
     """vertices/ + edges/ parquet + manifest.json (SerializableGraph analog)."""
     g.vertices.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
