@@ -1353,6 +1353,41 @@ def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, period_s=86_400)
 
 
+def _q_asof_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase attribution as-of join: every non-purchase event matched to
+    the same user's most recent at-or-before purchase (backward-inclusive,
+    left outer — DuckDB ASOF JOIN semantics, which IS the oracle).  One
+    keyed shuffle total (union + carry-forward window)."""
+    from graphina_spark.operators.asof import asof_join
+    from graphina_spark.operators.sessions import ANCHOR
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.col("ts"),
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("ts"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("value"),
+    )
+    j = asof_join(left, right, by="uid", value_cols=["eid", "value"], tie_break="eid")
+    es = F.expr(f"timestampdiff(SECOND, {ANCHOR}, ts)")
+    p_es = F.expr(f"timestampdiff(SECOND, {ANCHOR}, asof_ts)")
+    return j.select(
+        "eid",
+        "uid",
+        "etype",
+        es.alias("es"),
+        F.col("asof_eid").alias("purchase_eid"),
+        F.round("asof_value", 6).alias("purchase_value"),
+        (es - p_es).alias("lag_s"),
+    )
+
+
 def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order first-touch funnel view→click→purchase per user
     (composite (epoch-s, event_id) order key; one min-agg per step)."""
@@ -1568,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_oracle_web": _q_dist_oracle_web,
         "graph_diff_web": _q_graph_diff_web,
         "pack_docs": _q_pack_docs,
+        "asof_purchase_events": _q_asof_purchase_events,
         "funnel_events": _q_funnel_events,
         "retention_events": _q_retention_events,
         "transitions_events": _q_transitions_events,
@@ -1704,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
             max_depth=6, lm_mod=59, pair_a=13, pair_b=7
         ),
         "graph_diff_web": O.graph_diff_web_sql(),
+        "asof_purchase_events": O.asof_purchase_sql(),
         "funnel_events": O.funnel_stages_sql(("view", "click", "purchase")),
         "retention_events": O.cohort_retention_sql(period_s=86_400),
         "transitions_events": O.session_transitions_sql(),

@@ -2746,3 +2746,25 @@ def neg_edges_web_sql(
 SELECT src, dst FROM (
   SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY j) AS rn
   FROM nonedge) WHERE rn <= {per_node}"""
+
+
+def asof_purchase_sql() -> str:
+    """Mirror-free oracle for the as-of attribution gate: DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` (backward inclusive, same semantics the operator
+    implements) over the same deterministic right-side dedup (per (uid, ts)
+    keep max event_id).  Epoch-seconds anchored like every events oracle."""
+    return """WITH ev AS (
+   SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
+          event_type AS etype, value, ts,
+          date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) AS es
+   FROM events),
+ l AS (SELECT eid, uid, etype, ts, es FROM ev WHERE etype <> 'purchase'),
+ r AS (SELECT uid, ts, eid, value, es FROM (
+         SELECT uid, ts, eid, value, es,
+                row_number() OVER (PARTITION BY uid, ts ORDER BY eid DESC) rn
+         FROM ev WHERE etype = 'purchase') WHERE rn = 1)
+SELECT l.eid, l.uid, l.etype, l.es,
+       r.eid AS purchase_eid,
+       ROUND(r.value, 6) AS purchase_value,
+       l.es - r.es AS lag_s
+FROM l ASOF LEFT JOIN r ON l.uid = r.uid AND l.ts >= r.ts"""
