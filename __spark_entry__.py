@@ -1388,6 +1388,45 @@ def _q_asof_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_purchase_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window purchase context via the bucketized range join: per
+    purchase, count + value-sum of the same user's non-purchase events in
+    the preceding hour.  One (key, bucket) hash-join shuffle + one agg —
+    never a per-key nested loop."""
+    from graphina_spark.operators.rangejoin import point_in_interval_join
+    from graphina_spark.operators.sessions import ANCHOR
+
+    window_s = 3600
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_type").alias("etype"),
+        "value",
+        F.expr(f"timestampdiff(SECOND, {ANCHOR}, ts)").alias("es"),
+    )
+    pts = ev.where(F.col("etype") != "purchase").select(
+        "uid",
+        F.col("es").cast("double").alias("pes"),
+        F.col("eid").alias("peid"),
+        F.col("value").alias("pvalue"),
+    )
+    ivs = ev.where(F.col("etype") == "purchase").select(
+        "uid",
+        (F.col("es") - window_s).cast("double").alias("lo"),
+        F.col("es").cast("double").alias("hi"),
+        "eid",
+        "es",
+    )
+    j = point_in_interval_join(
+        pts, ivs, by="uid", point_col="pes", lo_col="lo", hi_col="hi",
+        bucket=float(window_s), how="left",
+    )
+    return j.groupBy("eid", "uid", "es").agg(
+        F.count("peid").alias("ctx_events"),
+        F.round(F.coalesce(F.sum("pvalue"), F.lit(0.0)), 6).alias("ctx_value"),
+    )
+
+
 def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order first-touch funnel view→click→purchase per user
     (composite (epoch-s, event_id) order key; one min-agg per step)."""
@@ -1604,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diff_web": _q_graph_diff_web,
         "pack_docs": _q_pack_docs,
         "asof_purchase_events": _q_asof_purchase_events,
+        "range_purchase_ctx": _q_range_purchase_ctx,
         "funnel_events": _q_funnel_events,
         "retention_events": _q_retention_events,
         "transitions_events": _q_transitions_events,
@@ -1741,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_diff_web": O.graph_diff_web_sql(),
         "asof_purchase_events": O.asof_purchase_sql(),
+        "range_purchase_ctx": O.range_purchase_ctx_sql(),
         "funnel_events": O.funnel_stages_sql(("view", "click", "purchase")),
         "retention_events": O.cohort_retention_sql(period_s=86_400),
         "transitions_events": O.session_transitions_sql(),

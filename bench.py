@@ -122,6 +122,14 @@ def main() -> None:
 
     run("node2vec_3steps", lambda: node2vec_walks(web, length=3))
 
+    # training-data pipeline headliners — same callables the driver gates,
+    # so the bench measures the gated code path exactly
+    import __spark_entry__ as entrymod
+
+    gated = entrymod.queries()
+    run("minhash_lsh", lambda: gated["minhash_lsh"](spark, SF_DIR))
+    run("text_stats", lambda: gated["text_stats"](spark, SF_DIR))
+
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS
     out = {

@@ -2768,3 +2768,22 @@ SELECT l.eid, l.uid, l.etype, l.es,
        ROUND(r.value, 6) AS purchase_value,
        l.es - r.es AS lag_s
 FROM l ASOF LEFT JOIN r ON l.uid = r.uid AND l.ts >= r.ts"""
+
+
+def range_purchase_ctx_sql(window_s: int = 3600) -> str:
+    """Oracle for the bucketized range-join gate: plain predicate LEFT JOIN
+    (DuckDB's IEJoin handles the inequality natively) counting each
+    purchase's same-user non-purchase events in the trailing window."""
+    return f"""WITH ev AS (
+   SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
+          event_type AS etype, value,
+          date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts) AS es
+   FROM events),
+ p AS (SELECT eid, uid, es FROM ev WHERE etype = 'purchase'),
+ x AS (SELECT eid, uid, es, value FROM ev WHERE etype <> 'purchase')
+SELECT p.eid, p.uid, p.es,
+       count(x.eid) AS ctx_events,
+       ROUND(coalesce(sum(x.value), 0), 6) AS ctx_value
+FROM p LEFT JOIN x
+  ON p.uid = x.uid AND x.es BETWEEN p.es - {int(window_s)} AND p.es
+GROUP BY p.eid, p.uid, p.es"""
