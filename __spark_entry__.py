@@ -1228,6 +1228,23 @@ def _q_ari_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(val, ROUND),)], "ari double")
 
 
+def _q_nmi_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.lpa import label_propagation
+    from graphina_spark.operators.partitions import normalized_mutual_information
+
+    g = _block(spark, sf_dir)
+    lpa = label_propagation(g, fixed_iters=4)
+    planted = g.vertices.select("id", F.floor(F.col("id") / 100).cast("long").alias("label"))
+    val = normalized_mutual_information(lpa, planted)
+    return spark.createDataFrame([(round(val, ROUND),)], "nmi double")
+
+
+def _q_linkpred_auc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.links import link_prediction_auc
+
+    return link_prediction_auc(_web(spark, sf_dir), per_node=3, oversample=4)
+
+
 def _q_sweep_cut_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.cuts import sweep_cut
 
@@ -1622,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_web": _q_host_graph_web,
         "conductance_web": _q_conductance_web,
         "ari_block": _q_ari_block,
+        "nmi_block": _q_nmi_block,
+        "linkpred_auc_web": _q_linkpred_auc_web,
         "attr_assortativity_web": _q_attr_assortativity_web,
         "sweep_cut_block": _q_sweep_cut_block,
         "sweep_cut_web": _q_sweep_cut_web,
@@ -1757,6 +1776,8 @@ def oracle_sql() -> dict[str, str]:
         "host_graph_web": O.host_graph_web_sql(host_mod=HOST_MOD),
         "conductance_web": O.conductance_web_sql(host_mod=HOST_MOD),
         "ari_block": O.ari_block_sql(),
+        "nmi_block": O.nmi_block_sql(),
+        "linkpred_auc_web": O.linkpred_auc_web_sql(per_node=3, oversample=4),
         "attr_assortativity_web": O.attr_assortativity_web_sql(host_mod=HOST_MOD),
         "sweep_cut_block": O.sweep_cut_block_sql(),
         "sweep_cut_web": O.sweep_cut_web_sql(),

@@ -316,3 +316,85 @@ def negative_edges(
         .where(F.col("rn") <= per_node)
         .select("src", "dst")
     )
+
+
+def link_prediction_auc(
+    g: LinkGraph,
+    per_node: int = 3,
+    oversample: int = 4,
+    salt: str = "negsample",
+    score: str = "cn",
+) -> DataFrame:
+    """One row ``(auc double, npos long, nneg long)``: tie-aware
+    Mann-Whitney AUC of a common-neighbor-family scorer at separating the
+    graph's real (canonical undirected) edges from :func:`negative_edges`
+    samples — the standard retrieval-quality readout for the links family
+    (the reference scores pairs, similarity.rs; ranking quality is how a
+    pipeline decides WHICH measure to ship).
+
+        AUC = (R⁺ − P(P+1)/2) / (P·N),  R⁺ = Σ average ranks of positives
+              (ascending score, ties get the group mean rank)
+
+    ``score``: any :func:`_pair_stats` column — ``cn`` (default; integer, so
+    tie groups are exact across engines), ``aa`` or ``ra`` (rounded to 6 dp
+    before grouping so cross-engine float ulps cannot reshuffle tie groups).
+    Pairs outside the wedge support score 0 (the exact reference value).
+
+    Scale shape: the wedge kernel (one self-join + one groupBy, hub-capped),
+    one groupBy(score) whose size is bounded by #distinct scores, and a
+    two-pass global prefix sum (plans/ordered.py::global_cumsum) for the
+    rank cumsum — NO single-task global window.  DuckDB twin:
+    oracles.py::linkpred_auc_web_sql.
+    """
+    from graphina_spark.plans.ordered import global_cumsum
+
+    pos = (
+        g.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    neg = (
+        negative_edges(g, per_node=per_node, oversample=oversample, salt=salt)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        # directed non-edges can canonicalize onto a real reverse edge
+        .join(pos, ["u", "v"], "left_anti")
+    )
+    pairs = pos.withColumn("label", F.lit(1)).unionAll(
+        neg.withColumn("label", F.lit(0))
+    )
+    sc = F.coalesce(F.col(score), F.lit(0))
+    if score in ("aa", "ra"):
+        sc = F.round(sc, 6)
+    scored = (
+        pairs.join(_pair_stats(g).select("u", "v", score), ["u", "v"], "left")
+        .select("label", sc.alias("score"))
+    )
+    grp = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("label").alias("pos_c")
+    )
+    laid = global_cumsum(grp, order_cols=["score"], value_col="cnt", out_col="below")
+    agg = laid.agg(
+        F.sum("pos_c").alias("p"),
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("pos_c") * (F.col("below") + (F.col("cnt") + 1) / 2.0)).alias(
+            "rpos"
+        ),
+    )
+    return agg.select(
+        F.round(
+            F.when(
+                (F.col("p") == 0) | (F.col("t") - F.col("p") == 0), F.lit(0.5)
+            ).otherwise(
+                (F.col("rpos") - F.col("p") * (F.col("p") + 1) / 2.0)
+                / (F.col("p") * (F.col("t") - F.col("p")))
+            ),
+            6,
+        ).alias("auc"),
+        F.col("p").cast("long").alias("npos"),
+        (F.col("t") - F.col("p")).cast("long").alias("nneg"),
+    )

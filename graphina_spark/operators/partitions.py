@@ -1,4 +1,5 @@
-"""Partition-comparison measures: Adjusted Rand Index between two labelings.
+"""Partition-comparison measures: Adjusted Rand Index and Normalized Mutual
+Information between two labelings.
 
 The reference evaluates community detection by quality (modularity slack vs
 NetworkX, tests/oracle_community_tests.rs:150), never by label equality —
@@ -55,3 +56,52 @@ def adjusted_rand_index(a: DataFrame, b: DataFrame, label_col: str = "label") ->
     if maximum == expected:
         return 1.0
     return (sum_ij - expected) / (maximum - expected)
+
+
+def normalized_mutual_information(
+    a: DataFrame, b: DataFrame, label_col: str = "label"
+) -> float:
+    """NMI (arithmetic normalization, natural log) between two labelings
+    ``(id, label)`` over their common ids:
+
+        MI  = Σ_ij n_ij/n · ln(n·n_ij / (n_a·n_b))
+        NMI = 2·MI / (H(A) + H(B)),   1.0 when both entropies are 0
+              (two constant labelings agree perfectly by convention).
+
+    Same contingency-table scale shape as :func:`adjusted_rand_index` — one
+    id join, one (la, lb) groupBy, marginals from the contingency frame,
+    nothing driver-side but four scalars.  DuckDB twin:
+    oracles.py::nmi_block_sql.
+    """
+    la = a.select("id", F.col(label_col).alias("la"))
+    lb = b.select("id", F.col(label_col).alias("lb"))
+    j = la.join(lb, "id")
+    cont = j.groupBy("la", "lb").agg(F.count("*").alias("nij")).cache()
+    n = cont.agg(F.sum("nij")).first()[0] or 0
+    if n == 0:
+        return 1.0
+    ca = cont.groupBy("la").agg(F.sum("nij").alias("na"))
+    cb = cont.groupBy("lb").agg(F.sum("nij").alias("nb"))
+    mi = (
+        cont.join(ca, "la")
+        .join(cb, "lb")
+        .agg(
+            F.sum(
+                F.col("nij")
+                / n
+                * F.log(n * F.col("nij") / (F.col("na") * F.col("nb")))
+            )
+        )
+    ).first()[0] or 0.0
+
+    def _entropy(marg: DataFrame, col: str) -> float:
+        return (
+            marg.agg(-F.sum(F.col(col) / n * F.log(F.col(col) / n))).first()[0]
+            or 0.0
+        )
+
+    ha, hb = _entropy(ca, "na"), _entropy(cb, "nb")
+    cont.unpersist()
+    if ha + hb == 0.0:
+        return 1.0
+    return 2.0 * mi / (ha + hb)

@@ -2435,6 +2435,28 @@ SELECT round(CASE WHEN cn2 = 0 THEN 1.0
 FROM s1, s2, s3, nn"""
 
 
+def nmi_block_sql(iters: int = LPA_ITERS, block: int = 100) -> str:
+    """Normalized mutual information (arithmetic normalization, natural log)
+    between the unrolled-LPA labeling and the planted floor(id/block) blocks
+    — mirror of operators/partitions.py::normalized_mutual_information
+    composed with lpa_block_sql (same formula: MI = Σ nij/n·ln(n·nij/(na·nb)),
+    NMI = 2·MI/(HA+HB), 1.0 when both entropies vanish)."""
+    return f"""WITH lpa AS ({lpa_block_sql(iters)}),
+ j AS (SELECT id, label AS la, CAST(floor(id / {block}) AS BIGINT) AS lb FROM lpa),
+ cont AS (SELECT la, lb, count(*) AS nij FROM j GROUP BY la, lb),
+ nn3 AS (SELECT CAST(sum(nij) AS DOUBLE) AS n FROM cont),
+ ca AS (SELECT la, sum(nij) AS na FROM cont GROUP BY la),
+ cb AS (SELECT lb, sum(nij) AS nb FROM cont GROUP BY lb),
+ mi AS (SELECT coalesce(sum(c.nij / n.n
+                            * ln(n.n * c.nij / (ca.na * cb.nb))), 0.0) AS mi
+        FROM cont c JOIN ca USING (la) JOIN cb USING (lb), nn3 n),
+ ha AS (SELECT coalesce(-sum(na / n.n * ln(na / n.n)), 0.0) AS h FROM ca, nn3 n),
+ hb AS (SELECT coalesce(-sum(nb / n.n * ln(nb / n.n)), 0.0) AS h FROM cb, nn3 n)
+SELECT round(CASE WHEN ha.h + hb.h = 0.0 THEN 1.0
+                  ELSE 2.0 * mi.mi / (ha.h + hb.h) END, {ROUND}) AS nmi
+FROM mi, ha, hb"""
+
+
 def attr_assortativity_web_sql(host_mod: int = 64) -> str:
     """Mirror of operators/metrics.py::attribute_assortativity with host
     labels (id % host_mod — the hostgraph convention): Newman categorical
@@ -2746,6 +2768,70 @@ def neg_edges_web_sql(
 SELECT src, dst FROM (
   SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY j) AS rn
   FROM nonedge) WHERE rn <= {per_node}"""
+
+
+def linkpred_auc_web_sql(
+    per_node: int = 3,
+    oversample: int = 4,
+    salt: str = "negsample",
+    max_middle_degree: int | None = None,
+) -> str:
+    """Mirror of operators/links.py::link_prediction_auc with score=cn on the
+    web graph: canonical real edges (label 1) vs canonicalized
+    negative_edges samples (label 0), scored by the hub-capped wedge kernel
+    (_LINKS_CTES stats), tie-aware Mann-Whitney AUC via average ranks over
+    integer score groups."""
+    if max_middle_degree is None:
+        from graphina_spark.operators.links import DEFAULT_MAX_MIDDLE_DEGREE
+
+        max_middle_degree = DEFAULT_MAX_MIDDLE_DEGREE
+    m = per_node * oversample
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    links = _LINKS_CTES.format(max_middle_degree=max_middle_degree)
+    return f"""WITH {WEB_EDGES_CTE.strip()},{links},
+ pos AS (SELECT s AS u, d AS v FROM canon),
+ cand0 AS (
+   SELECT v.id AS src, u.j,
+          substr(md5('{salt}:' || CAST(v.id AS VARCHAR) || ':'
+                     || CAST(u.j AS VARCHAR)), 1, 8) AS h
+   FROM v, UNNEST(generate_series(1, {m})) AS u(j)),
+ cand AS (SELECT c.src, c.j, ({digits}) % nn.n AS dst
+          FROM cand0 c, nn),
+ validn AS (SELECT c.src, c.j, c.dst FROM cand c
+            JOIN v vv ON c.dst = vv.id WHERE c.src <> c.dst),
+ nonedge AS (SELECT va.src, va.j, va.dst FROM validn va
+             LEFT JOIN (SELECT DISTINCT src, dst FROM edges) e
+               ON va.src = e.src AND va.dst = e.dst
+             WHERE e.src IS NULL),
+ negd AS (SELECT src, dst FROM (
+   SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY j) AS rn
+   FROM nonedge) WHERE rn <= {per_node}),
+ neg AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM negd
+         EXCEPT SELECT u, v FROM pos),
+ pairs AS (SELECT u, v, 1 AS label FROM pos
+           UNION ALL SELECT u, v, 0 AS label FROM neg),
+ scored AS (SELECT p.label, coalesce(s.cn, 0) AS score
+            FROM pairs p LEFT JOIN stats s ON p.u = s.u AND p.v = s.v),
+ grp AS (SELECT score, count(*) AS cnt, sum(label) AS pos_c
+         FROM scored GROUP BY score),
+ ranked AS (SELECT pos_c, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+            FROM grp),
+ fin AS (SELECT CAST(sum(pos_c) AS DOUBLE) AS p, CAST(sum(cnt) AS DOUBLE) AS t,
+                sum(pos_c * (below + (cnt + 1) / 2.0)) AS rpos
+         FROM ranked)
+SELECT round(CASE WHEN p = 0 OR t - p = 0 THEN 0.5
+                  ELSE (rpos - p * (p + 1) / 2.0) / (p * (t - p)) END,
+             {ROUND}) AS auc,
+       CAST(p AS BIGINT) AS npos, CAST(t - p AS BIGINT) AS nneg
+FROM fin"""
 
 
 def asof_purchase_sql() -> str:

@@ -128,3 +128,63 @@ def test_negative_edges_are_nonedges_and_deterministic(spark):
         for r in negative_edges(g, per_node=2, oversample=6, salt="x").collect()
     }
     assert other != rows
+
+
+def test_link_prediction_auc_separation(spark):
+    """A clique's internal pairs share many common neighbors; negatives into
+    the sparse tail share none — AUC must be high, and the hand formula must
+    hold on the tie-aware definition."""
+    from graphina_spark.operators.links import link_prediction_auc
+    from tests.conftest import make_graph
+
+    # K5 clique (ids 0-4, both directions via undirected) + a 10-node path
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    path = [(i, i + 1) for i in range(5, 14)]
+    g = make_graph(spark, clique + path, n=15, directed=False)
+    row = link_prediction_auc(g, per_node=2, oversample=6).first()
+    assert row["npos"] > 0 and row["nneg"] > 0
+    assert 0.0 <= row["auc"] <= 1.0
+    # clique pairs all have cn=3; path positives cn>=0; negatives mostly 0 →
+    # better than chance
+    assert row["auc"] > 0.5
+
+
+def test_link_prediction_auc_hand_check(spark):
+    """Exact tie-aware AUC on a fixture small enough to enumerate."""
+    from graphina_spark.operators.links import link_prediction_auc
+    from graphina_spark.operators.links import negative_edges, _pair_stats
+    from pyspark.sql import functions as F
+    from tests.conftest import make_graph
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = make_graph(spark, edges, n=5, directed=False)
+    row = link_prediction_auc(g, per_node=2, oversample=8).first()
+
+    # recompute with plain python
+    pos = {tuple(sorted(e)) for e in edges}
+    neg = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in negative_edges(g, per_node=2, oversample=8).collect()
+    } - pos
+    stats = {
+        (r["u"], r["v"]): r["cn"] for r in _pair_stats(g).collect()
+    }
+    scored = [(stats.get(p, 0), 1) for p in pos] + [
+        (stats.get(p, 0), 0) for p in neg
+    ]
+    scored.sort()
+    # average ranks per tie group
+    ranks, i = {}, 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[scored[i][0]] = avg
+        i = j
+    P = len(pos)
+    N = len(neg)
+    rpos = sum(ranks[s] for s, lab in scored if lab == 1)
+    expect = (rpos - P * (P + 1) / 2.0) / (P * N)
+    assert row["npos"] == P and row["nneg"] == N
+    assert row["auc"] == pytest.approx(expect, abs=1e-6)

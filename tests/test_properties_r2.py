@@ -120,3 +120,51 @@ def test_fm_sketch_set_semantics(spark, vals):
     rb = approx_distinct_by_key(b, "k", "v").collect()[0]
     assert ra["register_mass"] == rb["register_mass"]
     assert ra["approx_distinct"] == rb["approx_distinct"]
+
+
+@settings(**_SETTINGS)
+@given(labels=labelings)
+def test_nmi_self_agreement_and_permutation_invariance(spark, labels):
+    from graphina_spark.operators.partitions import normalized_mutual_information
+
+    a = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(labels)], "id long, label long"
+    )
+    assert normalized_mutual_information(a, a) == pytest.approx(1.0)
+    remap = spark.createDataFrame(
+        [(i, 100 - l) for i, l in enumerate(labels)], "id long, label long"
+    )
+    planted = spark.createDataFrame(
+        [(i, i % 2) for i in range(len(labels))], "id long, label long"
+    )
+    assert normalized_mutual_information(a, planted) == pytest.approx(
+        normalized_mutual_information(remap, planted), abs=1e-12
+    )
+
+
+def test_nmi_conventions(spark):
+    """Constant-vs-varied → 0 (no information); both constant → 1.0; exact
+    value on a hand case (sklearn arithmetic normalization)."""
+    import math
+
+    from graphina_spark.operators.partitions import normalized_mutual_information
+
+    const = spark.createDataFrame([(i, 0) for i in range(4)], "id long, label long")
+    halves = spark.createDataFrame(
+        [(i, i // 2) for i in range(4)], "id long, label long"
+    )
+    assert normalized_mutual_information(const, halves) == pytest.approx(0.0)
+    assert normalized_mutual_information(const, const) == pytest.approx(1.0)
+    # hand case: a = {0,1},{2,3}; b = {0},{1,2,3}
+    b = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 1), (3, 1)], "id long, label long"
+    )
+    n = 4.0
+    mi = (1 / n) * math.log(n * 1 / (2 * 1)) + (1 / n) * math.log(
+        n * 1 / (2 * 3)
+    ) + (2 / n) * math.log(n * 2 / (2 * 3))
+    ha = -2 * (2 / n) * math.log(2 / n)
+    hb = -(1 / n) * math.log(1 / n) - (3 / n) * math.log(3 / n)
+    assert normalized_mutual_information(halves, b) == pytest.approx(
+        2 * mi / (ha + hb), abs=1e-9
+    )
