@@ -450,6 +450,18 @@ def _q_anf_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_dist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF readouts (effective diameter at q=0.9, APL) from the same
+    8-round sketch anf_web pins bit-exactly; outputs pre-rounded to 4 dp so
+    engine-specific float summation order over the curve cannot flip the
+    6-dp gate."""
+    from graphina_spark.operators.distmetrics import approx_distance_metrics
+
+    return approx_distance_metrics(
+        _web(spark, sf_dir), k=8, fixed_rounds=8, round_to=4
+    )
+
+
 APPROX_ROUNDS = 8  # probed past Luby/matching convergence at sf0.01
 
 
@@ -460,6 +472,15 @@ def _q_mis_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.approximation import maximal_independent_set
 
     return maximal_independent_set(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
+
+
+def _q_coloring_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring, fixed rounds (partial coloring is
+    the deterministic contract at a fixed round count; fixpoint properness
+    and the Delta+1 bound are pinned in tests/test_coloring.py)."""
+    from graphina_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
 
 
 def _q_matching_web(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,7 +1588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_web": _q_edge_betweenness_web,
         "dist_metrics_web": _q_dist_metrics_web,
         "anf_web": _q_anf_web,
+        "approx_dist_web": _q_approx_dist_web,
         "mis_web": _q_mis_web,
+        "coloring_web": _q_coloring_web,
         "matching_web": _q_matching_web,
         "vertex_cover_web": _q_vertex_cover_web,
         "large_clique_web": _q_large_clique_web,
@@ -1733,7 +1756,9 @@ def oracle_sql() -> dict[str, str]:
         "edge_betweenness_web": O.edge_betweenness_web_sql(),
         "dist_metrics_web": O.dist_metrics_web_sql(max_depth=8),
         "anf_web": O.anf_web_sql(k=8, rounds=8),
+        "approx_dist_web": O.approx_dist_web_sql(k=8, rounds=8),
         "mis_web": O.mis_web_sql(rounds=APPROX_ROUNDS),
+        "coloring_web": O.coloring_web_sql(rounds=APPROX_ROUNDS),
         "matching_web": O.matching_web_sql(rounds=APPROX_ROUNDS),
         "vertex_cover_web": O.vertex_cover_web_sql(rounds=APPROX_ROUNDS),
         "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),

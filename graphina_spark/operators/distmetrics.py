@@ -193,17 +193,30 @@ def anf_neighborhood_function(
 
 
 def approx_distance_metrics(
-    g: LinkGraph, k: int = 8, max_depth: int = 32, effective_q: float = 0.9
+    g: LinkGraph,
+    k: int = 8,
+    max_depth: int = 32,
+    effective_q: float = 0.9,
+    fixed_rounds: int | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """One row ``(effective_diameter double, avg_path_length double)``
     estimated from the ANF curve (HyperANF's standard readouts): effective
     diameter = smallest r with NF(r) ≥ q·NF(∞) (linear interpolation,
     Boldi-Rosa-Vigna §4), APL ≈ Σ_r r·(NF(r)−NF(r−1)) / (NF(∞)−NF(0)).
 
+    ``fixed_rounds``/``round_to`` are the oracle-gated mode: a fixed round
+    count unrolls identically in SQL (oracles.py::approx_dist_web_sql), and
+    pre-rounding the outputs coarser than the driver's 6 dp absorbs the
+    engine-specific summation order of the float curve estimates (the
+    registers themselves are bit-identical — anf_web pins them).
+
     The curve is O(diameter) rows — summarizing it on the driver is
     metadata-sized, not a data collect."""
     rows = sorted(
-        anf_neighborhood_function(g, k=k, max_depth=max_depth).collect(),
+        anf_neighborhood_function(
+            g, k=k, max_depth=max_depth, fixed_rounds=fixed_rounds
+        ).collect(),
         key=lambda r: r["r"],
     )
     nf = [r["nf"] for r in rows]
@@ -224,6 +237,8 @@ def approx_distance_metrics(
         else 0.0
     )
     spark = g.vertices.sparkSession
+    if round_to is not None:
+        eff, apl = round(float(eff), round_to), round(float(apl), round_to)
     return spark.createDataFrame(
         [(float(eff), float(apl))],
         "effective_diameter double, avg_path_length double",

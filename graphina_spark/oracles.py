@@ -854,14 +854,10 @@ FROM st, ap, nn2"""
     )
 
 
-def anf_web_sql(k: int = 8, rounds: int = 8) -> str:
-    """(r, nf) ANF/Flajolet-Martin sketch curve on the directed web graph —
-    bit-exact oracle twin of
-    operators/distmetrics.py::anf_neighborhood_function with
-    ``fixed_rounds=rounds, readout="raw"``: same affine hash family, same
-    register width, same bit_or merge; the readout is the INTEGER register
-    mass Σ_v Σ_j lzb_j(v), so cross-engine float aggregation order cannot
-    perturb the comparison while still pinning every register bit."""
+def _anf_round_ctes(k: int, rounds: int) -> tuple[list[str], str]:
+    """Shared register-propagation CTEs of the ANF oracles: returns
+    (ctes, lzb_sum_expr) where the final CTEs are ``s0..s{rounds}`` register
+    tables and ``lzb_sum_expr`` is the per-row Σ_j lowest-zero-bit sum."""
     from graphina_spark.operators.distmetrics import (
         ANF_A,
         ANF_B,
@@ -911,6 +907,18 @@ def anf_web_sql(k: int = 8, rounds: int = 8) -> str:
         f"CAST(round(log2(CAST(((~m{j}) & (m{j} + 1)) AS DOUBLE))) AS BIGINT)"
         for j in range(k)
     )
+    return ctes, est
+
+
+def anf_web_sql(k: int = 8, rounds: int = 8) -> str:
+    """(r, nf) ANF/Flajolet-Martin sketch curve on the directed web graph —
+    bit-exact oracle twin of
+    operators/distmetrics.py::anf_neighborhood_function with
+    ``fixed_rounds=rounds, readout="raw"``: same affine hash family, same
+    register width, same bit_or merge; the readout is the INTEGER register
+    mass Σ_v Σ_j lzb_j(v), so cross-engine float aggregation order cannot
+    perturb the comparison while still pinning every register bit."""
+    ctes, est = _anf_round_ctes(k, rounds)
     points = " UNION ALL ".join(
         f"SELECT {r} AS r, CAST(sum({est}) AS BIGINT) AS nf FROM s{r}"
         for r in range(rounds + 1)
@@ -919,6 +927,56 @@ def anf_web_sql(k: int = 8, rounds: int = 8) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT CAST(r AS INT) AS r, nf FROM ({points})"
+    )
+
+
+def approx_dist_web_sql(
+    k: int = 8, rounds: int = 8, q: float = 0.9, round_to: int = 4
+) -> str:
+    """(effective_diameter, avg_path_length) — mirror of
+    operators/distmetrics.py::approx_distance_metrics(fixed_rounds=rounds,
+    round_to=round_to) over the identical integer registers: per-round FM
+    estimate NF(r) = Σ_v 2^(mean_j lzb_j)/φ, effective diameter = linear
+    interpolation at q·NF(R), APL = Σ r·ΔNF / (NF(R) − NF(0)).  Outputs are
+    pre-rounded to ``round_to`` (coarser than the driver's 6 dp) so the
+    float curve estimates — deterministic functions of bit-identical
+    registers, but summed in engine-specific order — cannot flip the gate."""
+    from graphina_spark.operators.distmetrics import ANF_PHI
+
+    ctes, est = _anf_round_ctes(k, rounds)
+    points = " UNION ALL ".join(
+        f"SELECT {r} AS r, sum(pow(2.0, ({est}) / {float(k)})) / {ANF_PHI} AS nf"
+        f" FROM s{r}"
+        for r in range(rounds + 1)
+    )
+    ctes.append(f"curve AS ({points})")
+    ctes.append(
+        f"ends AS (SELECT (SELECT nf FROM curve WHERE r = 0) AS first,"
+        f" (SELECT nf FROM curve WHERE r = {rounds}) AS last)"
+    )
+    ctes.append(f"tgt AS (SELECT {q} * last AS target, first, last FROM ends)")
+    ctes.append(
+        "lagd AS (SELECT r, nf, lag(nf) OVER (ORDER BY r) AS pnf FROM curve)"
+    )
+    ctes.append(
+        "crossr AS (SELECT l.r, l.nf, l.pnf, t.target FROM lagd l, tgt t"
+        " WHERE l.nf >= t.target ORDER BY l.r LIMIT 1)"
+    )
+    ctes.append(
+        "eff AS (SELECT CASE WHEN r = 0 OR nf = pnf THEN CAST(r AS DOUBLE)"
+        " ELSE (r - 1) + (target - pnf) / (nf - pnf) END AS e FROM crossr)"
+    )
+    ctes.append(
+        "apl AS (SELECT CASE WHEN t.last - t.first > 0"
+        " THEN sum(l.r * (l.nf - l.pnf)) / (t.last - t.first)"
+        " ELSE 0.0 END AS a"
+        " FROM lagd l, tgt t WHERE l.r >= 1 GROUP BY t.last, t.first)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT round(e, {round_to}) AS effective_diameter,"
+        f" round(a, {round_to}) AS avg_path_length FROM eff, apl"
     )
 
 
@@ -969,6 +1027,62 @@ def mis_web_sql(rounds: int = 8) -> str:
         )
         mis_terms.append(f"SELECT id FROM win{r}")
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(mis_terms)
+
+
+def coloring_web_sql(rounds: int = 8) -> str:
+    """(id, color) — Jones–Plassmann greedy coloring on the undirected web
+    view, oracle twin of operators/coloring.py::greedy_coloring with fixed
+    ``rounds``: static priorities (_pri_sql round 0), per-round min-priority
+    winner election, mex color = smallest candidate (generate_series up to
+    the used-color count) absent from the colored neighborhood.  Partial
+    coloring when under-provisioned — exactly the Spark side's contract."""
+    pri0 = _pri_sql("id", 0)
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        _ADJU_CTE,
+        f"a0 AS MATERIALIZED (SELECT id, {pri0} AS pri FROM v)",
+        "c0 AS (SELECT CAST(NULL AS BIGINT) AS id,"
+        " CAST(NULL AS BIGINT) AS color WHERE false)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"nm{r} AS (SELECT a.src AS id, min(p.pri) AS nmin FROM adjU a"
+            f" JOIN a{p} p ON a.dst = p.id"
+            f" JOIN a{p} s ON a.src = s.id GROUP BY a.src)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT s.id FROM a{p} s LEFT JOIN nm{r} n"
+            f" ON s.id = n.id WHERE n.nmin IS NULL OR s.pri < n.nmin)"
+        )
+        ctes.append(
+            f"u{r} AS (SELECT w.id, d.color FROM w{r} w"
+            f" JOIN adjU a ON w.id = a.src JOIN c{p} d ON a.dst = d.id"
+            f" GROUP BY w.id, d.color)"
+        )
+        ctes.append(f"k{r} AS (SELECT id, count(*) AS k FROM u{r} GROUP BY id)")
+        ctes.append(
+            f"cd{r} AS (SELECT b.id, gs.c FROM"
+            f" (SELECT w2.id, coalesce(k2.k, 0) AS k FROM w{r} w2"
+            f" LEFT JOIN k{r} k2 ON w2.id = k2.id) b,"
+            f" UNNEST(generate_series(0, b.k)) AS gs(c))"
+        )
+        ctes.append(
+            f"mx{r} AS (SELECT c.id, min(c.c) AS color FROM cd{r} c"
+            f" LEFT JOIN u{r} uu ON c.id = uu.id AND c.c = uu.color"
+            f" WHERE uu.id IS NULL GROUP BY c.id)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT id, color FROM c{p}"
+            f" UNION ALL SELECT id, color FROM mx{r})"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT s.id, s.pri FROM a{p} s"
+            f" WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.id = s.id))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+    )
 
 
 def _matching_ctes(rounds: int) -> list[str]:
