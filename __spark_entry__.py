@@ -474,6 +474,14 @@ def _q_mis_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
 
 
+def _q_squares_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle census over the undirected web view (diagonal formula over
+    the hub-capped wedge kernel — the unipartite butterfly count)."""
+    from graphina_spark.operators.metrics import square_count
+
+    return square_count(_web(spark, sf_dir))
+
+
 def _q_coloring_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones-Plassmann greedy coloring, fixed rounds (partial coloring is
     the deterministic contract at a fixed round count; fixpoint properness
@@ -761,6 +769,14 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "query_id", "neighbor_id", F.round("cosine", ROUND).alias("cosine"), "rank"
     )
+
+
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hardened LSH configuration vs exact brute force —
+    the shippability readout for the at-scale ANN path."""
+    from graphina_spark.operators.ann import lsh_recall
+
+    return lsh_recall(_embs(spark, sf_dir), k=5, planes=6, tables=2, max_bucket=32)
 
 
 def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_dist_web": _q_approx_dist_web,
         "mis_web": _q_mis_web,
         "coloring_web": _q_coloring_web,
+        "squares_web": _q_squares_web,
         "matching_web": _q_matching_web,
         "vertex_cover_web": _q_vertex_cover_web,
         "large_clique_web": _q_large_clique_web,
@@ -1614,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
+        "lsh_recall": _q_lsh_recall,
         "embedding_neardup": _q_embedding_neardup,
         "neardup_groups": _q_neardup_groups,
         "kcore_web": _q_kcore_web,
@@ -1759,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_dist_web": O.approx_dist_web_sql(k=8, rounds=8),
         "mis_web": O.mis_web_sql(rounds=APPROX_ROUNDS),
         "coloring_web": O.coloring_web_sql(rounds=APPROX_ROUNDS),
+        "squares_web": O.squares_web_sql(),
         "matching_web": O.matching_web_sql(rounds=APPROX_ROUNDS),
         "vertex_cover_web": O.vertex_cover_web_sql(rounds=APPROX_ROUNDS),
         "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),
@@ -1849,6 +1868,7 @@ def _text_oracles() -> dict[str, str]:
         "ann_cosine_topk": T.ann_cosine_topk_sql(kk=5),
         "ann_lsh_topk": T.ann_lsh_topk_sql(kk=5, planes=6, tables=2, max_bucket=32),
         "ivf_topk": T.ivf_topk_sql(kk=5, n_centroids=16, n_probe=2),
+        "lsh_recall": T.lsh_recall_sql(kk=5, planes=6, tables=2, max_bucket=32),
         "embedding_neardup": T.embedding_neardup_sql(
             threshold=0.4, planes=6, tables=2, max_bucket=4096
         ),

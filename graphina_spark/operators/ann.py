@@ -390,3 +390,58 @@ def ivf_cosine_topk(
             "rank",
         )
     )
+
+
+def lsh_recall(
+    df: DataFrame,
+    k: int = 5,
+    planes: int = 6,
+    tables: int = 2,
+    max_bucket: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int | None = None,
+) -> DataFrame:
+    """(query_id, hits, recall) — per-query recall@k of the hardened LSH
+    path against exact brute-force cosine top-k: the readout that decides
+    whether a (planes, tables, max_bucket) configuration is shippable
+    before pointing it at 10^11 vectors (the same evaluation contract as
+    quantize.quantization_recall).
+
+    Scale note: exact top-k is O(q·n·d) in the query count — pass
+    ``query_mod`` to evaluate on the deterministic ``id % query_mod == 0``
+    sample (the quantization_recall convention); the LSH side is the
+    at-scale path and is merely filtered to the sampled queries.
+    DuckDB twin: oracles_text.py::lsh_recall_sql."""
+    queries = None
+    if query_mod is not None:
+        queries = df.where(F.col(id_col) % query_mod == 0)
+    exact = cosine_topk(
+        df, k=k, id_col=id_col, vec_col=vec_col, queries=queries
+    ).select("query_id", F.col("neighbor_id").alias("n_exact"))
+    approx = lsh_cosine_topk(
+        df,
+        k=k,
+        planes=planes,
+        tables=tables,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", F.col("neighbor_id").alias("n_lsh"))
+    if query_mod is not None:
+        approx = approx.where(F.col("query_id") % query_mod == 0)
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["n_exact"] == approx["n_lsh"]),
+        )
+        .groupBy(exact["query_id"].alias("qid"))
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(hits, qids["query_id"] == hits["qid"], "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
+    )

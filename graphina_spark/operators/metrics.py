@@ -279,3 +279,36 @@ def powerlaw_alpha_mle(g: LinkGraph, kmin: int = 5, kind: str = "in"):
             6,
         ).alias("sigma"),
     )
+
+
+def square_count(g: LinkGraph, max_middle_degree: int | None = None):
+    """One row ``(squares bigint)`` — the number of 4-cycles (C4 subgraphs,
+    chords allowed) in the simple undirected structure:
+
+        #C4 = Σ_{u<v} C(cn(u,v), 2) / 2
+
+    (each square is counted once per diagonal; every 4-cycle has exactly 2).
+    The quadrilateral census is the unipartite twin of the bipartite
+    butterfly count (operators/butterflies.py) — the standard density
+    readout for co-citation/co-linking structure on web graphs.
+
+    Reuses the links family's single-shuffle wedge kernel
+    (links._pair_stats), inheriting its middle-degree hub cap (default
+    DEFAULT_MAX_MIDDLE_DEGREE; squares through super-hub middles are
+    excluded — documented bias, same trade as the links family).  The
+    arithmetic stays integer end to end.  DuckDB twin:
+    oracles.py::squares_web_sql."""
+    from graphina_spark.operators.links import (
+        DEFAULT_MAX_MIDDLE_DEGREE,
+        _pair_stats,
+    )
+
+    if max_middle_degree is None:
+        max_middle_degree = DEFAULT_MAX_MIDDLE_DEGREE
+    stats = _pair_stats(g, max_middle_degree=max_middle_degree)
+    pair_diags = F.sum(
+        (F.col("cn") * (F.col("cn") - 1) / F.lit(2)).cast("long")
+    )
+    return stats.agg(
+        (F.coalesce(pair_diags, F.lit(0)) / F.lit(2)).cast("long").alias("squares")
+    )

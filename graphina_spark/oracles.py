@@ -367,6 +367,20 @@ def links_web_sql(measure: str, max_middle_degree: int | None = None) -> str:
     return f"WITH {WEB_EDGES_CTE.strip()},{ctes}\n{sel}"
 
 
+def squares_web_sql(max_middle_degree: int | None = None) -> str:
+    """#4-cycles via the diagonal census Σ C(cn,2)/2 over the hub-capped
+    wedge kernel — mirror of operators/metrics.py::square_count (integer
+    arithmetic end to end)."""
+    if max_middle_degree is None:
+        from graphina_spark.operators.links import DEFAULT_MAX_MIDDLE_DEGREE
+
+        max_middle_degree = DEFAULT_MAX_MIDDLE_DEGREE
+    ctes = _LINKS_CTES.format(max_middle_degree=max_middle_degree)
+    return f"""WITH {WEB_EDGES_CTE.strip()},{ctes}
+SELECT CAST(coalesce(sum(cn * (cn - 1) // 2), 0) // 2 AS BIGINT) AS squares
+FROM stats"""
+
+
 def assortativity_web_sql() -> str:
     """Newman symmetric degree assortativity over the directed web graph
     (deg = in+out), graph_metrics.rs:264-306."""

@@ -1042,3 +1042,26 @@ SELECT id, CAST(chunk_idx0 AS INT) AS chunk_idx,
        CAST(least({size}, len(t) - start_tok + 1) AS INT) AS n_tokens,
        md5(array_to_string(t[start_tok:start_tok+{size}-1], ' ')) AS chunk_hash
 FROM st"""
+
+
+def lsh_recall_sql(
+    kk: int = 5,
+    planes: int = 6,
+    tables: int = 2,
+    max_bucket: int = 32,
+) -> str:
+    """Twin of operators/ann.py::lsh_recall — composes the exact and LSH
+    top-k oracles (each already gated standalone) and counts per-query
+    intersections."""
+    exact = ann_cosine_topk_sql(kk=kk)
+    lsh = ann_lsh_topk_sql(kk=kk, planes=planes, tables=tables, max_bucket=max_bucket)
+    return f"""WITH te AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({exact})),
+ tl AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({lsh})),
+ hits AS (SELECT te.query_id AS qid, count(*) AS h
+          FROM te JOIN tl ON te.query_id = tl.query_id
+                         AND te.neighbor_id = tl.neighbor_id
+          GROUP BY te.query_id),
+ qs AS (SELECT DISTINCT query_id FROM te)
+SELECT qs.query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.h, 0) / {float(kk)}, {ROUND}) AS recall
+FROM qs LEFT JOIN hits ON qs.query_id = hits.qid"""

@@ -140,3 +140,25 @@ def test_powerlaw_alpha_mle(spark):
     # empty tail → NULL alpha, zero count
     row2 = powerlaw_alpha_mle(g, kmin=100, kind="in").collect()[0]
     assert row2["n_tail"] == 0 and row2["alpha"] is None
+
+
+def test_square_count_known_graphs(spark):
+    from graphina_spark.operators.metrics import square_count
+    from tests.conftest import make_graph
+
+    def squares(edges, n):
+        g = make_graph(spark, edges, n=n, directed=False)
+        return square_count(g).first()["squares"]
+
+    # C4: exactly one 4-cycle
+    assert squares([(0, 1), (1, 2), (2, 3), (3, 0)], 4) == 1
+    # K4: 3 distinct 4-cycles (chords allowed)
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert squares(k4, 4) == 3
+    # Q3 cube: n(n-1)·2^(n-3) = 6
+    cube = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+            (0, 4), (1, 5), (2, 6), (3, 7)]
+    assert squares(cube, 8) == 6
+    # C5 and a path: none
+    assert squares([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)], 5) == 0
+    assert squares([(0, 1), (1, 2), (2, 3)], 4) == 0

@@ -52,3 +52,29 @@ def test_identical_vectors_perfect_recall(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = quantization_recall(df, k=4, query_mod=6).collect()
     assert all(r["recall"] == 1.0 for r in out)
+
+
+def test_lsh_recall_bounds_and_sampling(spark):
+    """Recall in [0,1]; generous LSH config (many tables, huge buckets)
+    reaches recall 1.0; query_mod filters the evaluated query set."""
+    import numpy as np
+
+    from graphina_spark.operators.ann import lsh_recall
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # generous OR-construction (4 independent 1-plane tables, no bucket
+    # cap) must dominate a tight config on mean recall
+    full = lsh_recall(df, k=3, planes=1, tables=4, max_bucket=10_000)
+    vals = {r["query_id"]: r["recall"] for r in full.collect()}
+    assert len(vals) == 40
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+    tight = lsh_recall(df, k=3, planes=6, tables=1, max_bucket=4)
+    tvals = {r["query_id"]: r["recall"] for r in tight.collect()}
+    assert sum(vals.values()) >= sum(tvals.values())
+    # realistic config: bounded recall, sampled queries only
+    samp = lsh_recall(df, k=3, planes=4, tables=2, max_bucket=8, query_mod=10)
+    rows2 = samp.collect()
+    assert {r["query_id"] for r in rows2} == {0, 10, 20, 30}
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows2)
