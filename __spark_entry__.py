@@ -1265,6 +1265,18 @@ def _q_ari_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(val, ROUND),)], "ari double")
 
 
+def _q_future_auc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal link-prediction AUC: cn scores from the base crawl's
+    structure, evaluated on the recrawl's genuinely new edges."""
+    from graphina_spark.operators.links import future_link_auc
+    from graphina_spark.sources.derived import web_graph_recrawl
+
+    return future_link_auc(
+        _web(spark, sf_dir), web_graph_recrawl(spark, sf_dir),
+        per_node=3, oversample=4,
+    )
+
+
 def _q_nmi_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.lpa import label_propagation
     from graphina_spark.operators.partitions import normalized_mutual_information
@@ -1682,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ari_block": _q_ari_block,
         "nmi_block": _q_nmi_block,
         "linkpred_auc_web": _q_linkpred_auc_web,
+        "future_auc_web": _q_future_auc_web,
         "attr_assortativity_web": _q_attr_assortativity_web,
         "sweep_cut_block": _q_sweep_cut_block,
         "sweep_cut_web": _q_sweep_cut_web,
@@ -1822,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "ari_block": O.ari_block_sql(),
         "nmi_block": O.nmi_block_sql(),
         "linkpred_auc_web": O.linkpred_auc_web_sql(per_node=3, oversample=4),
+        "future_auc_web": O.future_auc_web_sql(per_node=3, oversample=4),
         "attr_assortativity_web": O.attr_assortativity_web_sql(host_mod=HOST_MOD),
         "sweep_cut_block": O.sweep_cut_block_sql(),
         "sweep_cut_web": O.sweep_cut_web_sql(),

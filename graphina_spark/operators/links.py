@@ -346,15 +346,7 @@ def link_prediction_auc(
     rank cumsum — NO single-task global window.  DuckDB twin:
     oracles.py::linkpred_auc_web_sql.
     """
-    from graphina_spark.plans.ordered import global_cumsum
-
-    pos = (
-        g.edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .distinct()
-    )
+    pos = _canon_pairs(g)
     neg = (
         negative_edges(g, per_node=per_node, oversample=oversample, salt=salt)
         .select(
@@ -364,6 +356,16 @@ def link_prediction_auc(
         # directed non-edges can canonicalize onto a real reverse edge
         .join(pos, ["u", "v"], "left_anti")
     )
+    return _pairwise_auc(g, pos, neg, score)
+
+
+def _pairwise_auc(
+    g: LinkGraph, pos: DataFrame, neg: DataFrame, score: str
+) -> DataFrame:
+    """Shared AUC tail: label the canonical (u, v) candidate frames, score
+    with the wedge kernel of ``g``, rank via the two-pass prefix sum."""
+    from graphina_spark.plans.ordered import global_cumsum
+
     pairs = pos.withColumn("label", F.lit(1)).unionAll(
         neg.withColumn("label", F.lit(0))
     )
@@ -398,3 +400,48 @@ def link_prediction_auc(
         F.col("p").cast("long").alias("npos"),
         (F.col("t") - F.col("p")).cast("long").alias("nneg"),
     )
+
+
+def _canon_pairs(g: LinkGraph) -> DataFrame:
+    return (
+        g.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+
+
+def future_link_auc(
+    g_old: LinkGraph,
+    g_new: LinkGraph,
+    per_node: int = 3,
+    oversample: int = 4,
+    salt: str = "negsample",
+    score: str = "cn",
+) -> DataFrame:
+    """One row ``(auc double, npos long, nneg long)``: TEMPORAL
+    link-prediction AUC — scores computed on the OLD snapshot's structure
+    only, evaluated on the edges that genuinely appear in the NEW snapshot
+    (canonical pairs of ``g_new`` absent from ``g_old``) against sampled
+    non-edges of both snapshots.  The forward-prediction eval a crawl
+    pipeline runs between recrawls: "would this scorer have predicted the
+    links we actually discovered?" — unlike :func:`link_prediction_auc`,
+    the positives here are disjoint from the training structure, so the
+    score is an honest generalization readout.
+
+    Same scale shape as link_prediction_auc (one wedge kernel on the old
+    graph, keyed anti-joins, grouped two-pass rank sum).  DuckDB twin:
+    oracles.py::future_auc_web_sql."""
+    canon_old = _canon_pairs(g_old)
+    pos = _canon_pairs(g_new).join(canon_old, ["u", "v"], "left_anti")
+    neg = (
+        negative_edges(g_old, per_node=per_node, oversample=oversample, salt=salt)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .join(canon_old, ["u", "v"], "left_anti")
+        .join(_canon_pairs(g_new), ["u", "v"], "left_anti")
+    )
+    return _pairwise_auc(g_old, pos, neg, score)

@@ -2898,31 +2898,17 @@ SELECT src, dst FROM (
   FROM nonedge) WHERE rn <= {per_node}"""
 
 
-def linkpred_auc_web_sql(
-    per_node: int = 3,
-    oversample: int = 4,
-    salt: str = "negsample",
-    max_middle_degree: int | None = None,
-) -> str:
-    """Mirror of operators/links.py::link_prediction_auc with score=cn on the
-    web graph: canonical real edges (label 1) vs canonicalized
-    negative_edges samples (label 0), scored by the hub-capped wedge kernel
-    (_LINKS_CTES stats), tie-aware Mann-Whitney AUC via average ranks over
-    integer score groups."""
-    if max_middle_degree is None:
-        from graphina_spark.operators.links import DEFAULT_MAX_MIDDLE_DEGREE
-
-        max_middle_degree = DEFAULT_MAX_MIDDLE_DEGREE
+def _neg_cand_ctes(per_node: int, oversample: int, salt: str) -> str:
+    """Shared CTE chain producing ``negd`` — the canonical negative_edges
+    sample (md5 candidates, validity semi-join, edge anti-join, per-src
+    window) used by the AUC oracles."""
     m = per_node * oversample
     digits = " + ".join(
         f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
         f" * {16 ** (8 - i)}"
         for i in range(1, 9)
     )
-    links = _LINKS_CTES.format(max_middle_degree=max_middle_degree)
-    return f"""WITH {WEB_EDGES_CTE.strip()},{links},
- pos AS (SELECT s AS u, d AS v FROM canon),
- cand0 AS (
+    return f""" cand0 AS (
    SELECT v.id AS src, u.j,
           substr(md5('{salt}:' || CAST(v.id AS VARCHAR) || ':'
                      || CAST(u.j AS VARCHAR)), 1, 8) AS h
@@ -2937,11 +2923,12 @@ def linkpred_auc_web_sql(
              WHERE e.src IS NULL),
  negd AS (SELECT src, dst FROM (
    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY j) AS rn
-   FROM nonedge) WHERE rn <= {per_node}),
- neg AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         FROM negd
-         EXCEPT SELECT u, v FROM pos),
- pairs AS (SELECT u, v, 1 AS label FROM pos
+   FROM nonedge) WHERE rn <= {per_node})"""
+
+
+#: shared AUC tail over `pos`/`neg` canonical pair CTEs + the `stats` wedge
+#: kernel: tie-aware Mann-Whitney via average ranks over integer cn groups
+_AUC_TAIL = """ pairs AS (SELECT u, v, 1 AS label FROM pos
            UNION ALL SELECT u, v, 0 AS label FROM neg),
  scored AS (SELECT p.label, coalesce(s.cn, 0) AS score
             FROM pairs p LEFT JOIN stats s ON p.u = s.u AND p.v = s.v),
@@ -2957,9 +2944,84 @@ def linkpred_auc_web_sql(
          FROM ranked)
 SELECT round(CASE WHEN p = 0 OR t - p = 0 THEN 0.5
                   ELSE (rpos - p * (p + 1) / 2.0) / (p * (t - p)) END,
-             {ROUND}) AS auc,
+             {r}) AS auc,
        CAST(p AS BIGINT) AS npos, CAST(t - p AS BIGINT) AS nneg
 FROM fin"""
+
+
+def linkpred_auc_web_sql(
+    per_node: int = 3,
+    oversample: int = 4,
+    salt: str = "negsample",
+    max_middle_degree: int | None = None,
+) -> str:
+    """Mirror of operators/links.py::link_prediction_auc with score=cn on the
+    web graph: canonical real edges (label 1) vs canonicalized
+    negative_edges samples (label 0), scored by the hub-capped wedge kernel
+    (_LINKS_CTES stats), tie-aware Mann-Whitney AUC via average ranks over
+    integer score groups."""
+    if max_middle_degree is None:
+        from graphina_spark.operators.links import DEFAULT_MAX_MIDDLE_DEGREE
+
+        max_middle_degree = DEFAULT_MAX_MIDDLE_DEGREE
+    links = _LINKS_CTES.format(max_middle_degree=max_middle_degree)
+    return f"""WITH {WEB_EDGES_CTE.strip()},{links},
+ pos AS (SELECT s AS u, d AS v FROM canon),
+{_neg_cand_ctes(per_node, oversample, salt)},
+ neg AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM negd
+         EXCEPT SELECT u, v FROM pos),
+{_AUC_TAIL.format(r=ROUND)}"""
+
+
+def future_auc_web_sql(
+    per_node: int = 3,
+    oversample: int = 4,
+    salt: str = "negsample",
+    max_middle_degree: int | None = None,
+) -> str:
+    """Mirror of operators/links.py::future_link_auc(web, web_recrawl):
+    positives = canonical recrawl edges absent from the base crawl,
+    negatives = negative_edges of the base canonicalized and excluded from
+    BOTH snapshots, scores = cn wedge kernel of the BASE structure only."""
+    from graphina_spark.sources.derived import (
+        DANGLING_MOD,
+        MULTIPLIERS,
+        N_HUBS,
+        RECRAWL_NEW,
+        RECRAWL_ROT,
+    )
+
+    if max_middle_degree is None:
+        from graphina_spark.operators.links import DEFAULT_MAX_MIDDLE_DEGREE
+
+        max_middle_degree = DEFAULT_MAX_MIDDLE_DEGREE
+    ra, rb, rm = RECRAWL_ROT
+    mult_b = "\n      UNION ALL ".join(
+        f"SELECT id AS src, (id*{a}+{b}) % n AS dst FROM v, nn"
+        for a, b in MULTIPLIERS + [RECRAWL_NEW]
+    )
+    links = _LINKS_CTES.format(max_middle_degree=max_middle_degree)
+    return f"""WITH {WEB_EDGES_CTE.strip()},{links},
+ e0b AS (
+      {mult_b}
+      UNION ALL SELECT id AS src, id % {N_HUBS} AS dst FROM v
+ ),
+ edges_b AS (
+      SELECT DISTINCT src, dst FROM e0b
+      WHERE src <> dst AND src % {DANGLING_MOD} <> 0
+        AND (src*{ra} + dst*{rb}) % {rm} <> 0
+ ),
+ canonb AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges_b),
+ pos AS (SELECT u, v FROM canonb
+         EXCEPT SELECT s AS u, d AS v FROM canon),
+{_neg_cand_ctes(per_node, oversample, salt)},
+ neg AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM negd
+         EXCEPT SELECT s AS u, d AS v FROM canon
+         EXCEPT SELECT u, v FROM canonb),
+{_AUC_TAIL.format(r=ROUND)}"""
 
 
 def asof_purchase_sql() -> str:

@@ -188,3 +188,37 @@ def test_link_prediction_auc_hand_check(spark):
     expect = (rpos - P * (P + 1) / 2.0) / (P * N)
     assert row["npos"] == P and row["nneg"] == N
     assert row["auc"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_future_link_auc_forward_eval(spark):
+    """New edges that close triangles of the old graph (high cn) must be
+    ranked above sampled non-edges (cn 0): AUC near 1. Positives must be
+    disjoint from the old structure."""
+    from graphina_spark.operators.links import future_link_auc
+    from tests.conftest import make_graph
+
+    # old: two triangles sharing structure + path tail; new edges close
+    # wedges (0-2 via 1, 2-4 via 3), plus all old edges kept
+    old_e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (1, 3)]
+    new_e = old_e + [(0, 2), (2, 4)]
+    g_old = make_graph(spark, old_e, n=10, directed=False)
+    g_new = make_graph(spark, new_e, n=10, directed=False)
+    row = future_link_auc(g_old, g_new, per_node=2, oversample=8).first()
+    assert row["npos"] == 2  # exactly the two genuinely-new canonical edges
+    assert row["nneg"] > 0
+    # both positives have cn >= 1 in the old graph; negatives are sampled
+    # non-edges with mostly cn 0 → strong separation
+    assert row["auc"] > 0.7
+
+
+def test_future_link_auc_no_new_edges(spark):
+    """Identical snapshots → zero positives → the 0.5 convention."""
+    from graphina_spark.operators.links import future_link_auc
+    from tests.conftest import make_graph
+
+    e = [(0, 1), (1, 2), (2, 0)]
+    g = make_graph(spark, e, n=5, directed=False)
+    g2 = make_graph(spark, e, n=5, directed=False)
+    row = future_link_auc(g, g2, per_node=2, oversample=8).first()
+    assert row["npos"] == 0
+    assert row["auc"] == 0.5
