@@ -222,3 +222,32 @@ def test_future_link_auc_no_new_edges(spark):
     row = future_link_auc(g, g2, per_node=2, oversample=8).first()
     assert row["npos"] == 0
     assert row["auc"] == 0.5
+
+
+def test_wedge_hub_cap_bounds_fanout(spark):
+    """VERDICT item: a planted hub above max_middle_degree must not emit
+    wedges — pair support through the hub is dropped (documented bias),
+    bounding the self-join fan-out; low-degree middles still count."""
+    from graphina_spark.operators.links import _pair_stats
+    from tests.conftest import make_graph
+
+    # hub 0 connected to 1..30 (degree 30); plus a small triangle wedge
+    # structure away from the hub: 31-32-33
+    edges = [(0, i) for i in range(1, 31)] + [(31, 32), (32, 33)]
+    g = make_graph(spark, edges, n=34, directed=False)
+
+    uncapped = _pair_stats(g, max_middle_degree=None)
+    capped = _pair_stats(g, max_middle_degree=10)
+    # uncapped: C(30,2) hub-middle pairs + 1 pair through middle 32
+    assert uncapped.count() == 30 * 29 // 2 + 1
+    # capped at 10: the degree-30 hub is excluded as a middle; only the
+    # (31, 33) pair through middle 32 survives
+    rows = capped.collect()
+    assert len(rows) == 1
+    assert (rows[0]["u"], rows[0]["v"]) == (31, 33)
+    # leaf vertices (degree 1 each) still usable as middles elsewhere;
+    # the hub itself can still be an ENDPOINT of scored pairs
+    eb = spark.createDataFrame([(0, 31)], "u long, v long")
+    from graphina_spark.operators.links import common_neighbors
+
+    assert common_neighbors(g, ebunch=eb, max_middle_degree=10).count() == 1
