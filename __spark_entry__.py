@@ -474,6 +474,14 @@ def _q_mis_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
 
 
+def _q_ck_curve_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C(k) degree-dependent clustering curve (hierarchical-modularity
+    signature, Ravasz-Barabasi 2003)."""
+    from graphina_spark.operators.triangles import clustering_by_degree
+
+    return clustering_by_degree(_web(spark, sf_dir))
+
+
 def _q_squares_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-cycle census over the undirected web view (diagonal formula over
     the hub-capped wedge kernel — the unipartite butterfly count)."""
@@ -1620,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_web": _q_mis_web,
         "coloring_web": _q_coloring_web,
         "squares_web": _q_squares_web,
+        "ck_curve_web": _q_ck_curve_web,
         "matching_web": _q_matching_web,
         "vertex_cover_web": _q_vertex_cover_web,
         "large_clique_web": _q_large_clique_web,
@@ -1791,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_web": O.mis_web_sql(rounds=APPROX_ROUNDS),
         "coloring_web": O.coloring_web_sql(rounds=APPROX_ROUNDS),
         "squares_web": O.squares_web_sql(),
+        "ck_curve_web": O.ck_curve_web_sql(),
         "matching_web": O.matching_web_sql(rounds=APPROX_ROUNDS),
         "vertex_cover_web": O.vertex_cover_web_sql(rounds=APPROX_ROUNDS),
         "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),

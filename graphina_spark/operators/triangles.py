@@ -106,3 +106,27 @@ def clustering_coefficients(g: LinkGraph) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def clustering_by_degree(g: LinkGraph) -> DataFrame:
+    """(degree long, n_nodes long, avg_cc double) — the C(k) curve: mean
+    local clustering coefficient over the vertices of each (simple,
+    undirected) degree k ≥ 2.  A power-law C(k) ~ k^-1 is the standard
+    signature of hierarchical modularity in web graphs (Ravasz-Barabási
+    2003); flat C(k) means degree-independent closure.  One extra
+    ``groupBy(degree)`` on top of the per-node coefficients — the curve has
+    at most max-degree rows.  DuckDB twin: oracles.py::ck_curve_web_sql."""
+    tri = triangles(g)
+    _, cdeg = _oriented_edges(g)
+    per = tri.join(cdeg, "id").where(F.col("deg") >= 2)
+    return (
+        per.select(
+            F.col("deg").alias("degree"),
+            (F.col("triangles") / (F.col("deg") * (F.col("deg") - 1) / 2.0)).alias("cc"),
+        )
+        .groupBy("degree")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.round(F.avg("cc"), 6).alias("avg_cc"),
+        )
+    )

@@ -237,6 +237,17 @@ SELECT vv.id,
 FROM v vv LEFT JOIN cdeg d ON vv.id = d.id LEFT JOIN percnt p ON vv.id = p.id"""
 
 
+def ck_curve_web_sql() -> str:
+    """C(k) curve — mirror of operators/triangles.py::clustering_by_degree:
+    mean local clustering per simple-undirected degree k >= 2."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES}
+SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       round(avg(coalesce(p.t, 0) / (d.deg * (d.deg - 1) / 2.0)), {ROUND})
+         AS avg_cc
+FROM cdeg d LEFT JOIN percnt p ON d.id = p.id
+WHERE d.deg >= 2 GROUP BY deg"""
+
+
 def transitivity_web_sql() -> str:
     return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES}
 SELECT round(3.0 * (SELECT count(*) FROM tris)

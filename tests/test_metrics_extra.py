@@ -162,3 +162,18 @@ def test_square_count_known_graphs(spark):
     # C5 and a path: none
     assert squares([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)], 5) == 0
     assert squares([(0, 1), (1, 2), (2, 3)], 4) == 0
+
+
+def test_clustering_by_degree_curve(spark):
+    """K4 ∪ star: all four K4 vertices have degree 3 and cc 1; the star
+    center (degree 3) has cc 0 → avg over the five degree-3 nodes = 0.8;
+    leaves (deg < 2) excluded."""
+    from graphina_spark.operators.triangles import clustering_by_degree
+    from tests.conftest import make_graph
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    g = make_graph(spark, k4 + star, n=14, directed=False)
+    rows = {r["degree"]: (r["n_nodes"], r["avg_cc"]) for r in
+            clustering_by_degree(g).collect()}
+    assert rows == {3: (5, 0.8)}
