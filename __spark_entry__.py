@@ -474,6 +474,14 @@ def _q_mis_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(_web(spark, sf_dir), rounds=APPROX_ROUNDS)
 
 
+def _q_wl_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement digests (structural fingerprints) after 3
+    rounds over the undirected web view."""
+    from graphina_spark.operators.wl import wl_refinement
+
+    return wl_refinement(_web(spark, sf_dir), rounds=3)
+
+
 def _q_ck_curve_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C(k) degree-dependent clustering curve (hierarchical-modularity
     signature, Ravasz-Barabasi 2003)."""
@@ -1629,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_web": _q_coloring_web,
         "squares_web": _q_squares_web,
         "ck_curve_web": _q_ck_curve_web,
+        "wl_web": _q_wl_web,
         "matching_web": _q_matching_web,
         "vertex_cover_web": _q_vertex_cover_web,
         "large_clique_web": _q_large_clique_web,
@@ -1801,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring_web": O.coloring_web_sql(rounds=APPROX_ROUNDS),
         "squares_web": O.squares_web_sql(),
         "ck_curve_web": O.ck_curve_web_sql(),
+        "wl_web": O.wl_colors_web_sql(rounds=3),
         "matching_web": O.matching_web_sql(rounds=APPROX_ROUNDS),
         "vertex_cover_web": O.vertex_cover_web_sql(rounds=APPROX_ROUNDS),
         "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),

@@ -1110,6 +1110,36 @@ def coloring_web_sql(rounds: int = 8) -> str:
     )
 
 
+def wl_colors_web_sql(rounds: int = 3) -> str:
+    """(id, color) 1-WL refinement digests — mirror of
+    operators/wl.py::wl_refinement (md5 over 'own|sorted neighbor colors',
+    initial color md5(degree)); identical strings in both engines."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "canon AS (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM edges WHERE src <> dst)",
+        "adj AS (SELECT src, dst FROM canon"
+        " UNION ALL SELECT dst AS src, src AS dst FROM canon)",
+        "dg AS (SELECT src AS id, count(*) AS d FROM adj GROUP BY src)",
+        "c0 AS MATERIALIZED (SELECT vv.id,"
+        " md5(CAST(coalesce(dg.d, 0) AS VARCHAR)) AS color"
+        " FROM v vv LEFT JOIN dg ON vv.id = dg.id)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"g{r} AS (SELECT a.src AS id,"
+            f" string_agg(c.color, ',' ORDER BY c.color) AS nbrs"
+            f" FROM adj a JOIN c{p} c ON a.dst = c.id GROUP BY a.src)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT b.id,"
+            f" md5(b.color || '|' || coalesce(g{r}.nbrs, '')) AS color"
+            f" FROM c{p} b LEFT JOIN g{r} ON b.id = g{r}.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
 def _matching_ctes(rounds: int) -> list[str]:
     ctes = [
         WEB_EDGES_CTE.strip(),
