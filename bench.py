@@ -122,6 +122,12 @@ def main() -> None:
 
     run("node2vec_3steps", lambda: node2vec_walks(web, length=3))
 
+    from graphina_spark.operators.coloring import greedy_coloring
+    from graphina_spark.operators.wl import wl_refinement
+
+    run("coloring_8r", lambda: greedy_coloring(web, rounds=8))
+    run("wl_3r", lambda: wl_refinement(web, rounds=3))
+
     # training-data pipeline headliners — same callables the driver gates,
     # so the bench measures the gated code path exactly
     import __spark_entry__ as entrymod
