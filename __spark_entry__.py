@@ -482,6 +482,17 @@ def _q_wl_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_refinement(_web(spark, sf_dir), rounds=3)
 
 
+def _q_wl_drift_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural drift between the base crawl and the recrawl: L1 distance
+    of the 3-round WL color histograms (integer readouts)."""
+    from graphina_spark.operators.wl import wl_histogram_drift
+    from graphina_spark.sources.derived import web_graph_recrawl
+
+    return wl_histogram_drift(
+        _web(spark, sf_dir), web_graph_recrawl(spark, sf_dir), rounds=3
+    )
+
+
 def _q_ck_curve_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C(k) degree-dependent clustering curve (hierarchical-modularity
     signature, Ravasz-Barabasi 2003)."""
@@ -1638,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squares_web": _q_squares_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
+        "wl_drift_web": _q_wl_drift_web,
         "matching_web": _q_matching_web,
         "vertex_cover_web": _q_vertex_cover_web,
         "large_clique_web": _q_large_clique_web,
@@ -1811,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "squares_web": O.squares_web_sql(),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
+        "wl_drift_web": O.wl_drift_web_sql(rounds=3),
         "matching_web": O.matching_web_sql(rounds=APPROX_ROUNDS),
         "vertex_cover_web": O.vertex_cover_web_sql(rounds=APPROX_ROUNDS),
         "large_clique_web": O.large_clique_web_sql(rounds=APPROX_ROUNDS),

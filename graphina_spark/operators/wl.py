@@ -97,3 +97,33 @@ def wl_histogram(
         .groupBy("color")
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+def wl_histogram_drift(
+    g_a: LinkGraph, g_b: LinkGraph, rounds: int = 3, max_list: int | None = None
+) -> DataFrame:
+    """One row ``(l1, classes_a, classes_b, shared_classes)`` — L1 distance
+    between the two graphs' WL color histograms plus class-count readouts:
+    the structural-drift scalar between crawl snapshots (0 ⇔ 1-WL-identical
+    structure; large ⇔ the recrawl reshaped neighborhoods, not just edge
+    counts).  Integer end to end.  One full-outer join of two histogram
+    frames whose size is bounded by the number of color classes ≤ |V|.
+    DuckDB twin: oracles.py::wl_drift_web_sql."""
+    ha = wl_histogram(g_a, rounds=rounds, max_list=max_list).select(
+        "color", F.col("n_nodes").alias("na")
+    )
+    hb = wl_histogram(g_b, rounds=rounds, max_list=max_list).select(
+        "color", F.col("n_nodes").alias("nb")
+    )
+    j = ha.join(hb, "color", "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    return j.agg(
+        F.sum(F.abs(F.col("na") - F.col("nb"))).cast("long").alias("l1"),
+        F.sum(F.when(F.col("na") > 0, 1).otherwise(0)).cast("long").alias("classes_a"),
+        F.sum(F.when(F.col("nb") > 0, 1).otherwise(0)).cast("long").alias("classes_b"),
+        F.sum(F.when((F.col("na") > 0) & (F.col("nb") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("shared_classes"),
+    )

@@ -1110,34 +1110,95 @@ def coloring_web_sql(rounds: int = 8) -> str:
     )
 
 
-def wl_colors_web_sql(rounds: int = 3) -> str:
-    """(id, color) 1-WL refinement digests — mirror of
-    operators/wl.py::wl_refinement (md5 over 'own|sorted neighbor colors',
-    initial color md5(degree)); identical strings in both engines."""
+def _wl_ctes(rounds: int, edges_src: str = "edges", pfx: str = "") -> list[str]:
+    """WL refinement CTE chain over ``edges_src``; final colors in
+    ``{pfx}c{rounds}``.  All intermediate CTE names carry ``pfx`` so two
+    chains (snapshot A and B) can coexist in one query."""
     ctes = [
-        WEB_EDGES_CTE.strip(),
-        "canon AS (SELECT DISTINCT least(src, dst) AS src,"
-        " greatest(src, dst) AS dst FROM edges WHERE src <> dst)",
-        "adj AS (SELECT src, dst FROM canon"
-        " UNION ALL SELECT dst AS src, src AS dst FROM canon)",
-        "dg AS (SELECT src AS id, count(*) AS d FROM adj GROUP BY src)",
-        "c0 AS MATERIALIZED (SELECT vv.id,"
-        " md5(CAST(coalesce(dg.d, 0) AS VARCHAR)) AS color"
-        " FROM v vv LEFT JOIN dg ON vv.id = dg.id)",
+        f"{pfx}canon AS (SELECT DISTINCT least(src, dst) AS src,"
+        f" greatest(src, dst) AS dst FROM {edges_src} WHERE src <> dst)",
+        f"{pfx}adj AS (SELECT src, dst FROM {pfx}canon"
+        f" UNION ALL SELECT dst AS src, src AS dst FROM {pfx}canon)",
+        f"{pfx}dg AS (SELECT src AS id, count(*) AS d FROM {pfx}adj GROUP BY src)",
+        f"{pfx}c0 AS MATERIALIZED (SELECT vv.id,"
+        f" md5(CAST(coalesce({pfx}dg.d, 0) AS VARCHAR)) AS color"
+        f" FROM v vv LEFT JOIN {pfx}dg ON vv.id = {pfx}dg.id)",
     ]
     for r in range(1, rounds + 1):
         p = r - 1
         ctes.append(
-            f"g{r} AS (SELECT a.src AS id,"
+            f"{pfx}g{r} AS (SELECT a.src AS id,"
             f" string_agg(c.color, ',' ORDER BY c.color) AS nbrs"
-            f" FROM adj a JOIN c{p} c ON a.dst = c.id GROUP BY a.src)"
+            f" FROM {pfx}adj a JOIN {pfx}c{p} c ON a.dst = c.id GROUP BY a.src)"
         )
         ctes.append(
-            f"c{r} AS MATERIALIZED (SELECT b.id,"
-            f" md5(b.color || '|' || coalesce(g{r}.nbrs, '')) AS color"
-            f" FROM c{p} b LEFT JOIN g{r} ON b.id = g{r}.id)"
+            f"{pfx}c{r} AS MATERIALIZED (SELECT b.id,"
+            f" md5(b.color || '|' || coalesce({pfx}g{r}.nbrs, '')) AS color"
+            f" FROM {pfx}c{p} b LEFT JOIN {pfx}g{r} ON b.id = {pfx}g{r}.id)"
         )
+    return ctes
+
+
+def wl_colors_web_sql(rounds: int = 3) -> str:
+    """(id, color) 1-WL refinement digests — mirror of
+    operators/wl.py::wl_refinement (md5 over 'own|sorted neighbor colors',
+    initial color md5(degree)); identical strings in both engines."""
+    ctes = [WEB_EDGES_CTE.strip()] + _wl_ctes(rounds)
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
+def wl_drift_web_sql(rounds: int = 3) -> str:
+    """One row (l1 bigint, classes_a bigint, classes_b bigint,
+    shared_classes bigint) — L1 distance between the WL color histograms of
+    the base crawl and its recrawl (operators/wl.py::wl_histogram_drift):
+    the structural-change readout between snapshots, integer end to end."""
+    from graphina_spark.sources.derived import (
+        DANGLING_MOD,
+        MULTIPLIERS,
+        N_HUBS,
+        RECRAWL_NEW,
+        RECRAWL_ROT,
+    )
+
+    ra, rb, rm = RECRAWL_ROT
+    mult_b = "\n      UNION ALL ".join(
+        f"SELECT id AS src, (id*{a}+{b}) % n AS dst FROM v, nn"
+        for a, b in MULTIPLIERS + [RECRAWL_NEW]
+    )
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        f"""e0b AS (
+      {mult_b}
+      UNION ALL SELECT id AS src, id % {N_HUBS} AS dst FROM v
+ )""",
+        f"""edges_b AS (
+      SELECT DISTINCT src, dst FROM e0b
+      WHERE src <> dst AND src % {DANGLING_MOD} <> 0
+        AND (src*{ra} + dst*{rb}) % {rm} <> 0
+ )""",
+    ]
+    ctes += _wl_ctes(rounds, edges_src="edges", pfx="a_")
+    ctes += _wl_ctes(rounds, edges_src="edges_b", pfx="b_")
+    ctes.append(
+        f"ha AS (SELECT color, count(*) AS na FROM a_c{rounds} GROUP BY color)"
+    )
+    ctes.append(
+        f"hb AS (SELECT color, count(*) AS nb FROM b_c{rounds} GROUP BY color)"
+    )
+    ctes.append(
+        "j AS (SELECT coalesce(ha.na, 0) AS na, coalesce(hb.nb, 0) AS nb"
+        " FROM ha FULL OUTER JOIN hb ON ha.color = hb.color)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT CAST(sum(abs(na - nb)) AS BIGINT) AS l1,
+       CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS classes_a,
+       CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS classes_b,
+       CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_classes
+FROM j"""
+    )
 
 
 def _matching_ctes(rounds: int) -> list[str]:

@@ -57,3 +57,18 @@ def test_wl_max_list_truncation_deterministic(spark):
     # leaves all identical under both; center differs from leaves in both
     assert a[1] == a[7] and full[1] == full[7]
     assert a[0] != a[1] and full[0] != full[1]
+
+
+def test_wl_drift_zero_for_isomorphic(spark):
+    from graphina_spark.operators.wl import wl_histogram_drift
+
+    c6 = make_graph(spark, [(i, (i + 1) % 6) for i in range(6)], n=6, directed=False)
+    relab = make_graph(
+        spark, [((i * 5) % 6, ((i + 1) * 5) % 6) for i in range(6)], n=6,
+        directed=False,
+    )
+    star = make_graph(spark, [(0, i) for i in range(1, 6)], n=6, directed=False)
+    r = wl_histogram_drift(c6, relab).first()
+    assert r["l1"] == 0 and r["classes_a"] == r["shared_classes"]
+    r2 = wl_histogram_drift(c6, star).first()
+    assert r2["l1"] > 0
