@@ -509,6 +509,16 @@ def _q_squares_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return square_count(_web(spark, sf_dir))
 
 
+def _q_triad_census_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt 16-type triad census of the directed web graph
+    (Batagelj-Mrvar complement method: degree-ordered triangle join +
+    per-middle wedge combinatorics + per-dyad singles arithmetic; no
+    all-pairs enumeration — see operators/triads.py)."""
+    from graphina_spark.operators.triads import triad_census
+
+    return triad_census(_web(spark, sf_dir))
+
+
 def _q_coloring_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones-Plassmann greedy coloring, fixed rounds (partial coloring is
     the deterministic contract at a fixed round count; fixpoint properness
@@ -1647,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_web": _q_mis_web,
         "coloring_web": _q_coloring_web,
         "squares_web": _q_squares_web,
+        "triad_census_web": _q_triad_census_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1821,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_web": O.mis_web_sql(rounds=APPROX_ROUNDS),
         "coloring_web": O.coloring_web_sql(rounds=APPROX_ROUNDS),
         "squares_web": O.squares_web_sql(),
+        "triad_census_web": O.triad_census_web_sql(),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

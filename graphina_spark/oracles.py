@@ -3165,3 +3165,95 @@ SELECT p.eid, p.uid, p.es,
 FROM p LEFT JOIN x
   ON p.uid = x.uid AND x.es BETWEEN p.es - {int(window_s)} AND p.es
 GROUP BY p.eid, p.uid, p.es"""
+
+
+def triad_census_web_sql() -> str:
+    """16-row Holland-Leinhardt triad census over the directed web graph —
+    mirror of operators/triads.py::triad_census (the Batagelj-Mrvar
+    complement method: enumerated support triangles + per-middle wedge
+    combinatorics − triangle corner corrections + per-dyad singles
+    arithmetic + 003 by complement).  The 64-entry tricode lookup is the
+    SAME derived table (triads.TRICODE_CLASS) embedded as VALUES — the
+    classification convention itself is pinned independently of both
+    engines by hand-built fixtures in tests/test_triads.py."""
+    from graphina_spark.operators.triads import TRIAD_NAMES, TRICODE_CLASS
+
+    lut_rows = ", ".join(f"({i}, '{c}')" for i, c in enumerate(TRICODE_CLASS))
+    name_rows = ", ".join(f"('{n}')" for n in TRIAD_NAMES)
+
+    def kind(code: str, is_lo: bool) -> str:
+        o = 1 if is_lo else 2
+        return f"CASE WHEN {code} = 3 THEN 'm' WHEN {code} = {o} THEN 'o' ELSE 'i' END"
+
+    def wclass(k1: str, k2: str) -> str:
+        return f"""CASE least({k1}, {k2}) || greatest({k1}, {k2})
+            WHEN 'oo' THEN '021D' WHEN 'ii' THEN '021U' WHEN 'io' THEN '021C'
+            WHEN 'mo' THEN '111U' WHEN 'im' THEN '111D' ELSE '201' END"""
+
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ se AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ dy AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+               CAST(sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS INT) AS code
+        FROM se GROUP BY 1, 2),
+ nv AS (SELECT count(*) AS n FROM v),
+ tri AS (SELECT d1.code AS cab, d3.code AS cac, d2.code AS cbc
+         FROM dy d1 JOIN dy d2 ON d2.u = d1.v
+                    JOIN dy d3 ON d3.u = d1.u AND d3.v = d2.v),
+ lut(code, name) AS (VALUES {lut_rows}),
+ tric AS (SELECT lut.name AS triad, count(*) AS cnt
+          FROM tri JOIN lut ON lut.code =
+               (CASE cab WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 3 END)
+             + (CASE cac WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 12 END)
+             + (CASE cbc WHEN 1 THEN 16 WHEN 2 THEN 32 ELSE 48 END)
+          GROUP BY 1),
+ corners AS (
+      SELECT {wclass(kind('cab', True), kind('cac', True))} AS wc FROM tri
+      UNION ALL
+      SELECT {wclass(kind('cab', False), kind('cbc', True))} FROM tri
+      UNION ALL
+      SELECT {wclass(kind('cac', False), kind('cbc', False))} FROM tri),
+ corr AS (SELECT wc AS triad, count(*) AS cnt FROM corners GROUP BY 1),
+ ends AS (SELECT u AS id, CASE code WHEN 3 THEN 'm' WHEN 1 THEN 'o' ELSE 'i' END AS kind FROM dy
+          UNION ALL
+          SELECT v, CASE code WHEN 3 THEN 'm' WHEN 2 THEN 'o' ELSE 'i' END FROM dy),
+ moi AS (SELECT id,
+                sum(CASE WHEN kind = 'm' THEN 1 ELSE 0 END) AS m,
+                sum(CASE WHEN kind = 'o' THEN 1 ELSE 0 END) AS o,
+                sum(CASE WHEN kind = 'i' THEN 1 ELSE 0 END) AS i
+         FROM ends GROUP BY id),
+ comb(triad, cnt) AS (
+      SELECT '021D', coalesce(sum((o * (o - 1)) // 2), 0) FROM moi
+      UNION ALL SELECT '021U', coalesce(sum((i * (i - 1)) // 2), 0) FROM moi
+      UNION ALL SELECT '021C', coalesce(sum(o * i), 0) FROM moi
+      UNION ALL SELECT '111U', coalesce(sum(m * o), 0) FROM moi
+      UNION ALL SELECT '111D', coalesce(sum(m * i), 0) FROM moi
+      UNION ALL SELECT '201', coalesce(sum((m * (m - 1)) // 2), 0) FROM moi),
+ wedge AS (SELECT comb.triad, comb.cnt - coalesce(corr.cnt, 0) AS cnt
+           FROM comb LEFT JOIN corr ON comb.triad = corr.triad),
+ sdeg AS (SELECT id, count(*) AS deg
+          FROM (SELECT u AS id FROM dy UNION ALL SELECT v FROM dy) GROUP BY id),
+ cns AS (SELECT
+      coalesce(sum((cab <> 3)::INT + (cac <> 3)::INT + (cbc <> 3)::INT), 0) AS cn_a,
+      coalesce(sum((cab = 3)::INT + (cac = 3)::INT + (cbc = 3)::INT), 0) AS cn_m
+   FROM tri),
+ dsum AS (SELECT
+      coalesce(sum(CASE WHEN code <> 3 THEN su.deg + sv.deg - 2 ELSE 0 END), 0) AS asym_d,
+      coalesce(sum(CASE WHEN code = 3 THEN su.deg + sv.deg - 2 ELSE 0 END), 0) AS mut_d,
+      coalesce(sum(CASE WHEN code <> 3 THEN 1 ELSE 0 END), 0) AS a_cnt,
+      coalesce(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END), 0) AS m_cnt
+   FROM dy JOIN sdeg su ON su.id = dy.u JOIN sdeg sv ON sv.id = dy.v),
+ singles(triad, cnt) AS (
+      SELECT '012', dsum.a_cnt * (nv.n - 2) - dsum.asym_d + cns.cn_a FROM dsum, nv, cns
+      UNION ALL
+      SELECT '102', dsum.m_cnt * (nv.n - 2) - dsum.mut_d + cns.cn_m FROM dsum, nv, cns),
+ agg AS (SELECT triad, sum(cnt) AS cnt
+         FROM (SELECT * FROM tric UNION ALL SELECT * FROM wedge
+               UNION ALL SELECT * FROM singles)
+         GROUP BY triad),
+ names(triad) AS (VALUES {name_rows})
+SELECT names.triad AS triad,
+       CAST(CASE WHEN names.triad = '003'
+                 THEN (SELECT (n * (n - 1) * (n - 2)) // 6 FROM nv)
+                      - (SELECT coalesce(sum(cnt), 0) FROM agg)
+                 ELSE coalesce(agg.cnt, 0) END AS BIGINT) AS count
+FROM names LEFT JOIN agg ON names.triad = agg.triad"""
