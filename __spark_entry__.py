@@ -519,6 +519,16 @@ def _q_triad_census_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(_web(spark, sf_dir))
 
 
+def _q_simrank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo SimRank (Jeh-Widom via Fogaras-Racz coupled reverse
+    walks, deterministic portable-hash hops) over co-cited page pairs —
+    see operators/simrank.py."""
+    from graphina_spark.operators.simrank import cocited_pairs, simrank_scores
+
+    g = _web(spark, sf_dir)
+    return simrank_scores(g, cocited_pairs(g), steps=4, replicates=6)
+
+
 def _q_coloring_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones-Plassmann greedy coloring, fixed rounds (partial coloring is
     the deterministic contract at a fixed round count; fixpoint properness
@@ -1658,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_web": _q_coloring_web,
         "squares_web": _q_squares_web,
         "triad_census_web": _q_triad_census_web,
+        "simrank_web": _q_simrank_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1833,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring_web": O.coloring_web_sql(rounds=APPROX_ROUNDS),
         "squares_web": O.squares_web_sql(),
         "triad_census_web": O.triad_census_web_sql(),
+        "simrank_web": O.simrank_web_sql(steps=4, replicates=6),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

@@ -3257,3 +3257,67 @@ SELECT names.triad AS triad,
                       - (SELECT coalesce(sum(cnt), 0) FROM agg)
                  ELSE coalesce(agg.cnt, 0) END AS BIGINT) AS count
 FROM names LEFT JOIN agg ON names.triad = agg.triad"""
+
+
+def simrank_web_sql(
+    steps: int = 4,
+    replicates: int = 6,
+    max_out_degree: int = 256,
+    c_num: int = 4,
+    c_den: int = 5,
+) -> str:
+    """(u, v, simrank) Monte-Carlo SimRank over co-cited web-graph pairs —
+    mirror of operators/simrank.py::simrank_scores over cocited_pairs:
+    coupled deterministic reverse walks (hop hash H(replicate, step, cur),
+    the same _walk_hash_sql with the replicate in the walk slot), first
+    meeting time per (pair, replicate), exact integer contribution
+    c_num^tau * c_den^(steps-tau), one final double division."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "se AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        f"oks AS (SELECT src FROM se GROUP BY src HAVING count(*) <= {max_out_degree})",
+        "ce AS MATERIALIZED (SELECT se.src, se.dst FROM se JOIN oks ON se.src = oks.src)",
+        "prs AS MATERIALIZED (SELECT DISTINCT least(a.dst, b.dst) AS u,"
+        " greatest(a.dst, b.dst) AS v FROM ce a JOIN ce b"
+        " ON a.src = b.src AND a.dst <> b.dst)",
+        "radj AS MATERIALIZED (SELECT dst AS node,"
+        " row_number() OVER (PARTITION BY dst ORDER BY src) AS pos,"
+        " src AS prev, count(*) OVER (PARTITION BY dst) AS indeg FROM se)",
+        "indegs AS MATERIALIZED (SELECT DISTINCT node, indeg FROM radj)",
+        "starts AS (SELECT u AS id FROM prs UNION SELECT v FROM prs)",
+        f"w0 AS MATERIALIZED (SELECT id AS start, r.r, id AS cur"
+        f" FROM starts, (SELECT unnest(range({replicates})) AS r) r)",
+    ]
+    selects = ["SELECT start, r, 0 AS t, cur AS pos FROM w0"]
+    for t in range(1, steps + 1):
+        h = _walk_hash_sql("f.r", t, "f.cur")
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT f.start, f.r, a.prev AS cur"
+            f" FROM w{t - 1} f JOIN indegs d ON f.cur = d.node"
+            f" JOIN radj a ON a.node = f.cur"
+            f" AND a.pos = ({h}) % d.indeg + 1)"
+        )
+        selects.append(f"SELECT start, r, {t} AS t, cur AS pos FROM w{t}")
+    walks = "\nUNION ALL ".join(selects)
+    contrib = "CASE tau " + " ".join(
+        f"WHEN {tt} THEN {c_num**tt * c_den ** (steps - tt)}"
+        for tt in range(1, steps + 1)
+    ) + " END"
+    denom = replicates * c_den**steps
+    ctes.append(f"walks AS MATERIALIZED ({walks})")
+    ctes.append(
+        "taus AS (SELECT p.u, p.v, wa.r, min(wa.t) AS tau"
+        " FROM prs p JOIN walks wa ON wa.start = p.u"
+        " JOIN walks wb ON wb.start = p.v AND wb.r = wa.r AND wb.t = wa.t"
+        " AND wb.pos = wa.pos"
+        " GROUP BY p.u, p.v, wa.r)"
+    )
+    ctes.append(
+        f"sc AS (SELECT u, v, sum({contrib}) AS w FROM taus GROUP BY u, v)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT p.u, p.v, round(coalesce(sc.w, 0) / {denom}.0, {ROUND})"
+        " AS simrank FROM prs p LEFT JOIN sc ON p.u = sc.u AND p.v = sc.v"
+    )
