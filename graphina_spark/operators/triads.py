@@ -149,9 +149,13 @@ def _dyads(g: LinkGraph) -> DataFrame:
     )
 
 
-def _support_triangles(dyads: DataFrame) -> DataFrame:
-    """(a, b, c, code_ab, code_ac, code_bc) with a < b < c — each support
-    triangle once, via degree-ordered orientation (triangles.py shape)."""
+def _support_triangles(dyads: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(triangles, edir_cached): triangles = (a, b, c, code_ab, code_ac,
+    code_bc) with a < b < c — each support triangle once, via degree-ordered
+    orientation (triangles.py shape).  ``edir_cached`` is the cached oriented
+    edge frame the 3-way self-join scans (cached so the deg-agg + orientation
+    subtree is computed once, not once per join branch); the caller owns its
+    lifecycle — unpersist after materializing the triangles."""
     deg = (
         dyads.select(F.col("u").alias("id"))
         .unionAll(dyads.select(F.col("v").alias("id")))
@@ -174,7 +178,7 @@ def _support_triangles(dyads: DataFrame) -> DataFrame:
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("d"),
         "code",
-    )
+    ).cache()
     e1 = edir.select(F.col("s").alias("x"), F.col("d").alias("y"), F.col("code").alias("cxy"))
     e2 = edir.select(F.col("s").alias("y"), F.col("d").alias("z"), F.col("code").alias("cyz"))
     e3 = edir.select(F.col("s").alias("x"), F.col("d").alias("z"), F.col("code").alias("cxz"))
@@ -194,13 +198,16 @@ def _support_triangles(dyads: DataFrame) -> DataFrame:
             F.filter(pairs, lambda s: (s["lo"] == lo) & (s["hi"] == hi)), 1
         )["code"]
 
-    return tri.select(
-        a.alias("a"),
-        b.alias("b"),
-        c.alias("c"),
-        _code(a, b).alias("code_ab"),
-        _code(a, c).alias("code_ac"),
-        _code(b, c).alias("code_bc"),
+    return (
+        tri.select(
+            a.alias("a"),
+            b.alias("b"),
+            c.alias("c"),
+            _code(a, b).alias("code_ab"),
+            _code(a, c).alias("code_ac"),
+            _code(b, c).alias("code_bc"),
+        ),
+        edir,
     )
 
 
@@ -224,7 +231,10 @@ def triad_census(g: LinkGraph) -> DataFrame:
         n_mutual, n_asym = int(row["m"]), int(row["a"])
 
         # --- triangles (3 connected dyads), classified --------------------
-        tri = _support_triangles(dyads).persist()
+        tri, edir = _support_triangles(dyads)
+        tri = tri.persist()
+        tri.count()  # materialize once, then the oriented frame can go
+        edir.unpersist()
         tricode = (
             F.when(F.col("code_ab") == 1, 1).when(F.col("code_ab") == 2, 2).otherwise(3)
             + F.when(F.col("code_ac") == 1, 4).when(F.col("code_ac") == 2, 8).otherwise(12)
