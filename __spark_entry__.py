@@ -519,6 +519,22 @@ def _q_triad_census_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(_web(spark, sf_dir))
 
 
+def _q_topic_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched topic-sensitive PageRank (Haveliwala 2002): 3 topic seed
+    sets advanced in ONE superstep loop — one gather shuffle per step for
+    all topics, sparse (topic, id) rank rows (operators/topicrank.py)."""
+    from graphina_spark.operators.topicrank import topic_sensitive_pagerank
+
+    g = _web(spark, sf_dir)
+    topics = g.vertices.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("topic"),
+        "id",
+    ).where(F.col("id") % 40 == F.col("topic")).select(
+        "topic", "id", F.lit(1.0).alias("p")
+    )
+    return topic_sensitive_pagerank(g, topics, fixed_iters=5)
+
+
 def _q_simrank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo SimRank (Jeh-Widom via Fogaras-Racz coupled reverse
     walks, deterministic portable-hash hops) over co-cited page pairs —
@@ -1669,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squares_web": _q_squares_web,
         "triad_census_web": _q_triad_census_web,
         "simrank_web": _q_simrank_web,
+        "topic_pagerank_web": _q_topic_pagerank_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1845,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
         "squares_web": O.squares_web_sql(),
         "triad_census_web": O.triad_census_web_sql(),
         "simrank_web": O.simrank_web_sql(steps=4, replicates=6),
+        "topic_pagerank_web": O.topic_pagerank_web_sql(iters=5),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

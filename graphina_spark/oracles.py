@@ -3321,3 +3321,53 @@ def simrank_web_sql(
         + f"\nSELECT p.u, p.v, round(coalesce(sc.w, 0) / {denom}.0, {ROUND})"
         " AS simrank FROM prs p LEFT JOIN sc ON p.u = sc.u AND p.v = sc.v"
     )
+
+
+def topic_pagerank_web_sql(
+    iters: int = 5, d: float = PR_DAMPING, n_topics: int = 3, seed_mod: int = 40
+) -> str:
+    """(topic, id, rank) batched topic-sensitive PageRank — mirror of
+    operators/topicrank.py::topic_sensitive_pagerank with topic t seeded
+    uniformly on {id % seed_mod == t}: dense unrolled per-topic PPR
+    (teleport + dangling follow p_t, ranks init at p_t) filtered to
+    pr > 0 at the end (identical support to the sparse Spark frame — a
+    dense zero stays an exact 0.0 through every iteration)."""
+    tvals = ", ".join(f"({t})" for t in range(n_topics))
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "verts AS (SELECT id FROM v)",
+        f"tl(t) AS (VALUES {tvals})",
+        f"sc AS (SELECT tl.t AS topic, count(*) AS c FROM verts vv, tl"
+        f" WHERE vv.id % {seed_mod} = tl.t GROUP BY tl.t)",
+        f"pvec AS MATERIALIZED (SELECT sc.topic, vv.id,"
+        f" CASE WHEN vv.id % {seed_mod} = sc.topic THEN 1.0 / sc.c ELSE 0.0 END AS p"
+        f" FROM verts vv, sc)",
+        "wout AS MATERIALIZED (SELECT src AS id, sum(weight) AS w_out"
+        " FROM edges GROUP BY src)",
+        "en AS MATERIALIZED (SELECT e.src, e.dst, e.weight / w.w_out AS w_norm"
+        " FROM edges e JOIN wout w ON e.src = w.id)",
+        "r0 AS MATERIALIZED (SELECT topic, id, p AS pr FROM pvec)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = f"r{k - 1}", f"r{k}"
+        ctes.append(
+            f"d{k} AS (SELECT r.topic, coalesce(sum(r.pr), 0.0) AS dang FROM {p} r"
+            f" LEFT JOIN wout w ON r.id = w.id WHERE w.id IS NULL GROUP BY r.topic)"
+        )
+        ctes.append(
+            f"g{k} AS (SELECT r.topic, en.dst AS id, sum(r.pr * en.w_norm) AS gather"
+            f" FROM {p} r JOIN en ON r.id = en.src GROUP BY r.topic, en.dst)"
+        )
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT pv.topic, pv.id,"
+            f" {1.0 - d} * pv.p + {d} * coalesce(d{k}.dang, 0.0) * pv.p"
+            f" + {d} * coalesce(g{k}.gather, 0.0) AS pr"
+            f" FROM pvec pv"
+            f" LEFT JOIN g{k} ON pv.topic = g{k}.topic AND pv.id = g{k}.id"
+            f" LEFT JOIN d{k} ON pv.topic = d{k}.topic)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT topic, id, round(pr, {ROUND}) AS rank FROM r{iters} WHERE pr > 0"
+    )
