@@ -519,6 +519,18 @@ def _q_triad_census_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(_web(spark, sf_dir))
 
 
+def _q_structdup_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural near-duplicate pages (mirror/template detection) via
+    banded neighbourhood MinHash + exact Jaccard verify
+    (operators/structdup.py)."""
+    from graphina_spark.operators.structdup import structural_dup_pairs
+
+    # threshold 0.125: the synthetic crawl's strongest structural overlaps
+    # sit at Jaccard 1/3 (shared multiplier targets) — the production
+    # default 0.5 would gate an always-empty frame, which proves nothing
+    return structural_dup_pairs(_web(spark, sf_dir), min_jaccard=0.125)
+
+
 def _q_topic_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched topic-sensitive PageRank (Haveliwala 2002): 3 topic seed
     sets advanced in ONE superstep loop — one gather shuffle per step for
@@ -1686,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census_web": _q_triad_census_web,
         "simrank_web": _q_simrank_web,
         "topic_pagerank_web": _q_topic_pagerank_web,
+        "structdup_web": _q_structdup_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1863,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "triad_census_web": O.triad_census_web_sql(),
         "simrank_web": O.simrank_web_sql(steps=4, replicates=6),
         "topic_pagerank_web": O.topic_pagerank_web_sql(iters=5),
+        "structdup_web": O.structdup_web_sql(min_jaccard=0.125),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

@@ -3371,3 +3371,49 @@ def topic_pagerank_web_sql(
         + ",\n".join(ctes)
         + f"\nSELECT topic, id, round(pr, {ROUND}) AS rank FROM r{iters} WHERE pr > 0"
     )
+
+
+def structdup_web_sql(
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    min_jaccard: float = 0.5,
+) -> str:
+    """(a, b, jaccard) structural near-duplicate pairs — mirror of
+    operators/structdup.py::structural_dup_pairs: k portable-hash mins per
+    out-neighbour set (the same _walk_hash_sql(j, 0, dst)), banded string
+    bucket keys, bucket-size cap, exact neighbour-set Jaccard verify."""
+    assert k % bands == 0
+    rows = k // bands
+    mins = ", ".join(
+        f"min({_walk_hash_sql(str(j), 0, 'dst')}) AS h{j}" for j in range(k)
+    )
+    band_selects = "\nUNION ALL ".join(
+        "SELECT {b} AS band, ".format(b=b)
+        + " || '_' || ".join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + " AS key, id FROM sig"
+        for b in range(bands)
+    )
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ sig AS MATERIALIZED (SELECT src AS id, {mins} FROM e GROUP BY src),
+ buckets AS MATERIALIZED ({band_selects}),
+ okb AS (SELECT band, key FROM buckets GROUP BY band, key
+         HAVING count(*) <= {max_bucket}),
+ bk AS (SELECT b.band, b.key, b.id FROM buckets b JOIN okb
+        ON b.band = okb.band AND b.key = okb.key),
+ cand AS MATERIALIZED (SELECT DISTINCT x.id AS a, y.id AS b
+        FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+        WHERE x.id < y.id),
+ deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+ inter AS (SELECT c.a, c.b, count(*) AS cn
+           FROM cand c JOIN e ea ON ea.src = c.a
+                       JOIN e eb ON eb.src = c.b AND eb.dst = ea.dst
+           GROUP BY c.a, c.b),
+ j AS (SELECT c.a, c.b,
+              coalesce(i.cn, 0) * 1.0
+              / (da.deg + db.deg - coalesce(i.cn, 0)) AS jac
+       FROM cand c
+       LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+       JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id)
+SELECT a, b, round(jac, {ROUND}) AS jaccard FROM j WHERE jac >= {min_jaccard}"""
