@@ -519,6 +519,15 @@ def _q_triad_census_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(_web(spark, sf_dir))
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned over the documents corpus (distributed
+    word-level trainer, double-space symbol strings, literal-replace merge
+    application — operators/bpe.py)."""
+    from graphina_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), merges=8)
+
+
 def _q_structdup_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural near-duplicate pages (mirror/template detection) via
     banded neighbourhood MinHash + exact Jaccard verify
@@ -1699,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_web": _q_simrank_web,
         "topic_pagerank_web": _q_topic_pagerank_web,
         "structdup_web": _q_structdup_web,
+        "bpe_merges": _q_bpe_merges,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1964,6 +1974,7 @@ def _text_oracles() -> dict[str, str]:
 
     return {
         "text_stats": T.text_stats_sql(),
+        "bpe_merges": T.bpe_merges_sql(merges=8),
         "exact_dedup": T.exact_dedup_sql(),
         "ngram_jaccard": T.ngram_jaccard_sql(threshold=0.2),
         "minhash_lsh": T.minhash_lsh_sql(threshold=0.2),

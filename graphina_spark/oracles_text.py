@@ -1065,3 +1065,46 @@ def lsh_recall_sql(
 SELECT qs.query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
        round(coalesce(hits.h, 0) / {float(kk)}, {ROUND}) AS recall
 FROM qs LEFT JOIN hits ON qs.query_id = hits.qid"""
+
+
+def bpe_merges_sql(merges: int = 8) -> str:
+    """(step, l, r, merged, pair_count) BPE merge table — mirror of
+    operators/bpe.py::learn_bpe_merges: same corpus tokenization, same
+    double-space symbol-string representation, same literal-replace merge
+    application (identical non-overlapping left-to-right semantics), same
+    (count desc, l asc, r asc) argmax tie-break.  Rounds with no remaining
+    pairs contribute no row (the Spark side breaks; once empty, always
+    empty)."""
+    ctes = [
+        "wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM ("
+        "SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> '')) AS word FROM documents) GROUP BY word)",
+        "d0 AS MATERIALIZED (SELECT cnt,"
+        " ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS sym"
+        " FROM wc)",
+    ]
+    selects = []
+    for k in range(1, merges + 1):
+        p, d = f"d{k - 1}", f"d{k}"
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT a, b, sum(cnt) AS c FROM ("
+            f"SELECT cnt, unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b"
+            f" FROM (SELECT cnt, string_split(trim(sym), '  ') AS t FROM {p})"
+            f" WHERE len(t) >= 2) GROUP BY a, b)"
+        )
+        ctes.append(
+            f"t{k} AS MATERIALIZED (SELECT a, b, c FROM p{k}"
+            f" ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"{d} AS MATERIALIZED (SELECT dd.cnt,"
+            f" CASE WHEN t.a IS NULL THEN dd.sym"
+            f" ELSE replace(dd.sym, ' ' || t.a || '  ' || t.b || ' ',"
+            f" ' ' || t.a || t.b || ' ') END AS sym"
+            f" FROM {p} dd LEFT JOIN t{k} t ON TRUE)"
+        )
+        selects.append(
+            f"SELECT {k} AS step, a AS l, b AS r, a || b AS merged,"
+            f" CAST(c AS BIGINT) AS pair_count FROM t{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
