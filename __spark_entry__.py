@@ -519,6 +519,18 @@ def _q_triad_census_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(_web(spark, sf_dir))
 
 
+def _q_push_ppr_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched forward-push PPR (Andersen-Chung-Lang) from uniform seeds
+    {id % 200 == 0}, threshold-free gate variant (operators/pushppr.py)."""
+    from graphina_spark.operators.pushppr import forward_push_ppr
+
+    g = _web(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") % 200 == 0).select(
+        "id", F.lit(1.0).alias("mass")
+    )
+    return forward_push_ppr(g, seeds, alpha=0.15, eps=0.0, rounds=6)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned over the documents corpus (distributed
     word-level trainer, double-space symbol strings, literal-replace merge
@@ -1709,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_pagerank_web": _q_topic_pagerank_web,
         "structdup_web": _q_structdup_web,
         "bpe_merges": _q_bpe_merges,
+        "push_ppr_web": _q_push_ppr_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1887,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         "simrank_web": O.simrank_web_sql(steps=4, replicates=6),
         "topic_pagerank_web": O.topic_pagerank_web_sql(iters=5),
         "structdup_web": O.structdup_web_sql(min_jaccard=0.125),
+        "push_ppr_web": O.push_ppr_web_sql(alpha=0.15, rounds=6),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

@@ -135,6 +135,11 @@ def main() -> None:
     gated = entrymod.queries()
     run("minhash_lsh", lambda: gated["minhash_lsh"](spark, SF_DIR))
     run("text_stats", lambda: gated["text_stats"](spark, SF_DIR))
+    run("triad_census", lambda: gated["triad_census_web"](spark, SF_DIR))
+    run("simrank", lambda: gated["simrank_web"](spark, SF_DIR))
+    run("topic_pagerank", lambda: gated["topic_pagerank_web"](spark, SF_DIR))
+    run("structdup", lambda: gated["structdup_web"](spark, SF_DIR))
+    run("bpe_merges", lambda: gated["bpe_merges"](spark, SF_DIR))
 
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS

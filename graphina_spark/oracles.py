@@ -3417,3 +3417,53 @@ def structdup_web_sql(
        LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
        JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id)
 SELECT a, b, round(jac, {ROUND}) AS jaccard FROM j WHERE jac >= {min_jaccard}"""
+
+
+def push_ppr_web_sql(
+    alpha: float = 0.15,
+    rounds: int = 6,
+    seed_mod: int = 200,
+) -> str:
+    """(id, p, r) batched forward-push PPR state — mirror of
+    operators/pushppr.py::forward_push_ppr with eps=0 (threshold-free:
+    the active rule is r > 0, identical across engines; see the operator
+    docstring) and uniform seeds {id % seed_mod == 0}."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM c"
+        " UNION ALL SELECT b, a FROM c)",
+        "dg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM adj GROUP BY src)",
+        f"sd AS (SELECT id FROM v WHERE id % {seed_mod} = 0)",
+        "ns AS (SELECT count(*) AS cnt FROM sd)",
+        "s0 AS MATERIALIZED (SELECT sd.id, 0.0 AS p, 1.0 / ns.cnt AS r FROM sd, ns)",
+    ]
+    for k in range(1, rounds + 1):
+        p, c = f"s{k - 1}", f"s{k}"
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT s.id, s.p, s.r,"
+            f" coalesce(d.deg, 0) AS deg, s.r > 0 AS act"
+            f" FROM {p} s LEFT JOIN dg d ON s.id = d.id)"
+        )
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT adj.dst AS id,"
+            f" sum({1.0 - alpha} * a.r / a.deg) AS gain"
+            f" FROM a{k} a JOIN adj ON a.id = adj.src"
+            f" WHERE a.act AND a.deg > 0 GROUP BY adj.dst)"
+        )
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT coalesce(a.id, m.id) AS id,"
+            f" coalesce(CASE WHEN a.act THEN a.p +"
+            f" CASE WHEN a.deg = 0 THEN a.r ELSE {alpha} * a.r END"
+            f" ELSE a.p END, 0.0) AS p,"
+            f" coalesce(CASE WHEN a.act THEN 0.0 ELSE a.r END, 0.0)"
+            f" + coalesce(m.gain, 0.0) AS r"
+            f" FROM a{k} a FULL OUTER JOIN m{k} m ON a.id = m.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(p, {ROUND}) AS p, round(r, {ROUND}) AS r"
+        f" FROM s{rounds} WHERE p > 0 OR r > 0"
+    )
