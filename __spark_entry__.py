@@ -540,6 +540,15 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(_docs(spark, sf_dir), merges=8)
 
 
+def _q_freq_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 1/500-heavy tokens via two-pass Misra–Gries (per-partition
+    k-counter sketches -> exact verify of the candidate union; output is
+    the exact heavy set — operators/freqitems.py)."""
+    from graphina_spark.operators.freqitems import frequent_tokens
+
+    return frequent_tokens(_docs(spark, sf_dir), num=1, den=500)
+
+
 def _q_structdup_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural near-duplicate pages (mirror/template detection) via
     banded neighbourhood MinHash + exact Jaccard verify
@@ -1721,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_pagerank_web": _q_topic_pagerank_web,
         "structdup_web": _q_structdup_web,
         "bpe_merges": _q_bpe_merges,
+        "freq_tokens": _q_freq_tokens,
         "push_ppr_web": _q_push_ppr_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
@@ -1989,6 +1999,7 @@ def _text_oracles() -> dict[str, str]:
     return {
         "text_stats": T.text_stats_sql(),
         "bpe_merges": T.bpe_merges_sql(merges=8),
+        "freq_tokens": T.frequent_tokens_sql(num=1, den=500),
         "exact_dedup": T.exact_dedup_sql(),
         "ngram_jaccard": T.ngram_jaccard_sql(threshold=0.2),
         "minhash_lsh": T.minhash_lsh_sql(threshold=0.2),

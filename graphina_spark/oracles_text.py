@@ -1108,3 +1108,15 @@ def bpe_merges_sql(merges: int = 8) -> str:
             f" CAST(c AS BIGINT) AS pair_count FROM t{k}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def frequent_tokens_sql(num: int = 1, den: int = 1000) -> str:
+    """(token, cnt) exact φ-heavy token set — the ground-truth twin of
+    operators/freqitems.py::frequent_tokens (the two-pass Misra–Gries
+    output is exactly this set; integer threshold arithmetic on both
+    sides, no float compare)."""
+    return f"""WITH {_TOK},
+ u AS MATERIALIZED (SELECT unnest(t) AS token FROM tok),
+ n AS (SELECT count(*) AS n FROM u)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM u, n GROUP BY token, n.n HAVING count(*) * {den} >= n.n * {num}"""
