@@ -66,7 +66,14 @@ def forward_push_ppr(
     # ulp and diverge.  Production eps > 0 behaviour is pytest-pinned.
 
     adj = _sym_adj(g).repartition("src").cache()
-    deg = adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    # cached: joined against the state frame EVERY round — recomputing the
+    # degree aggregation from adj each superstep would re-shuffle the whole
+    # adjacency per round
+    deg = (
+        adj.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("deg"))
+        .cache()
+    )
 
     total = seeds.agg(F.sum("mass")).first()[0] or 0.0
     if total <= 0:
@@ -119,6 +126,7 @@ def forward_push_ppr(
             .where((F.col("p") > 0) | (F.col("r") > 0))
         )
         state = _mat(state)
+    deg.unpersist()
     adj.unpersist()
     return state
 
