@@ -288,6 +288,27 @@ def _q_louvain_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leiden_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style refined Louvain under the same quality oracle as
+    louvain_block, PLUS the Leiden connectivity guarantee asserted
+    spark-side: all_connected = every community is one connected part
+    (operators/leiden.py; Traag et al. 2019 guarantee 1).  Splitting a
+    disconnected community never lowers modularity, so the q-bar holds."""
+    from graphina_spark.operators.leiden import community_parts, leiden
+    from graphina_spark.operators.metrics import modularity
+
+    g = _block(spark, sf_dir)
+    com = leiden(g, max_levels=6, max_rounds=12)
+    q_l = modularity(g, com)
+    known = g.vertices.select("id", (F.floor(F.col("id") / 100) * 100).alias("community"))
+    q_k = modularity(g, known)
+    n_bad = community_parts(g, com).where(F.col("n_parts") != 1).count()
+    return spark.createDataFrame(
+        [(round(q_k, ROUND), bool(q_l + 1e-9 >= q_k), bool(n_bad == 0))],
+        "q_known double, quality_ok boolean, all_connected boolean",
+    )
+
+
 def _q_assortativity_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.metrics import assortativity
 
@@ -531,6 +552,16 @@ def _q_push_ppr_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_push_ppr(g, seeds, alpha=0.15, eps=0.0, rounds=6)
 
 
+def _q_hitting_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated expected hitting time (Sarkar-Moore) to the target set
+    {id % 100 == 0}, horizon 6 (operators/hitting.py)."""
+    from graphina_spark.operators.hitting import truncated_hitting_time
+
+    g = _web(spark, sf_dir)
+    targets = g.vertices.where(F.col("id") % 100 == 0).select("id")
+    return truncated_hitting_time(g, targets, horizon=6)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned over the documents corpus (distributed
     word-level trainer, double-space symbol strings, literal-replace merge
@@ -547,6 +578,20 @@ def _q_freq_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.freqitems import frequent_tokens
 
     return frequent_tokens(_docs(spark, sf_dir), num=1, den=500)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct k-token-gram overlap between the
+    train split (doc_id % 97 != 0) and the bench split (doc_id % 97 == 0)
+    of the documents corpus (operators/contamination.py).  k=4 at gate
+    scale — the synthetic corpus shares no spans ≥ 6 tokens; production
+    default is 8."""
+    from graphina_spark.operators.contamination import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(train, bench, k=4)
 
 
 def _q_structdup_web(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1701,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_sub_web": _q_induced_sub_web,
         "modularity_block": _q_modularity_block,
         "louvain_block": _q_louvain_block,
+        "leiden_block": _q_leiden_block,
         "assortativity_web": _q_assortativity_web,
         "avg_clustering_web": _q_avg_clustering_web,
         "density_web": _q_density_web,
@@ -1731,7 +1777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structdup_web": _q_structdup_web,
         "bpe_merges": _q_bpe_merges,
         "freq_tokens": _q_freq_tokens,
+        "contamination": _q_contamination,
         "push_ppr_web": _q_push_ppr_web,
+        "hitting_web": _q_hitting_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1885,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "induced_sub_web": O.induced_sub_web_sql(below=200),
         "modularity_block": O.modularity_block_sql(),
         "louvain_block": O.louvain_block_sql(),
+        "leiden_block": O.leiden_block_sql(),
         "assortativity_web": O.assortativity_web_sql(),
         "avg_clustering_web": O.avg_clustering_web_sql(),
         "density_web": O.density_web_sql(),
@@ -1911,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_pagerank_web": O.topic_pagerank_web_sql(iters=5),
         "structdup_web": O.structdup_web_sql(min_jaccard=0.125),
         "push_ppr_web": O.push_ppr_web_sql(alpha=0.15, rounds=6),
+        "hitting_web": O.hitting_time_web_sql(horizon=6),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),
@@ -2000,6 +2050,7 @@ def _text_oracles() -> dict[str, str]:
         "text_stats": T.text_stats_sql(),
         "bpe_merges": T.bpe_merges_sql(merges=8),
         "freq_tokens": T.frequent_tokens_sql(num=1, den=500),
+        "contamination": T.contamination_sql(k=4),
         "exact_dedup": T.exact_dedup_sql(),
         "ngram_jaccard": T.ngram_jaccard_sql(threshold=0.2),
         "minhash_lsh": T.minhash_lsh_sql(threshold=0.2),

@@ -3467,3 +3467,50 @@ def push_ppr_web_sql(
         + f"\nSELECT id, round(p, {ROUND}) AS p, round(r, {ROUND}) AS r"
         f" FROM s{rounds} WHERE p > 0 OR r > 0"
     )
+
+
+def leiden_block_sql() -> str:
+    """Quality + connectivity oracle for the refined partition
+    (operators/leiden.py): same planted-partition modularity bar as
+    louvain_block_sql, plus all_connected=true — the Spark side computes
+    whether every community is a single connected part; the refinement's
+    guarantee is that it always is."""
+    body = modularity_block_sql()
+    return (
+        f"SELECT q.modularity AS q_known, TRUE AS quality_ok,"
+        f" TRUE AS all_connected FROM ({body}) q"
+    )
+
+
+def hitting_time_web_sql(horizon: int = 6, target_mod: int = 100) -> str:
+    """(id, h) truncated hitting time — mirror of
+    operators/hitting.py::truncated_hitting_time with targets
+    {id % target_mod == 0}, rounds unrolled (value iteration needs
+    exactly `horizon` rounds for the horizon-T fixpoint)."""
+    T = float(horizon)
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "od AS MATERIALIZED (SELECT src AS id, count(*) AS deg"
+        " FROM edges GROUP BY src)",
+        f"b AS MATERIALIZED (SELECT v.id, v.id % {target_mod} = 0 AS is_t,"
+        f" coalesce(od.deg, 0) AS deg FROM v LEFT JOIN od USING (id))",
+        f"h0 AS MATERIALIZED (SELECT id,"
+        f" CASE WHEN is_t THEN 0.0 ELSE {T} END AS h FROM b)",
+    ]
+    for k in range(1, horizon + 1):
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT e.src AS id, sum(h.h) AS sh"
+            f" FROM edges e JOIN h{k - 1} h ON e.dst = h.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT b.id,"
+            f" CASE WHEN b.is_t THEN 0.0"
+            f" WHEN b.deg > 0 THEN least({T}, 1.0 + n.sh / b.deg)"
+            f" ELSE {T} END AS h"
+            f" FROM b LEFT JOIN n{k} n USING (id))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(h, {ROUND}) AS h FROM h{horizon}"
+    )

@@ -1120,3 +1120,23 @@ def frequent_tokens_sql(num: int = 1, den: int = 1000) -> str:
  n AS (SELECT count(*) AS n FROM u)
 SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM u, n GROUP BY token, n.n HAVING count(*) * {den} >= n.n * {num}"""
+
+
+def contamination_sql(k: int = 8, bench_mod: int = 97) -> str:
+    """Mirror of operators/contamination.py::ngram_contamination with the
+    gate's deterministic split: bench = doc_id % bench_mod == 0, train =
+    the rest.  Same tokenizer, same md5 k-token windows, same DISTINCT
+    gram semantics."""
+    return f"""WITH {_TOK},
+ pos AS (SELECT doc_id AS id,
+                md5(array_to_string(t[i:i+{k}-1], ' ')) AS g
+         FROM tok, UNNEST(generate_series(1, len(t) - {k} + 1)) AS u(i)),
+ tg AS (SELECT DISTINCT id AS train_id, g FROM pos WHERE id % {bench_mod} <> 0),
+ bg AS (SELECT DISTINCT id AS bench_id, g FROM pos WHERE id % {bench_mod} = 0),
+ bs AS (SELECT bench_id, count(*) AS bench_grams FROM bg GROUP BY bench_id),
+ h AS (SELECT t.train_id, b.bench_id, count(*) AS shared
+       FROM tg t JOIN bg b USING (g) GROUP BY t.train_id, b.bench_id)
+SELECT h.train_id, h.bench_id, CAST(h.shared AS BIGINT) AS shared,
+       CAST(bs.bench_grams AS BIGINT) AS bench_grams,
+       round(h.shared * 1.0 / bs.bench_grams, {ROUND}) AS frac
+FROM h JOIN bs USING (bench_id)"""
