@@ -562,6 +562,22 @@ def _q_hitting_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncated_hitting_time(g, targets, horizon=6)
 
 
+def _q_core_track_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-shell evolution between the base crawl and its recrawl:
+    track_partitions over two coreness labelings
+    (operators/tracking.py; snapshot pair of sources/derived.py)."""
+    from graphina_spark.operators.kcore import core_number
+    from graphina_spark.operators.tracking import track_partitions
+    from graphina_spark.sources.derived import web_graph_recrawl
+
+    a = core_number(_web(spark, sf_dir), fixed_rounds=CORENESS_ROUNDS)
+    b = core_number(web_graph_recrawl(spark, sf_dir), fixed_rounds=CORENESS_ROUNDS)
+    return track_partitions(
+        a.withColumnRenamed("core", "community"),
+        b.withColumnRenamed("core", "community"),
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned over the documents corpus (distributed
     word-level trainer, double-space symbol strings, literal-replace merge
@@ -1780,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "push_ppr_web": _q_push_ppr_web,
         "hitting_web": _q_hitting_web,
+        "core_track_web": _q_core_track_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1961,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "structdup_web": O.structdup_web_sql(min_jaccard=0.125),
         "push_ppr_web": O.push_ppr_web_sql(alpha=0.15, rounds=6),
         "hitting_web": O.hitting_time_web_sql(horizon=6),
+        "core_track_web": O.core_track_web_sql(rounds=CORENESS_ROUNDS),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

@@ -1726,11 +1726,11 @@ def pagerank_events_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     return pagerank_web_sql(iters=iters, d=d, edges_cte=EVENTS_EDGES_CTE)
 
 
-def _kcore_base_ctes() -> list[str]:
+def _kcore_base_ctes(edges_cte: str = WEB_EDGES_CTE) -> list[str]:
     # MATERIALIZED throughout: DuckDB inlines plain CTEs, and each round
     # references the previous one twice -> exponential expansion otherwise
     return [
-        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        edges_cte.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
         "ce AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
         " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
         "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM ce"
@@ -1753,11 +1753,11 @@ def kcore_web_sql(k: int = 3, rounds: int = 12) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds}"
 
 
-def coreness_web_sql(rounds: int = 12) -> str:
+def coreness_web_sql(rounds: int = 12, edges_cte: str = WEB_EDGES_CTE) -> str:
     """Unrolled h-index coreness iteration (operators/kcore.py::core_number
     with fixed_rounds=rounds, Montresor et al. TPDS 2013): c0 = degree,
     c_r(v) = min(c_{r-1}(v), H({c_{r-1}(u) : u in N(v)}))."""
-    ctes = _kcore_base_ctes() + [
+    ctes = _kcore_base_ctes(edges_cte) + [
         "deg AS (SELECT u AS id, count(*) AS c FROM sym GROUP BY u)",
         "c0 AS MATERIALIZED (SELECT v.id, CAST(coalesce(deg.c, 0) AS BIGINT) AS c"
         " FROM v LEFT JOIN deg ON v.id = deg.id)",
@@ -3514,3 +3514,23 @@ def hitting_time_web_sql(horizon: int = 6, target_mod: int = 100) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, round(h, {ROUND}) AS h FROM h{horizon}"
     )
+
+
+def core_track_web_sql(rounds: int = 14) -> str:
+    """Core-shell tracking across the base→recrawl snapshot pair — mirror
+    of operators/tracking.py::track_partitions over two coreness
+    labelings (two nested unrolled h-index chains, the rank_drift
+    nesting pattern)."""
+    ca = coreness_web_sql(rounds)
+    cb = coreness_web_sql(rounds, edges_cte=_recrawl_edges_cte())
+    return f"""WITH a AS ({ca}),
+ b AS ({cb}),
+ ov AS (SELECT a.core AS c0, b.core AS c1, count(*) AS overlap
+        FROM a JOIN b USING (id) GROUP BY 1, 2),
+ s0 AS (SELECT core AS c0, count(*) AS size0 FROM a GROUP BY 1),
+ s1 AS (SELECT core AS c1, count(*) AS size1 FROM b GROUP BY 1)
+SELECT ov.c0, ov.c1, CAST(ov.overlap AS BIGINT) AS overlap,
+       CAST(s0.size0 AS BIGINT) AS size0, CAST(s1.size1 AS BIGINT) AS size1,
+       round(ov.overlap * 1.0 / (s0.size0 + s1.size1 - ov.overlap),
+             {ROUND}) AS jaccard
+FROM ov JOIN s0 USING (c0) JOIN s1 USING (c1)"""
