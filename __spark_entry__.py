@@ -578,6 +578,18 @@ def _q_core_track_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cascade_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linear-threshold cascade (bootstrap percolation) from
+    seeds {id % 50 == 0}, theta = 1/3, 6 rounds (operators/cascade.py)."""
+    from graphina_spark.operators.cascade import linear_threshold_cascade
+
+    g = _web(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") % 50 == 0).select("id")
+    return linear_threshold_cascade(
+        g, seeds, theta_num=1, theta_den=3, rounds=6
+    ).select("id", F.col("r").cast("int").alias("r"))
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned over the documents corpus (distributed
     word-level trainer, double-space symbol strings, literal-replace merge
@@ -1797,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "push_ppr_web": _q_push_ppr_web,
         "hitting_web": _q_hitting_web,
         "core_track_web": _q_core_track_web,
+        "cascade_web": _q_cascade_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1979,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "push_ppr_web": O.push_ppr_web_sql(alpha=0.15, rounds=6),
         "hitting_web": O.hitting_time_web_sql(horizon=6),
         "core_track_web": O.core_track_web_sql(rounds=CORENESS_ROUNDS),
+        "cascade_web": O.cascade_web_sql(theta_num=1, theta_den=3, rounds=6),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

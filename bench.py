@@ -140,6 +140,11 @@ def main() -> None:
     run("topic_pagerank", lambda: gated["topic_pagerank_web"](spark, SF_DIR))
     run("structdup", lambda: gated["structdup_web"](spark, SF_DIR))
     run("bpe_merges", lambda: gated["bpe_merges"](spark, SF_DIR))
+    run("push_ppr_6r", lambda: gated["push_ppr_web"](spark, SF_DIR))
+    run("hitting_6r", lambda: gated["hitting_web"](spark, SF_DIR))
+    run("freq_tokens", lambda: gated["freq_tokens"](spark, SF_DIR))
+    run("contamination", lambda: gated["contamination"](spark, SF_DIR))
+    run("core_track", lambda: gated["core_track_web"](spark, SF_DIR))
 
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS

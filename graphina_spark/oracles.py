@@ -3534,3 +3534,41 @@ SELECT ov.c0, ov.c1, CAST(ov.overlap AS BIGINT) AS overlap,
        round(ov.overlap * 1.0 / (s0.size0 + s1.size1 - ov.overlap),
              {ROUND}) AS jaccard
 FROM ov JOIN s0 USING (c0) JOIN s1 USING (c1)"""
+
+
+def cascade_web_sql(
+    theta_num: int = 1,
+    theta_den: int = 3,
+    rounds: int = 6,
+    seed_mod: int = 50,
+) -> str:
+    """(id, r) deterministic linear-threshold cascade — mirror of
+    operators/cascade.py::linear_threshold_cascade with seeds
+    {id % seed_mod == 0}; recomputes the active-in-neighbor count
+    against a_{k-1} each unrolled round (arithmetically identical to
+    the Spark side's delta accumulation)."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "ind AS MATERIALIZED (SELECT dst AS id, count(*) AS indeg"
+        " FROM edges GROUP BY dst)",
+        f"a0 AS MATERIALIZED (SELECT id, 0 AS r FROM v WHERE id % {seed_mod} = 0)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS id, count(*) AS c"
+            f" FROM edges e JOIN a{k - 1} a ON e.src = a.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT id, r FROM a{k - 1}"
+            f" UNION ALL"
+            f" SELECT c.id, {k} AS r FROM c{k} c"
+            f" JOIN ind ON c.id = ind.id"
+            f" LEFT JOIN a{k - 1} p ON c.id = p.id"
+            f" WHERE p.id IS NULL"
+            f" AND c.c * {theta_den} >= ind.indeg * {theta_num})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(r AS INT) AS r FROM a{rounds}"
+    )
