@@ -590,6 +590,18 @@ def _q_cascade_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", F.col("r").cast("int").alias("r"))
 
 
+def _q_spreading_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label spreading (Zhou 2004) from seeds {id % 50 == 0} with
+    cls = id % 3, alpha=0.8, 5 supersteps (operators/spreading.py)."""
+    from graphina_spark.operators.spreading import label_spreading
+
+    g = _web(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") % 50 == 0).select(
+        "id", (F.col("id") % 3).alias("cls")
+    )
+    return label_spreading(g, seeds, alpha=0.8, fixed_iters=5)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned over the documents corpus (distributed
     word-level trainer, double-space symbol strings, literal-replace merge
@@ -1810,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hitting_web": _q_hitting_web,
         "core_track_web": _q_core_track_web,
         "cascade_web": _q_cascade_web,
+        "spreading_web": _q_spreading_web,
         "ck_curve_web": _q_ck_curve_web,
         "wl_web": _q_wl_web,
         "wl_drift_web": _q_wl_drift_web,
@@ -1993,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         "hitting_web": O.hitting_time_web_sql(horizon=6),
         "core_track_web": O.core_track_web_sql(rounds=CORENESS_ROUNDS),
         "cascade_web": O.cascade_web_sql(theta_num=1, theta_den=3, rounds=6),
+        "spreading_web": O.spreading_web_sql(alpha=0.8, iters=5),
         "ck_curve_web": O.ck_curve_web_sql(),
         "wl_web": O.wl_colors_web_sql(rounds=3),
         "wl_drift_web": O.wl_drift_web_sql(rounds=3),

@@ -3572,3 +3572,49 @@ def cascade_web_sql(
         + ",\n".join(ctes)
         + f"\nSELECT id, CAST(r AS INT) AS r FROM a{rounds}"
     )
+
+
+def spreading_web_sql(
+    alpha: float = 0.8,
+    iters: int = 5,
+    seed_mod: int = 50,
+    n_classes: int = 3,
+) -> str:
+    """(cls, id, f) label-spreading scores — mirror of
+    operators/spreading.py::label_spreading with seeds
+    {id % seed_mod == 0}, cls = id % n_classes, unrolled; the sparse
+    support matches because every materialized score is a sum of
+    strictly positive terms."""
+    a, b = alpha, 1.0 - alpha
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "cu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM cu"
+        " UNION ALL SELECT b, a FROM cu)",
+        "dg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM adj GROUP BY src)",
+        "se AS MATERIALIZED (SELECT a.src, a.dst,"
+        " 1.0 / sqrt(d1.deg * d2.deg) AS w FROM adj a"
+        " JOIN dg d1 ON a.src = d1.id JOIN dg d2 ON a.dst = d2.id)",
+        f"y AS MATERIALIZED (SELECT id % {n_classes} AS cls, id, 1.0 AS y"
+        f" FROM v WHERE id % {seed_mod} = 0)",
+        "f0 AS MATERIALIZED (SELECT cls, id, y AS f FROM y)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT p.cls, se.dst AS id,"
+            f" sum(p.f * se.w) AS sf FROM f{k - 1} p"
+            f" JOIN se ON p.id = se.src GROUP BY p.cls, se.dst)"
+        )
+        ctes.append(
+            f"f{k} AS MATERIALIZED (SELECT"
+            f" coalesce(g.cls, y.cls) AS cls, coalesce(g.id, y.id) AS id,"
+            f" {a} * coalesce(g.sf, 0.0) + {b} * coalesce(y.y, 0.0) AS f"
+            f" FROM g{k} g FULL OUTER JOIN y"
+            f" ON g.cls = y.cls AND g.id = y.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cls, id, round(f, {ROUND}) AS f FROM f{iters} WHERE f > 0"
+    )
