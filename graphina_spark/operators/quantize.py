@@ -100,11 +100,17 @@ def quantization_recall(
     quant = cosine_topk(dbase, k=k, queries=queries_q).select(
         "query_id", F.col("neighbor_id").alias("n_quant")
     )
+    return _recall_vs_exact(exact, quant.withColumnRenamed("n_quant", "n_apx"), k)
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """(query_id, hits, recall) — |exact.n_exact ∩ approx.n_apx| per query
+    over exact's query set (queries with zero overlap keep a 0 row)."""
     hits = (
         exact.join(
-            quant,
-            (exact["query_id"] == quant["query_id"])
-            & (exact["n_exact"] == quant["n_quant"]),
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["n_exact"] == approx["n_apx"]),
         )
         .groupBy(exact["query_id"].alias("qid"))
         .agg(F.count("*").alias("hits"))
@@ -115,3 +121,43 @@ def quantization_recall(
         F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
         F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
     )
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    k: int = 5,
+    dims: int = 16,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, hits, recall) — recall@k of top-k search run on the first
+    ``dims`` embedding dimensions vs the full-dimension exact top-k.
+
+    The Matryoshka-representation readout (Kusupati et al. 2022, and the
+    truncation mode OpenAI/Cohere embedding APIs expose): a prefix slice of
+    the vector is itself a usable lower-cost index, and the acceptance
+    number is prefix-vs-full recall@k.  At 100 TB a ``dims``/d slice cuts
+    scan bytes and shuffle width by the same factor before any
+    quantization, and composes with it.
+
+    Scale shape: one column-level ``slice`` projection (no shuffle), then
+    the same sampled-query recall harness as :func:`quantization_recall`.
+    DuckDB twin: oracles_text.py::matryoshka_recall_sql.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    pref = base.select(
+        "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+    )
+    queries_e = base.where(F.col("vec_id") % query_mod == 0)
+    queries_p = pref.where(F.col("vec_id") % query_mod == 0)
+    exact = cosine_topk(base, k=k, queries=queries_e).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    prefix = cosine_topk(pref, k=k, queries=queries_p).select(
+        "query_id", F.col("neighbor_id").alias("n_apx")
+    )
+    return _recall_vs_exact(exact, prefix, k)

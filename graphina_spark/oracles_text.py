@@ -967,6 +967,45 @@ SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
 FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
 
 
+def matryoshka_recall_sql(k: int = 5, dims: int = 16, query_mod: int = 25) -> str:
+    """Twin of operators/quantize.py::matryoshka_recall — prefix slice
+    ``x[1:dims]`` vs full vectors, the same 9-dp-rounded cosine top-k with
+    id-asc tie-break, integer hit counts."""
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " t -> t[1] * t[2]), 'sum')"
+    )
+    cos = (
+        f"CASE WHEN sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')}) > 0 THEN"
+        f" {dot.format(a='q.v', b='b.v')} /"
+        f" (sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')})) END"
+    )
+    topk = (
+        "SELECT qid, nid FROM ("
+        "  SELECT q.id AS qid, b.id AS nid,"
+        f"        round({cos}, 9) AS c"
+        "   FROM {src} q JOIN {src} b ON q.id % {qm} = 0 AND q.id <> b.id)"
+        " t WHERE c IS NOT NULL"
+        " QUALIFY row_number() OVER (PARTITION BY qid"
+        "   ORDER BY c DESC, nid ASC) <= {k}"
+    )
+    return f"""WITH base AS MATERIALIZED (
+   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+ ex AS (SELECT id, x AS v FROM base),
+ pr AS (SELECT id, x[1:{dims}] AS v FROM base),
+ te AS ({topk.format(src='ex', qm=query_mod, k=k)}),
+ tp AS ({topk.format(src='pr', qm=query_mod, k=k)}),
+ hits AS (SELECT te.qid, count(*) AS h
+          FROM te JOIN tp ON te.qid = tp.qid AND te.nid = tp.nid
+          GROUP BY te.qid),
+ qs AS (SELECT DISTINCT qid FROM te)
+SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.h, 0) / {float(k)}, {ROUND}) AS recall
+FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
+
+
 def nbr_emb_sql() -> str:
     """Mirror of operators/smoothing.py::neighborhood_mean_embedding over
     the web graph (include_self=False): symmetrized neighbor multiset, mean

@@ -78,3 +78,32 @@ def test_lsh_recall_bounds_and_sampling(spark):
     rows2 = samp.collect()
     assert {r["query_id"] for r in rows2} == {0, 10, 20, 30}
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows2)
+
+
+def test_matryoshka_full_dims_perfect_recall(spark):
+    from graphina_spark.operators.quantize import matryoshka_recall
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 13) + 1.0 for d in range(6)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # prefix = full vector → identical index → recall exactly 1.0
+    out = matryoshka_recall(df, k=3, dims=6, query_mod=5).collect()
+    assert {r["query_id"] for r in out} == {0, 5, 10, 15}
+    assert all(r["recall"] == 1.0 for r in out)
+
+
+def test_matryoshka_prefix_dominant_dims(spark):
+    from graphina_spark.operators.quantize import matryoshka_recall
+
+    # all ranking signal lives in the first 2 dims; tail dims zero → the
+    # 2-dim prefix cosine equals the full-vector cosine, so recall is 1.0
+    rows = [
+        (i, [100.0 * (i % 4) + i, 50.0 * (i % 4) + 1.0, 0.0, 0.0, 0.0, 0.0])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = matryoshka_recall(df, k=3, dims=2, query_mod=6).collect()
+    assert len(out) == 4
+    assert all(r["recall"] == 1.0 for r in out)
