@@ -51,7 +51,16 @@ def kmeans(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).transform(_mat)
-    n = base.count()
+    assign, _cents = lloyd_states(base, k, iters)
+    return assign.select("id", F.col("cid").alias("cluster"))
+
+
+def lloyd_states(base: DataFrame, k: int, iters: int, n: int | None = None):
+    """(assign, cents_used): the final-round assignments over a prepared
+    (id, vec) frame AND the centroid frame those assignments were scored
+    against — the codebook a quantizer reconstructs with (quantize.py PQ).
+    Same trajectory contract as :func:`kmeans` (shared by its oracle)."""
+    n = base.count() if n is None else n
     step = max(1, n // k)
     cents = (
         base.where((F.col("id") % step == 0) & (F.col("id") < step * k))
@@ -62,7 +71,9 @@ def kmeans(
         .transform(_mat)
     )
     assign = None
+    cents_used = cents
     for _ in range(iters):
+        cents_used = cents
         scored = base.crossJoin(F.broadcast(cents)).select(
             "id",
             "vec",
@@ -93,7 +104,7 @@ def kmeans(
             )
             .transform(_mat)
         )
-    return assign.select("id", F.col("cid").alias("cluster"))
+    return assign, cents_used
 
 
 def semdedup_pairs(

@@ -161,3 +161,105 @@ def matryoshka_recall(
         "query_id", F.col("neighbor_id").alias("n_apx")
     )
     return _recall_vs_exact(exact, prefix, k)
+
+
+def product_quantize(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<int>, dvec: array<double>) — product quantization
+    (Jégou et al. 2011, the PQ half of faiss IVF-PQ): the d-dim vector is
+    split into ``m`` contiguous subvectors, each quantized to its nearest
+    of ``ks`` per-subspace k-means centroids; the code is m small ints
+    (m·log2(ks) bits vs 32·d — a 32× shrink at m=4, ks=16, d=64) and the
+    reconstruction concatenates the assigned centroids.
+
+    Determinism contract (what lets a DuckDB oracle replay it): each
+    subspace runs the exact kmeans.py Lloyd trajectory (sampled init,
+    9-dp distance argmin with small-cid ties, 6-dp centroid means), and
+    reconstruction uses the centroid frame the FINAL assignment was scored
+    against.
+
+    Scale shape: m driver-side iterations of the kmeans kernel over sliced
+    columns (slice is a projection, no shuffle); codebooks are ks×(d/m)
+    — broadcast-sized at any corpus scale.  DuckDB twin:
+    oracles_text.py::pq_recall_sql.
+    """
+    from graphina_spark.operators.kmeans import lloyd_states
+    from graphina_spark.plans.materialize import local_materialize as _mat
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).transform(_mat)
+    first = base.select(F.size("vec").alias("d")).first()
+    dim = first["d"] if first else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    n = base.count()
+    parts = []
+    for j in range(m):
+        sliced = base.select(
+            "id", F.slice("vec", j * sub + 1, sub).alias("vec")
+        )
+        assign, cents = lloyd_states(sliced, ks, iters, n=n)
+        parts.append(
+            assign.join(F.broadcast(cents), "cid").select(
+                "id",
+                F.lit(j).alias("subspace"),
+                F.col("cid").alias("c"),
+                F.col("cvec").alias("sv"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("subspace", "c", "sv"))).alias("t")
+        )
+        .select(
+            "id",
+            F.transform("t", lambda s: s["c"]).alias("code"),
+            F.flatten(F.transform("t", lambda s: s["sv"])).alias("dvec"),
+        )
+    )
+
+
+def pq_recall(
+    df: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, hits, recall) — recall@k of top-k search over
+    PQ-reconstructed vectors vs the full-precision exact top-k; the
+    acceptance readout that decides whether a PQ index ships (the faiss
+    benchmark protocol).  Same sampled-query harness as
+    :func:`quantization_recall`."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    recon = product_quantize(
+        base, m=m, ks=ks, iters=iters, id_col="vec_id", vec_col="embedding"
+    ).select(F.col("id").alias("vec_id"), F.col("dvec").alias("embedding"))
+    queries_e = base.where(F.col("vec_id") % query_mod == 0)
+    queries_q = recon.where(F.col("vec_id") % query_mod == 0)
+    exact = cosine_topk(base, k=k, queries=queries_e).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    quant = cosine_topk(recon, k=k, queries=queries_q).select(
+        "query_id", F.col("neighbor_id").alias("n_apx")
+    )
+    return _recall_vs_exact(exact, quant, k)

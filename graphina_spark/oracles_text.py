@@ -967,6 +967,119 @@ SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
 FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
 
 
+def pq_recall_sql(
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    query_mod: int = 25,
+) -> str:
+    """Twin of operators/quantize.py::pq_recall — per-subspace kmeans
+    trajectories identical to _kmeans_ctes (sampled init, 9-dp L2 argmin
+    with small-cid ties, 6-dp centroid means, empty clusters keep their
+    previous centroid), reconstruction from the centroid frame the FINAL
+    assignment was scored against (c{iters-1}), then the usual 9-dp cosine
+    top-k recall harness."""
+    if dim % m != 0:
+        raise ValueError("dim % m != 0")
+    sub = dim // m
+    ctes = [
+        "pbase AS MATERIALIZED (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        "nn AS (SELECT count(*) AS n FROM pbase)",
+        f"stepc AS (SELECT greatest(1, CAST(n // {ks} AS BIGINT)) AS step"
+        " FROM nn)",
+        f"sdims AS (SELECT unnest(range(1, 1 + {sub})) AS pos)",
+    ]
+    d2 = (
+        "round(list_aggregate(list_transform(list_zip(b.vec, c.cvec),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum'), 9)"
+    )
+    recon = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"b{j} AS MATERIALIZED (SELECT id, vec[{lo}:{hi}] AS vec"
+            " FROM pbase)"
+        )
+        ctes.append(
+            f"c{j}_0 AS MATERIALIZED (SELECT CAST(id // step AS INT) AS cid,"
+            f" vec AS cvec FROM b{j}, stepc"
+            f" WHERE id % step = 0 AND id < step * {ks})"
+        )
+        for r in range(1, iters + 1):
+            p = r - 1
+            ctes.append(
+                f"s{j}_{r} AS MATERIALIZED (SELECT b.id, b.vec, c.cid,"
+                f" {d2} AS d2 FROM b{j} b CROSS JOIN c{j}_{p} c)"
+            )
+            ctes.append(
+                f"a{j}_{r} AS MATERIALIZED (SELECT id, vec, cid FROM ("
+                f"SELECT id, vec, cid, row_number() OVER ("
+                f"PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn"
+                f" FROM s{j}_{r}) WHERE rn = 1)"
+            )
+            ctes.append(
+                f"m{j}_{r} AS MATERIALIZED (SELECT cid,"
+                f" list(mm ORDER BY pos) AS cvec_new FROM ("
+                f"SELECT a.cid, d.pos, round(avg(a.vec[d.pos]), 6) AS mm"
+                f" FROM a{j}_{r} a CROSS JOIN sdims d GROUP BY a.cid, d.pos)"
+                f" GROUP BY cid)"
+            )
+            ctes.append(
+                f"c{j}_{r} AS MATERIALIZED (SELECT c.cid,"
+                f" coalesce(m.cvec_new, c.cvec) AS cvec"
+                f" FROM c{j}_{p} c LEFT JOIN m{j}_{r} m ON c.cid = m.cid)"
+            )
+        ctes.append(
+            f"r{j} AS (SELECT a.id, {j} AS sub, c.cvec AS sv"
+            f" FROM a{j}_{iters} a JOIN c{j}_{iters - 1} c"
+            " ON a.cid = c.cid)"
+        )
+        recon.append(f"SELECT * FROM r{j}")
+    ctes.append("ru AS (" + " UNION ALL ".join(recon) + ")")
+    ctes.append(
+        "dq AS MATERIALIZED (SELECT id, flatten(list(sv ORDER BY sub)) AS v"
+        " FROM ru GROUP BY id)"
+    )
+    ctes.append("ex AS (SELECT id, vec AS v FROM pbase)")
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " t -> t[1] * t[2]), 'sum')"
+    )
+    cos = (
+        f"CASE WHEN sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')}) > 0 THEN"
+        f" {dot.format(a='q.v', b='b.v')} /"
+        f" (sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')})) END"
+    )
+    topk = (
+        "SELECT qid, nid FROM ("
+        "  SELECT q.id AS qid, b.id AS nid,"
+        f"        round({cos}, 9) AS c"
+        "   FROM {src} q JOIN {src} b ON q.id % {qm} = 0 AND q.id <> b.id)"
+        " t WHERE c IS NOT NULL"
+        " QUALIFY row_number() OVER (PARTITION BY qid"
+        "   ORDER BY c DESC, nid ASC) <= {k}"
+    )
+    ctes.append(f"te AS ({topk.format(src='ex', qm=query_mod, k=k)})")
+    ctes.append(f"tq AS ({topk.format(src='dq', qm=query_mod, k=k)})")
+    ctes.append(
+        "hits AS (SELECT te.qid, count(*) AS h FROM te"
+        " JOIN tq ON te.qid = tq.qid AND te.nid = tq.nid GROUP BY te.qid)"
+    )
+    ctes.append("qs AS (SELECT DISTINCT qid FROM te)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.h, 0) / {float(k)}, {ROUND}) AS recall
+FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
+    )
+
+
 def matryoshka_recall_sql(k: int = 5, dims: int = 16, query_mod: int = 25) -> str:
     """Twin of operators/quantize.py::matryoshka_recall — prefix slice
     ``x[1:dims]`` vs full vectors, the same 9-dp-rounded cosine top-k with

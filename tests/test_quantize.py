@@ -107,3 +107,42 @@ def test_matryoshka_prefix_dominant_dims(spark):
     out = matryoshka_recall(df, k=3, dims=2, query_mod=6).collect()
     assert len(out) == 4
     assert all(r["recall"] == 1.0 for r in out)
+
+
+def test_product_quantize_shapes(spark):
+    from graphina_spark.operators.quantize import product_quantize
+
+    rows = [(i, [float(1 + i % 4), float(2 + (i % 4) * 3), 7.0, float(i % 2)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = product_quantize(df, m=2, ks=8, iters=2).collect()
+    assert len(out) == 24
+    for r in out:
+        assert len(r["code"]) == 2
+        assert all(0 <= c < 8 for c in r["code"])
+        assert len(r["dvec"]) == 4
+
+
+def test_product_quantize_bad_m(spark):
+    import pytest as _pytest
+    from graphina_spark.operators.quantize import product_quantize
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        product_quantize(df, m=2).collect()
+
+
+def test_pq_identical_vectors_perfect_recall(spark):
+    from graphina_spark.operators.quantize import pq_recall
+
+    # duplicate rings: every distinct value lands on (or near) its own
+    # centroid, so within-ring top-k is preserved exactly
+    rows = [
+        (i, [float(1 + i % 4), float(2 + (i % 4) * 3), 7.0, float(10 * (i % 4))])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_recall(df, k=4, m=2, ks=8, iters=2, query_mod=6).collect()
+    assert {r["query_id"] for r in out} == {0, 6, 12, 18}
+    assert all(r["recall"] == 1.0 for r in out)
