@@ -445,3 +445,84 @@ def lsh_recall(
         F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
         F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): IVF-PQ approximate top-k —
+    the full faiss-style serving index (Jégou et al. 2011).
+
+    IVF coarse quantizer (deterministic sampled centroids, as
+    :func:`ivf_cosine_topk` with ``lloyd_iters=0``) bounds candidates to
+    the query's ``n_probe`` inverted lists; scoring is ASYMMETRIC
+    (ADC): the full-precision query against the neighbor's PQ
+    reconstruction (quantize.py::product_quantize), so the index stores
+    only m·log2(ks) bits per vector.
+
+    Scale shape: candidate generation ≈ n·n_probe/n_centroids rows per
+    query (one shuffle keyed by probed centroid); PQ codebooks are
+    ks×(d/m) broadcasts; reconstruction joins on the candidate side only.
+    Recall composes with pq_recall/lsh_recall for acceptance.  DuckDB
+    twin: oracles_text.py::ivfpq_topk_sql.
+    """
+    from graphina_spark.operators.quantize import product_quantize
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    cents = _centroids(base, n_centroids)
+    assigned = _assign(base, cents).select("id", "cid")
+    recon = product_quantize(
+        base, m=m, ks=ks, iters=iters, id_col="id", vec_col="vec"
+    ).select(F.col("id").alias("nid"), F.col("dvec").alias("nvec"))
+
+    den = _norm(F.col("vec")) * _norm(F.col("cvec"))
+    qprobe = base.crossJoin(F.broadcast(cents)).select(
+        F.col("id").alias("qid"),
+        "cid",
+        F.when(den > 0, _dot(F.col("vec"), F.col("cvec")) / den)
+        .otherwise(F.lit(-2.0))
+        .alias("csim"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc(F.round("csim", 9)), F.asc("cid"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= n_probe)
+        .select("qid", "cid")
+    )
+    qv = base.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    cand = (
+        probes.join(
+            assigned.select(F.col("id").alias("nid"), "cid"), "cid"
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .join(recon, "nid")
+        .join(qv, "qid")
+    )
+    den2 = _norm(F.col("qvec")) * _norm(F.col("nvec"))
+    scored = cand.select(
+        "qid",
+        "nid",
+        F.when(den2 > 0, _dot(F.col("qvec"), F.col("nvec")) / den2).alias("cosine"),
+    ).where(F.col("cosine").isNotNull())
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cosine", 9)), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -967,29 +967,21 @@ SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
 FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
 
 
-def pq_recall_sql(
-    k: int = 5,
-    m: int = 4,
-    ks: int = 16,
-    iters: int = 2,
-    dim: int = 64,
-    query_mod: int = 25,
-) -> str:
-    """Twin of operators/quantize.py::pq_recall — per-subspace kmeans
+def _pq_recon_ctes(m: int, ks: int, iters: int, dim: int) -> list:
+    """CTE chain (appended after a ``pbase(id, vec)`` CTE) replaying
+    operators/quantize.py::product_quantize: per-subspace kmeans
     trajectories identical to _kmeans_ctes (sampled init, 9-dp L2 argmin
     with small-cid ties, 6-dp centroid means, empty clusters keep their
     previous centroid), reconstruction from the centroid frame the FINAL
-    assignment was scored against (c{iters-1}), then the usual 9-dp cosine
-    top-k recall harness."""
+    assignment was scored against (c{iters-1}).  Ends with
+    ``dq(id, v)`` = reconstructed vectors."""
     if dim % m != 0:
         raise ValueError("dim % m != 0")
     sub = dim // m
     ctes = [
-        "pbase AS MATERIALIZED (SELECT vec_id AS id,"
-        " CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
-        "nn AS (SELECT count(*) AS n FROM pbase)",
-        f"stepc AS (SELECT greatest(1, CAST(n // {ks} AS BIGINT)) AS step"
-        " FROM nn)",
+        "pnn AS (SELECT count(*) AS n FROM pbase)",
+        f"pstepc AS (SELECT greatest(1, CAST(n // {ks} AS BIGINT)) AS step"
+        " FROM pnn)",
         f"sdims AS (SELECT unnest(range(1, 1 + {sub})) AS pos)",
     ]
     d2 = (
@@ -1005,7 +997,7 @@ def pq_recall_sql(
         )
         ctes.append(
             f"c{j}_0 AS MATERIALIZED (SELECT CAST(id // step AS INT) AS cid,"
-            f" vec AS cvec FROM b{j}, stepc"
+            f" vec AS cvec FROM b{j}, pstepc"
             f" WHERE id % step = 0 AND id < step * {ks})"
         )
         for r in range(1, iters + 1):
@@ -1043,6 +1035,24 @@ def pq_recall_sql(
         "dq AS MATERIALIZED (SELECT id, flatten(list(sv ORDER BY sub)) AS v"
         " FROM ru GROUP BY id)"
     )
+    return ctes
+
+
+def pq_recall_sql(
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    query_mod: int = 25,
+) -> str:
+    """Twin of operators/quantize.py::pq_recall — PQ reconstruction chain
+    (see _pq_recon_ctes), then the usual 9-dp cosine top-k recall
+    harness."""
+    ctes = [
+        "pbase AS MATERIALIZED (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+    ] + _pq_recon_ctes(m, ks, iters, dim)
     ctes.append("ex AS (SELECT id, vec AS v FROM pbase)")
     dot = (
         "list_aggregate(list_transform(list_zip({a}, {b}),"
@@ -1077,6 +1087,74 @@ def pq_recall_sql(
 SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
        round(coalesce(hits.h, 0) / {float(k)}, {ROUND}) AS recall
 FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
+    )
+
+
+def ivfpq_topk_sql(
+    kk: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Twin of operators/ann.py::ivfpq_topk — IVF coarse quantizer
+    (sampled centroids, nearest by 9-dp cosine with cid-asc ties,
+    top-n_probe probe lists, as in ivf_topk_sql) + asymmetric scoring:
+    full-precision query against the PQ-reconstructed neighbor
+    (_pq_recon_ctes)."""
+    ctes = [
+        "pbase AS MATERIALIZED (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+    ] + _pq_recon_ctes(m, ks, iters, dim)
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " t -> t[1] * t[2]), 'sum')"
+    )
+    cos_vc = (
+        f"CASE WHEN sqrt({dot.format(a='x.vec', b='x.vec')}) *"
+        f" sqrt({dot.format(a='c.cvec', b='c.cvec')}) > 0 THEN"
+        f" {dot.format(a='x.vec', b='c.cvec')} /"
+        f" (sqrt({dot.format(a='x.vec', b='x.vec')}) *"
+        f" sqrt({dot.format(a='c.cvec', b='c.cvec')})) ELSE -2.0 END"
+    )
+    cos_qn = (
+        f"CASE WHEN sqrt({dot.format(a='x.vec', b='x.vec')}) *"
+        f" sqrt({dot.format(a='y.v', b='y.v')}) > 0 THEN"
+        f" {dot.format(a='x.vec', b='y.v')} /"
+        f" (sqrt({dot.format(a='x.vec', b='x.vec')}) *"
+        f" sqrt({dot.format(a='y.v', b='y.v')})) END"
+    )
+    ctes += [
+        "inn AS (SELECT count(*) AS n FROM pbase)",
+        f"istepc AS (SELECT greatest(1, CAST(n // {n_centroids} AS BIGINT))"
+        " AS step FROM inn)",
+        "icents AS (SELECT CAST(id // step AS INT) AS cid, vec AS cvec"
+        f" FROM pbase, istepc WHERE id % step = 0 AND id < step * {n_centroids})",
+        f"isim AS (SELECT x.id, c.cid, {cos_vc} AS csim"
+        " FROM pbase x CROSS JOIN icents c)",
+        "iranked AS (SELECT id, cid, row_number() OVER ("
+        " PARTITION BY id ORDER BY round(csim, 9) DESC, cid ASC) AS rn"
+        " FROM isim)",
+        "iassign AS (SELECT id, cid FROM iranked WHERE rn = 1)",
+        f"iprobes AS (SELECT id AS qid, cid FROM iranked WHERE rn <= {n_probe})",
+        "icand AS (SELECT p.qid, a.id AS nid FROM iprobes p"
+        " JOIN iassign a ON p.cid = a.cid AND p.qid <> a.id)",
+        f"iscored AS (SELECT cd.qid AS query_id, cd.nid AS neighbor_id,"
+        f" {cos_qn} AS cosine FROM icand cd"
+        " JOIN pbase x ON x.id = cd.qid JOIN dq y ON y.id = cd.nid)",
+        "iranked2 AS (SELECT query_id, neighbor_id, cosine,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY round(cosine, 9) DESC, neighbor_id ASC) AS rank"
+        " FROM iscored WHERE cosine IS NOT NULL)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, round(cosine, {ROUND}) AS cosine,
+       CAST(rank AS INT) AS rank
+FROM iranked2 WHERE rank <= {kk}"""
     )
 
 
