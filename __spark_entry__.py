@@ -978,6 +978,15 @@ def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(docs, minhash_lsh_pairs(docs, threshold=0.2))
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: keep the best-quality doc per
+    near-dup group (argmax textstats quality, ties to min id)."""
+    from graphina_spark.operators.dedup import dedup_keep_best, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_keep_best(docs, minhash_lsh_pairs(docs, threshold=0.2))
+
+
 KCORE_K = 5
 KCORE_ROUNDS = 8
 CORENESS_ROUNDS = 14  # converges in 12 at sf0.01; fixed on both sides
@@ -1875,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": _q_lsh_recall,
         "embedding_neardup": _q_embedding_neardup,
         "neardup_groups": _q_neardup_groups,
+        "dedup_keep_best": _q_dedup_keep_best,
         "kcore_web": _q_kcore_web,
         "hits_web": _q_hits_web,
         "walks_web": _q_walks_web,
@@ -2135,6 +2145,7 @@ def _text_oracles() -> dict[str, str]:
             threshold=0.4, planes=6, tables=2, max_bucket=4096
         ),
         "neardup_groups": T.neardup_groups_sql(threshold=0.2),
+        "dedup_keep_best": T.dedup_keep_best_sql(threshold=0.2),
         "doc_split": T.doc_split_sql(),
         "corpus_stats": T.corpus_stats_sql(),
         "doc_filter": T.doc_filter_sql(**FILTER_ARGS),

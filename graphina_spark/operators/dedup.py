@@ -239,3 +239,42 @@ def simhash_duplicate_groups(
         F.min("id").over(w).alias("group_id"),
         (F.col("id") == F.min("id").over(w)).alias("keep"),
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, group_id, keep) — quality-aware survivor selection: within each
+    near-dup group (transitive closure over ``pairs``, as
+    :func:`neardup_groups`) keep the HIGHEST-quality document instead of
+    the minimum id — the policy production pipelines actually run (e.g.
+    CCNet/RefinedWeb keep the best-scoring duplicate).  Quality =
+    functions/textstats.py::quality_score rounded to 6 dp before ranking
+    (cross-engine float-order safety); ties break to the smaller id.
+
+    Scale shape: the components kernel over the (tiny) pair graph plus ONE
+    quality projection and ONE per-group window — the window key is
+    group_id, whose cardinality is the number of documents, with group
+    sizes bounded by dup-cluster size.
+    """
+    from pyspark.sql import Window
+
+    from graphina_spark.functions.textstats import quality_score
+
+    groups = neardup_groups(df, pairs, id_col=id_col, max_iter=max_iter).select(
+        "id", "group_id"
+    )
+    q = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.round(quality_score(F.col(text_col)), 6).alias("q"),
+    )
+    j = groups.join(q, "id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("q"), F.asc("id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .select("id", "group_id", (F.col("rn") == 1).alias("keep"))
+    )

@@ -345,6 +345,46 @@ FROM documents d LEFT JOIN closure c ON c.u = d.doc_id
 GROUP BY d.doc_id"""
 
 
+def dedup_keep_best_sql(threshold: float = 0.2) -> str:
+    """Twin of operators/dedup.py::dedup_keep_best over minhash_lsh pairs:
+    same transitive-closure groups as neardup_groups_sql, survivor =
+    argmax of the 6-dp-rounded textstats quality blend, ties to the
+    smaller id."""
+    pairs = minhash_lsh_sql(threshold=threshold)
+    all_stop = "[" + ", ".join(
+        f"'{w}'" for lang in LANG_ORDER for w in STOPWORDS[lang]
+    ) + "]"
+    return f"""WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a, b FROM ({pairs}) q),
+ sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+ closure(u, v) AS (
+   SELECT u, v FROM sym
+   UNION
+   SELECT c.u, s.v FROM closure c JOIN sym s ON c.v = s.u),
+ grp AS MATERIALIZED (
+   SELECT d.doc_id AS id,
+          least(d.doc_id, coalesce(min(c.v), d.doc_id)) AS group_id
+   FROM documents d LEFT JOIN closure c ON c.u = d.doc_id
+   GROUP BY d.doc_id),
+ {_TOK},
+ qual AS (
+   SELECT d.doc_id AS id,
+          round(least(1.0, len(t.t) / 100.0)
+            * (1.0 - least(1.0, 4.0 * (length(d.text)
+                 - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / (length(d.text) + 1)))
+            * (0.2 + 0.8 * least(1.0, 2.0
+                 * len(list_filter(t.t, x -> list_contains({all_stop}, x)))
+                 / (len(t.t) + 1))), 6) AS q
+   FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+ r AS (
+   SELECT g.id, g.group_id,
+          row_number() OVER (PARTITION BY g.group_id
+                             ORDER BY s.q DESC, g.id ASC) AS rn
+   FROM grp g JOIN qual s ON g.id = s.id)
+SELECT id, group_id, rn = 1 AS keep FROM r"""
+
+
 def _split_case(weights: dict[str, float] | None, salt: str) -> str:
     from graphina_spark.operators.sampling import split_thresholds
 

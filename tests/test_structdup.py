@@ -68,3 +68,24 @@ def test_k_bands_validation(spark):
     g = _graph(spark, [(0, 1)], 2)
     with pytest.raises(ValueError, match="multiple of bands"):
         structural_dup_pairs(g, k=6, bands=4)
+
+
+def test_dedup_keep_best_quality_wins(spark):
+    from graphina_spark.operators.dedup import dedup_keep_best
+
+    # doc 0 short/low-quality, doc 7 long with stopwords → higher quality;
+    # the pair graph links them, so the HIGHER id must win the group
+    docs = spark.createDataFrame(
+        [
+            (0, "key agg row"),
+            (7, "the a of and to in is it key agg row scan table value part "
+                "hash the a of and to in is it the a of and to key agg row"),
+            (3, "unrelated batch window spark order"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 7)], "a long, b long")
+    out = {r["id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert out[7]["keep"] is True and out[0]["keep"] is False
+    assert out[0]["group_id"] == out[7]["group_id"]
+    assert out[3]["keep"] is True  # singleton keeps itself
