@@ -978,6 +978,17 @@ def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(docs, minhash_lsh_pairs(docs, threshold=0.2))
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: dedup survivors -> bench carve-out -> quality
+    filter -> decontamination, composed from the individually-gated
+    stages (operators/curation.py)."""
+    from graphina_spark.operators.curation import curation_pipeline
+
+    return curation_pipeline(
+        _docs(spark, sf_dir), contam_k=4, **FILTER_ARGS
+    )
+
+
 def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection: keep the best-quality doc per
     near-dup group (argmax textstats quality, ties to min id)."""
@@ -1885,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "neardup_groups": _q_neardup_groups,
         "dedup_keep_best": _q_dedup_keep_best,
+        "curation_pipeline": _q_curation_pipeline,
         "kcore_web": _q_kcore_web,
         "hits_web": _q_hits_web,
         "walks_web": _q_walks_web,
@@ -2146,6 +2158,7 @@ def _text_oracles() -> dict[str, str]:
         ),
         "neardup_groups": T.neardup_groups_sql(threshold=0.2),
         "dedup_keep_best": T.dedup_keep_best_sql(threshold=0.2),
+        "curation_pipeline": T.curation_pipeline_sql(contam_k=4, **FILTER_ARGS),
         "doc_split": T.doc_split_sql(),
         "corpus_stats": T.corpus_stats_sql(),
         "doc_filter": T.doc_filter_sql(**FILTER_ARGS),

@@ -1,0 +1,92 @@
+"""End-to-end training-corpus curation pipeline — the composition gate.
+
+Every production webtext pipeline chains the same four stages; this module
+wires the engine's existing oracle-gated operators into ONE dataframe the
+driver can gate end-to-end, proving the stages compose (column contracts,
+verdict semantics, determinism) and not just pass in isolation:
+
+1. **near-dup survivor selection** over the full corpus
+   (operators/dedup.py::dedup_keep_best over minhash_lsh_pairs) — dedup
+   runs FIRST, before any filtering, the standard order (cuts volume for
+   every later stage; RefinedWeb/FineWeb run fuzzy dedup before quality
+   filters are finalized),
+2. **benchmark carve-out**: ``doc_id % bench_mod == 0`` reserved as the
+   eval split (the contamination gate's deterministic split),
+3. **quality filter** (operators/sampling.py::filter_corpus — length /
+   quality-blend / language rules, per-doc verdicts),
+4. **decontamination**: drop any surviving train doc leaking ≥
+   ``contam_min_frac`` of some benchmark doc's distinct k-grams
+   (operators/contamination.py::contaminated_ids).
+
+Because every stage verdict is a PER-DOCUMENT function of full-corpus
+computations, the composed result is order-independent to evaluate and the
+DuckDB twin (oracles_text.py::curation_pipeline_sql) nests the existing
+stage oracles unchanged.
+
+Scale shape: no new kernels — the pipeline inherits each stage's shape
+(LSH-banded dedup candidates, components over the tiny pair graph, one
+codegen'd filter scan, one broadcast gram join) plus three id-keyed joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    bench_mod: int = 97,
+    contam_k: int = 4,
+    contam_min_frac: float = 0.5,
+    dedup_threshold: float = 0.2,
+    min_tokens: int = 10,
+    max_tokens: int | None = None,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, quality) — the final kept training corpus after
+    dedup-survivor selection, bench carve-out, quality filtering, and
+    benchmark decontamination (module docstring has the stage order)."""
+    from graphina_spark.operators.contamination import contaminated_ids
+    from graphina_spark.operators.dedup import dedup_keep_best, minhash_lsh_pairs
+    from graphina_spark.operators.sampling import filter_corpus
+
+    did = F.col(id_col).cast("long")
+    survivors = (
+        dedup_keep_best(
+            docs,
+            minhash_lsh_pairs(docs, threshold=dedup_threshold),
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .where("keep")
+        .select("id")
+    )
+    verdicts = filter_corpus(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_quality=min_quality,
+        langs=langs,
+    ).where("keep")
+    bench = docs.where(did % bench_mod == 0)
+    train = docs.where(did % bench_mod != 0)
+    dirty = contaminated_ids(
+        train, bench, k=contam_k, min_frac=contam_min_frac,
+        id_col=id_col, text_col=text_col,
+    )
+    return (
+        verdicts.where(F.col("id") % bench_mod != 0)
+        .join(survivors, "id")
+        .join(dirty, verdicts["id"] == dirty["train_id"], "left_anti")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.round("quality", 6).alias("quality"),
+        )
+    )

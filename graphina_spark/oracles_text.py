@@ -1410,3 +1410,35 @@ SELECT h.train_id, h.bench_id, CAST(h.shared AS BIGINT) AS shared,
        CAST(bs.bench_grams AS BIGINT) AS bench_grams,
        round(h.shared * 1.0 / bs.bench_grams, {ROUND}) AS frac
 FROM h JOIN bs USING (bench_id)"""
+
+
+def curation_pipeline_sql(
+    bench_mod: int = 97,
+    contam_k: int = 4,
+    contam_min_frac: float = 0.5,
+    dedup_threshold: float = 0.2,
+    min_tokens: int = 10,
+    max_tokens: int | None = None,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+) -> str:
+    """Twin of operators/curation.py::curation_pipeline — nests the three
+    stage oracles unchanged (doc_filter_sql, dedup_keep_best_sql,
+    contamination_sql; every stage verdict is per-doc, so subquery
+    composition is exact).  The contamination threshold compares the
+    6-dp-rounded frac on both engines."""
+    fl = doc_filter_sql(
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_quality=min_quality,
+        langs=langs,
+    )
+    kb = dedup_keep_best_sql(threshold=dedup_threshold)
+    ct = contamination_sql(k=contam_k, bench_mod=bench_mod)
+    return f"""SELECT f.id AS doc_id, f.n_tokens, f.quality
+FROM ({fl}) f
+JOIN ({kb}) k ON k.id = f.id AND k.keep
+LEFT JOIN (SELECT DISTINCT train_id FROM ({ct})
+           WHERE frac >= {contam_min_frac}) c
+  ON c.train_id = f.id
+WHERE f.keep AND f.id % {bench_mod} <> 0 AND c.train_id IS NULL"""
