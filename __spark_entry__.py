@@ -1436,6 +1436,14 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_recall(_embs(spark, sf_dir), k=5, m=4, ks=16, iters=2, query_mod=25)
 
 
+def _q_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.quantize import opq_recall
+
+    return opq_recall(
+        _embs(spark, sf_dir), k=5, m=4, ks=16, iters=2, rounds=2, query_mod=25
+    )
+
+
 def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.ann import ivfpq_topk
 
@@ -1928,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_recall": _q_quant_recall,
         "matryoshka_recall": _q_matryoshka_recall,
         "pq_recall": _q_pq_recall,
+        "opq_recall": _q_opq_recall,
         "ivfpq_topk": _q_ivfpq_topk,
         "nbr_emb_web": _q_nbr_emb_web,
         "weighted_sample_docs": _q_weighted_sample_docs,
@@ -2173,6 +2182,7 @@ def _text_oracles() -> dict[str, str]:
         "quant_recall": T.quant_recall_sql(k=5, query_mod=25),
         "matryoshka_recall": T.matryoshka_recall_sql(k=5, dims=16, query_mod=25),
         "pq_recall": T.pq_recall_sql(k=5, m=4, ks=16, iters=2, dim=64, query_mod=25),
+        "opq_recall": T.opq_recall_sql(k=5, m=4, ks=16, iters=2, dim=64, rounds=2, query_mod=25),
         "ivfpq_topk": T.ivfpq_topk_sql(kk=5, n_centroids=16, n_probe=2, m=4, ks=16, iters=2, dim=64),
         "nbr_emb_web": T.nbr_emb_sql(),
         "weighted_sample_docs": T.weighted_sample_sql(k=50),

@@ -26,6 +26,8 @@ DuckDB twin: oracles_text.py::quant_recall_sql.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -230,6 +232,110 @@ def product_quantize(
             F.flatten(F.transform("t", lambda s: s["sv"])).alias("dvec"),
         )
     )
+
+
+def rotation_matrix(dim: int, rounds: int = 2) -> list:
+    """Deterministic orthonormal ``dim×dim`` rotation: a product of Givens
+    rotations over a fixed pair schedule with golden-angle-sequence angles.
+
+    This is the data-independent rotation of OPQ's random-rotation variant
+    (Ge et al. 2013 §4 "OPQ_RR"; faiss ``OPQMatrix`` with random init, ITQ's
+    starting point): decorrelating/mixing dimensions before PQ so no
+    subspace carries disproportionate variance.  Pure-Python floats (no
+    BLAS, no RNG stream) so the DuckDB oracle builder replays the exact
+    same matrix by importing this function — the gate stays bit-exact.
+    """
+    R = [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    t = 0
+    for r in range(rounds):
+        for i in range(dim - 1):
+            j = (i + 1 + r) % dim
+            if j == i:
+                continue
+            t += 1
+            theta = 2.399963229728653 * t  # golden angle
+            c, s = math.cos(theta), math.sin(theta)
+            for k in range(dim):
+                a, b = R[i][k], R[j][k]
+                R[i][k] = c * a - s * b
+                R[j][k] = s * a + c * b
+    return R
+
+
+def rotate_vectors(
+    df: DataFrame,
+    R: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding) with ``embedding ← round(R·x, 6)`` — a literal
+    broadcast matrix-vector product, shuffle-free projection (the rotation
+    is dim² doubles regardless of corpus size).  The 6-dp rounding pins the
+    rotated coordinates to the repo's cross-engine decimal grid before any
+    downstream k-means trajectory consumes them."""
+    rmat = F.array(*[F.array(*(F.lit(float(v)) for v in row)) for row in R])
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    ).select(
+        "vec_id",
+        F.transform(
+            rmat,
+            lambda row: F.round(
+                F.aggregate(
+                    F.zip_with(row, F.col("x"), lambda r, xi: r * xi),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ),
+        ).alias("embedding"),
+    )
+
+
+def opq_recall(
+    df: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    rounds: int = 2,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, hits, recall) — recall@k of top-k search over
+    rotated-then-PQ-reconstructed vectors vs the full-precision exact top-k
+    in the ORIGINAL space (rotation preserves inner products, so the two
+    spaces rank identically at full precision; any recall loss is
+    quantization error, which the rotation redistributes across subspaces).
+
+    The OPQ acceptance readout: compare against :func:`pq_recall` at the
+    same (m, ks) to measure what the rotation buys.  Full learned OPQ
+    alternates SVD/Procrustes solves whose float trajectory is not
+    cross-engine replayable; the deterministic rotation here is the
+    standard data-independent variant with the same distributed shape
+    (broadcast rotation + the identical PQ kernel).  DuckDB twin:
+    oracles_text.py::opq_recall_sql."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    first = base.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first else 0
+    rot = rotate_vectors(base, rotation_matrix(dim, rounds))
+    recon = product_quantize(
+        rot, m=m, ks=ks, iters=iters, id_col="vec_id", vec_col="embedding"
+    ).select(F.col("id").alias("vec_id"), F.col("dvec").alias("embedding"))
+    queries_e = base.where(F.col("vec_id") % query_mod == 0)
+    queries_q = recon.where(F.col("vec_id") % query_mod == 0)
+    exact = cosine_topk(base, k=k, queries=queries_e).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    quant = cosine_topk(recon, k=k, queries=queries_q).select(
+        "query_id", F.col("neighbor_id").alias("n_apx")
+    )
+    return _recall_vs_exact(exact, quant, k)
 
 
 def pq_recall(

@@ -1130,6 +1130,75 @@ FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
     )
 
 
+def opq_recall_sql(
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    rounds: int = 2,
+    query_mod: int = 25,
+) -> str:
+    """Twin of operators/quantize.py::opq_recall — applies the SAME
+    pure-Python Givens rotation matrix (imported from quantize.py, so both
+    engines multiply identical literals), rounds rotated coordinates to
+    6 dp, replays the PQ reconstruction chain on the rotated vectors, and
+    scores recall against the exact top-k in the ORIGINAL space."""
+    from graphina_spark.operators.quantize import rotation_matrix
+
+    R = rotation_matrix(dim, rounds)
+    rlit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in R
+        )
+        + "]"
+    )
+    ctes = [
+        "obase AS MATERIALIZED (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"rmat AS (SELECT {rlit}::DOUBLE[][] AS rm)",
+        "pbase AS MATERIALIZED (SELECT id, list_transform(rm, row ->"
+        " round(list_aggregate(list_transform(list_zip(row, vec),"
+        " t -> t[1] * t[2]), 'sum'), 6)) AS vec FROM obase, rmat)",
+    ] + _pq_recon_ctes(m, ks, iters, dim)
+    ctes.append("ex AS (SELECT id, vec AS v FROM obase)")
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " t -> t[1] * t[2]), 'sum')"
+    )
+    cos = (
+        f"CASE WHEN sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')}) > 0 THEN"
+        f" {dot.format(a='q.v', b='b.v')} /"
+        f" (sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')})) END"
+    )
+    topk = (
+        "SELECT qid, nid FROM ("
+        "  SELECT q.id AS qid, b.id AS nid,"
+        f"        round({cos}, 9) AS c"
+        "   FROM {src} q JOIN {src} b ON q.id % {qm} = 0 AND q.id <> b.id)"
+        " t WHERE c IS NOT NULL"
+        " QUALIFY row_number() OVER (PARTITION BY qid"
+        "   ORDER BY c DESC, nid ASC) <= {k}"
+    )
+    ctes.append(f"te AS ({topk.format(src='ex', qm=query_mod, k=k)})")
+    ctes.append(f"tq AS ({topk.format(src='dq', qm=query_mod, k=k)})")
+    ctes.append(
+        "hits AS (SELECT te.qid, count(*) AS h FROM te"
+        " JOIN tq ON te.qid = tq.qid AND te.nid = tq.nid GROUP BY te.qid)"
+    )
+    ctes.append("qs AS (SELECT DISTINCT qid FROM te)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT qs.qid AS query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.h, 0) / {float(k)}, {ROUND}) AS recall
+FROM qs LEFT JOIN hits ON qs.qid = hits.qid"""
+    )
+
+
 def ivfpq_topk_sql(
     kk: int = 5,
     n_centroids: int = 16,

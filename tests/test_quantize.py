@@ -176,3 +176,53 @@ def test_ivfpq_topk_contract(spark):
     hits = sum(len(by_q.get(q, set()) & s) for q, s in ex_by_q.items())
     total = sum(len(s) for s in ex_by_q.values())
     assert hits / total > 0.5
+
+
+def test_rotation_matrix_orthonormal():
+    from graphina_spark.operators.quantize import rotation_matrix
+
+    d = 8
+    R = rotation_matrix(d, rounds=2)
+    # R · Rᵀ ≈ I (product of exact Givens rotations, float error only)
+    for i in range(d):
+        for j in range(d):
+            dot = sum(R[i][k] * R[j][k] for k in range(d))
+            assert abs(dot - (1.0 if i == j else 0.0)) < 1e-12
+    # deterministic: same inputs → bit-identical matrix
+    assert R == rotation_matrix(d, rounds=2)
+    # the rotation actually mixes dimensions (not a permutation/identity)
+    off = sum(abs(R[i][j]) for i in range(d) for j in range(d) if i != j)
+    assert off > 1.0
+
+
+def test_rotate_vectors_preserves_dots(spark):
+    from graphina_spark.operators.quantize import rotate_vectors, rotation_matrix
+
+    rows = [(i, [float(i + 1), float(2 * i), 3.0, float(i % 3)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    R = rotation_matrix(4, rounds=2)
+    out = {r["vec_id"]: r["embedding"] for r in rotate_vectors(df, R).collect()}
+    import math as _m
+
+    for i, x in rows:
+        y = out[i]
+        assert len(y) == 4
+        # norm preserved up to the 6-dp coordinate rounding
+        nx = _m.sqrt(sum(v * v for v in x))
+        ny = _m.sqrt(sum(v * v for v in y))
+        assert abs(nx - ny) < 1e-4
+
+
+def test_opq_identical_vectors_perfect_recall(spark):
+    from graphina_spark.operators.quantize import opq_recall
+
+    # duplicate rings (as in the PQ test): every distinct rotated value
+    # lands on (or near) its own centroid → within-ring top-k preserved
+    rows = [
+        (i, [float(1 + i % 4), float(2 + (i % 4) * 3), 7.0, float(10 * (i % 4))])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = opq_recall(df, k=4, m=2, ks=8, iters=2, rounds=2, query_mod=6).collect()
+    assert {r["query_id"] for r in out} == {0, 6, 12, 18}
+    assert all(r["recall"] == 1.0 for r in out)
