@@ -1130,6 +1130,20 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_PER_HOST = 3
+CRAWL_BUDGET = 100
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next recrawl batch: integer authority×staleness priority, per-host
+    politeness cap, global fetch budget (operators/crawl.py)."""
+    from graphina_spark.operators.crawl import crawl_schedule
+
+    return crawl_schedule(
+        _web(spark, sf_dir),
+        host_mod=HOST_MOD,
+        per_host=TOP_PER_HOST,
+        budget=CRAWL_BUDGET,
+    )
 
 
 def _q_top_pages_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_docs": _q_stratified_docs,
         "kmeans_emb": _q_kmeans_emb,
         "top_pages_per_host": _q_top_pages_per_host,
+        "crawl_schedule": _q_crawl_schedule,
         "semdedup": _q_semdedup,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
@@ -2123,6 +2138,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_docs": O.stratified_docs_sql(STRATA_FRACS),
         "top_pages_per_host": O.top_pages_per_host_sql(
             host_mod=HOST_MOD, k=TOP_PER_HOST
+        ),
+        "crawl_schedule": O.crawl_schedule_sql(
+            host_mod=HOST_MOD, per_host=TOP_PER_HOST, budget=CRAWL_BUDGET
         ),
         "coupling_web": O.coupling_web_sql(min_count=COCIT_MIN),
         "rich_club_web": O.rich_club_web_sql(k=RICH_CLUB_K),

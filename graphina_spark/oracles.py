@@ -2343,6 +2343,33 @@ def top_pages_per_host_sql(host_mod: int = 64, k: int = 3) -> str:
 SELECT host, id, w_in, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {k}"""
 
 
+def crawl_schedule_sql(
+    host_mod: int = 64,
+    per_host: int = 3,
+    budget: int = 100,
+    age_mult: int = 13,
+    age_mod: int = 30,
+) -> str:
+    """Mirror of operators/crawl.py::crawl_schedule — integer in-link
+    weight × synthetic integer age, per-host politeness row_number, global
+    top-budget over the capped set (total order: priority desc, id asc)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ indeg AS (SELECT dst AS id, CAST(sum(weight) AS BIGINT) AS w_in
+           FROM edges GROUP BY dst),
+ pages AS (SELECT CAST(v.id % {host_mod} AS BIGINT) AS host, v.id,
+                  coalesce(i.w_in, 0) * ((v.id * {age_mult}) % {age_mod} + 1)
+                    AS priority
+           FROM v LEFT JOIN indeg i ON v.id = i.id),
+ capped AS (SELECT host, id, priority, rnk FROM (
+     SELECT host, id, priority, row_number() OVER (
+         PARTITION BY host ORDER BY priority DESC, id ASC) AS rnk
+     FROM pages) WHERE rnk <= {per_host})
+SELECT host, id, priority, CAST(rnk AS INT) AS slot FROM (
+  SELECT host, id, priority, rnk, row_number() OVER (
+      ORDER BY priority DESC, id ASC) AS grnk FROM capped)
+WHERE grnk <= {budget}"""
+
+
 def session_stats_sql(gap_s: int = 14_400) -> str:
     """Mirror of operators/sessions.py::session_stats — gap-based
     sessionization via lag + running-sum windows (same tz-free
