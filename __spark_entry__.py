@@ -913,6 +913,14 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts + scrubbed-text md5 over deterministically
+    planted contacts (functions/pii.py)."""
+    from graphina_spark.functions.pii import pii_scrub, plant_pii
+
+    return pii_scrub(plant_pii(_docs(spark, sf_dir)))
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.dedup import exact_dedup
 
@@ -1907,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_list_roundtrip": _q_edge_list_roundtrip,
         "generators": _q_generators,
         "text_stats": _q_text_stats,
+        "pii_scrub": _q_pii_scrub,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -2169,6 +2178,7 @@ def _text_oracles() -> dict[str, str]:
 
     return {
         "text_stats": T.text_stats_sql(),
+        "pii_scrub": T.pii_scrub_sql(),
         "bpe_merges": T.bpe_merges_sql(merges=8),
         "freq_tokens": T.frequent_tokens_sql(num=1, den=500),
         "contamination": T.contamination_sql(k=4),

@@ -1511,3 +1511,43 @@ LEFT JOIN (SELECT DISTINCT train_id FROM ({ct})
            WHERE frac >= {contam_min_frac}) c
   ON c.train_id = f.id
 WHERE f.keep AND f.id % {bench_mod} <> 0 AND c.train_id IS NULL"""
+
+
+def pii_scrub_sql() -> str:
+    """Mirror of functions/pii.py — identical planted contacts, identical
+    engine-portable regexes (no lookaround, so Java regex and RE2 agree),
+    identical email → IPv4 → phone replacement order."""
+    from graphina_spark.functions.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    planted = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin' ||"
+        " CAST(doc_id AS VARCHAR) || '@mail.test' ELSE '' END"
+        " || ' or 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)"
+        " || ' or call +1-555-' ||"
+        " lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') || ' now'"
+    )
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),"
+        f" '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),"
+        f" '{PHONE_RE}', '{PHONE_TOKEN}', 'g')"
+    )
+    return f"""WITH planted AS (SELECT doc_id, {planted} AS text FROM documents),
+ scrub AS (SELECT doc_id, text, {clean} AS clean FROM planted)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+  CAST(length(text) - length(clean) AS INT) AS n_redacted_chars,
+  md5(clean) AS clean_md5
+FROM scrub"""
