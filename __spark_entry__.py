@@ -921,6 +921,14 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(plant_pii(_docs(spark, sf_dir)))
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup: fixed-width token windows,
+    corpus-wide frequency rule, md5-pinned reassembly (operators/linededup.py)."""
+    from graphina_spark.operators.linededup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir))
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.dedup import exact_dedup
 
@@ -1916,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generators": _q_generators,
         "text_stats": _q_text_stats,
         "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -2179,6 +2188,7 @@ def _text_oracles() -> dict[str, str]:
     return {
         "text_stats": T.text_stats_sql(),
         "pii_scrub": T.pii_scrub_sql(),
+        "line_dedup": T.line_dedup_sql(),
         "bpe_merges": T.bpe_merges_sql(merges=8),
         "freq_tokens": T.frequent_tokens_sql(num=1, den=500),
         "contamination": T.contamination_sql(k=4),

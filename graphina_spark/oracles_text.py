@@ -1551,3 +1551,24 @@ SELECT doc_id,
   CAST(length(text) - length(clean) AS INT) AS n_redacted_chars,
   md5(clean) AS clean_md5
 FROM scrub"""
+
+
+def line_dedup_sql(words_per_line: int = 10, max_doc_freq: int = 1) -> str:
+    """Mirror of operators/linededup.py — same fixed-width token windows,
+    same corpus-wide distinct-doc frequency rule, same ordered reassembly
+    (string_agg ORDER BY line_no ≡ array_sort(collect_list(struct)))."""
+    w = words_per_line
+    return f"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+ lines AS (SELECT doc_id, i AS line_no,
+     array_to_string(list_slice(a, i*{w}+1, i*{w}+{w}), ' ') AS line
+   FROM arr, unnest(generate_series(0,
+     CAST(ceil(len(a)/{w}.0) AS BIGINT) - 1)) AS t(i)),
+ cnt AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS ndocs
+   FROM lines GROUP BY 1),
+ j AS (SELECT l.doc_id, l.line_no, l.line, c.ndocs <= {max_doc_freq} AS keep
+   FROM lines l JOIN cnt c ON md5(l.line) = c.h)
+SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS INT) AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+    ORDER BY line_no), '')) AS clean_md5
+FROM j GROUP BY doc_id"""
