@@ -1147,6 +1147,18 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_PER_HOST = 3
 CRAWL_BUDGET = 100
+BLOOM_BITS = 4096
+
+
+def _q_bloom_seen_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-dedup Bloom filter: build from the seen half of the vertex
+    set, probe all ids; hits (incl. false positives) are hash-deterministic
+    and bit-identical across engines (operators/bloom.py)."""
+    from graphina_spark.operators.bloom import bloom_membership
+
+    # undersized filter on purpose: the gate must EXERCISE false positives
+    # (and pin each one bit-exactly), not just the all-clear path
+    return bloom_membership(_web(spark, sf_dir).vertices, m_bits=BLOOM_BITS)
 
 
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2002,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_emb": _q_kmeans_emb,
         "top_pages_per_host": _q_top_pages_per_host,
         "crawl_schedule": _q_crawl_schedule,
+        "bloom_seen_web": _q_bloom_seen_web,
         "semdedup": _q_semdedup,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
@@ -2157,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "top_pages_per_host": O.top_pages_per_host_sql(
             host_mod=HOST_MOD, k=TOP_PER_HOST
         ),
+        "bloom_seen_web": O.bloom_seen_sql(m_bits=BLOOM_BITS),
         "crawl_schedule": O.crawl_schedule_sql(
             host_mod=HOST_MOD, per_host=TOP_PER_HOST, budget=CRAWL_BUDGET
         ),

@@ -3645,3 +3645,28 @@ def spreading_web_sql(
         + ",\n".join(ctes)
         + f"\nSELECT cls, id, round(f, {ROUND}) AS f FROM f{iters} WHERE f > 0"
     )
+
+
+def bloom_seen_sql(seen_mod: int = 2, m_bits: int = 1 << 16, k: int = 4) -> str:
+    """Mirror of operators/bloom.py::bloom_membership — identical portable
+    hash family (ANF constants), identical 31-bit word layout, so false
+    positives match bit-for-bit."""
+    from graphina_spark.operators.bloom import WORD_BITS
+    from graphina_spark.operators.distmetrics import ANF_A, ANF_B, ANF_P
+
+    vals = ", ".join(f"({j}, {ANF_A[j]}, {ANF_B[j]})" for j in range(k))
+    mask = f"(1::BIGINT << CAST(bit % {WORD_BITS} AS INT))"
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ hx AS (SELECT id, j, a, b, ((id + 1) * a + b) % {ANF_P} AS h1
+        FROM v CROSS JOIN (VALUES {vals}) AS t(j, a, b)),
+ h2t AS (SELECT id, j, b, (h1 * h1 + a) % {ANF_P} AS h2 FROM hx),
+ bits AS (SELECT id, j, ((h2 * h2 + b) % {ANF_P}) % {m_bits} AS bit FROM h2t),
+ words AS (SELECT CAST(floor(bit / {WORD_BITS}) AS BIGINT) AS word_idx,
+                  bit_or({mask}) AS word
+           FROM bits WHERE id % {seen_mod} = 0 GROUP BY 1),
+ probe AS (SELECT b.id,
+                  (coalesce(w.word, 0) & {mask}) <> 0 AS st
+           FROM bits b LEFT JOIN words w
+             ON CAST(floor(b.bit / {WORD_BITS}) AS BIGINT) = w.word_idx)
+SELECT id, id % {seen_mod} = 0 AS member, bool_and(st) AS hit
+FROM probe GROUP BY id"""
