@@ -1161,6 +1161,17 @@ def _q_bloom_seen_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_membership(_web(spark, sf_dir).vertices, m_bits=BLOOM_BITS)
 
 
+TOPO_ROUNDS = 12
+
+
+def _q_topo_layers_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path depth capped at K rounds over the id-oriented DAG —
+    the Spark-shaped member of the DFS-order family (operators/topo.py)."""
+    from graphina_spark.operators.topo import topo_layers
+
+    return topo_layers(_web(spark, sf_dir), rounds=TOPO_ROUNDS)
+
+
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next recrawl batch: integer authority×staleness priority, per-host
     politeness cap, global fetch budget (operators/crawl.py)."""
@@ -2015,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pages_per_host": _q_top_pages_per_host,
         "crawl_schedule": _q_crawl_schedule,
         "bloom_seen_web": _q_bloom_seen_web,
+        "topo_layers_web": _q_topo_layers_web,
         "semdedup": _q_semdedup,
         "coupling_web": _q_coupling_web,
         "rich_club_web": _q_rich_club_web,
@@ -2171,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
             host_mod=HOST_MOD, k=TOP_PER_HOST
         ),
         "bloom_seen_web": O.bloom_seen_sql(m_bits=BLOOM_BITS),
+        "topo_layers_web": O.topo_layers_sql(rounds=TOPO_ROUNDS),
         "crawl_schedule": O.crawl_schedule_sql(
             host_mod=HOST_MOD, per_host=TOP_PER_HOST, budget=CRAWL_BUDGET
         ),

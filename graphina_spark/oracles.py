@@ -3670,3 +3670,26 @@ def bloom_seen_sql(seen_mod: int = 2, m_bits: int = 1 << 16, k: int = 4) -> str:
              ON CAST(floor(b.bit / {WORD_BITS}) AS BIGINT) = w.word_idx)
 SELECT id, id % {seen_mod} = 0 AS member, bool_and(st) AS hit
 FROM probe GROUP BY id"""
+
+
+def topo_layers_sql(rounds: int = 12) -> str:
+    """Mirror of operators/topo.py::topo_layers — same id-oriented DAG,
+    same synchronous longest-path DP, K unrolled rounds (MATERIALIZED:
+    each round references the previous twice)."""
+    parts = [
+        WEB_EDGES_CTE.strip(),
+        "dag AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM edges WHERE src <> dst)",
+        "l0 AS MATERIALIZED (SELECT id, 0 AS layer FROM v)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id,"
+            f" CAST(greatest(l.layer, coalesce(g.cand, 0)) AS INT) AS layer"
+            f" FROM l{k-1} l LEFT JOIN (SELECT d.dst AS id,"
+            f" max(p.layer) + 1 AS cand FROM dag d JOIN l{k-1} p"
+            f" ON d.src = p.id GROUP BY d.dst) g ON l.id = g.id)"
+        )
+    return (
+        "WITH " + ",\n ".join(parts) + f"\nSELECT id, layer FROM l{rounds}"
+    )
