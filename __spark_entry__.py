@@ -929,6 +929,14 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_docs(spark, sf_dir))
 
 
+def _q_len_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact doc-length deciles via histogram + two-pass global prefix sum
+    + integer rank rule (operators/quantiles.py)."""
+    from graphina_spark.operators.quantiles import exact_quantiles
+
+    return exact_quantiles(_docs(spark, sf_dir), "n_chars")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.dedup import exact_dedup
 
@@ -1948,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
+        "len_deciles": _q_len_deciles,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -2216,6 +2225,7 @@ def _text_oracles() -> dict[str, str]:
         "text_stats": T.text_stats_sql(),
         "pii_scrub": T.pii_scrub_sql(),
         "line_dedup": T.line_dedup_sql(),
+        "len_deciles": T.len_deciles_sql(),
         "bpe_merges": T.bpe_merges_sql(merges=8),
         "freq_tokens": T.frequent_tokens_sql(num=1, den=500),
         "contamination": T.contamination_sql(k=4),

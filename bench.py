@@ -145,6 +145,11 @@ def main() -> None:
     run("freq_tokens", lambda: gated["freq_tokens"](spark, SF_DIR))
     run("contamination", lambda: gated["contamination"](spark, SF_DIR))
     run("core_track", lambda: gated["core_track_web"](spark, SF_DIR))
+    run("pii_scrub", lambda: gated["pii_scrub"](spark, SF_DIR))
+    run("line_dedup", lambda: gated["line_dedup"](spark, SF_DIR))
+    run("bloom_seen", lambda: gated["bloom_seen_web"](spark, SF_DIR))
+    run("crawl_schedule", lambda: gated["crawl_schedule"](spark, SF_DIR))
+    run("topo_12r", lambda: gated["topo_layers_web"](spark, SF_DIR))
 
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS

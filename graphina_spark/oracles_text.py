@@ -1572,3 +1572,18 @@ SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
   md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
     ORDER BY line_no), '')) AS clean_md5
 FROM j GROUP BY doc_id"""
+
+
+def len_deciles_sql(q: int = 10) -> str:
+    """Mirror of operators/quantiles.py::exact_quantiles on n_chars —
+    histogram + running sum + INTEGER rank rule (ceil via (k·n+q−1)//q;
+    engine-native percentile_disc computes q·n in floats and flips ceil
+    exactly on round boundaries)."""
+    return f"""WITH hist AS (SELECT n_chars AS v, count(*) AS cnt
+   FROM documents GROUP BY 1),
+ cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM hist),
+ tot AS (SELECT count(*) AS n FROM documents),
+ ks AS (SELECT CAST(unnest(generate_series(1, {q - 1})) AS INT) AS k)
+SELECT k, min(v) AS value FROM cum, tot, ks
+WHERE cum >= (k * n + {q - 1}) // {q}
+GROUP BY k"""
