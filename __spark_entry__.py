@@ -1877,6 +1877,53 @@ def _q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", F.round("score", ROUND).alias("score"))
 
 
+def _q_forman_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Forman–Ricci curvature per undirected simple edge
+    (integer-exact: 4 - du - dv + 3*support)."""
+    from graphina_spark.operators.egonet import forman_curvature
+
+    return forman_curvature(_web(spark, sf_dir))
+
+
+def _q_embeddedness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness (common-neighbor count + neighborhood overlap)."""
+    from graphina_spark.operators.egonet import edge_embeddedness
+
+    e = edge_embeddedness(_web(spark, sf_dir))
+    return e.select("src", "dst", "cn", F.round("overlap", ROUND).alias("overlap"))
+
+
+def _q_ego_stats_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex ego-network stats: scan-1 statistic, Burt effective size."""
+    from graphina_spark.operators.egonet import ego_stats
+
+    s = ego_stats(_web(spark, sf_dir))
+    return s.select(
+        "id",
+        "deg",
+        "tri",
+        "scan1",
+        F.round("effective_size", ROUND).alias("effective_size"),
+        F.round("efficiency", ROUND).alias("efficiency"),
+    )
+
+
+def _q_burt_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burt's network constraint (unweighted, triangle-bounded enumeration)."""
+    from graphina_spark.operators.egonet import burt_constraint
+
+    c = burt_constraint(_web(spark, sf_dir))
+    return c.select("id", F.round("constraint", ROUND).alias("burt_c"))
+
+
+def _q_backbone_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparity-filter multiscale backbone of the weighted directed graph."""
+    from graphina_spark.operators.egonet import disparity_backbone
+
+    b = disparity_backbone(_web(spark, sf_dir), alpha_cut=0.5)
+    return b.select("src", "dst", F.round("alpha", ROUND).alias("alpha"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": _q_pagerank_web,
@@ -2054,6 +2101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "butterflies_events": _q_butterflies_events,
         "bm25_docs": _q_bm25_docs,
+        "forman_web": _q_forman_web,
+        "embeddedness_web": _q_embeddedness_web,
+        "ego_stats_web": _q_ego_stats_web,
+        "burt_web": _q_burt_web,
+        "backbone_web": _q_backbone_web,
     }
 
 
@@ -2214,6 +2266,11 @@ def oracle_sql() -> dict[str, str]:
         "transitions_events": O.session_transitions_sql(),
         "session_stats": O.session_stats_sql(),
         "butterflies_events": O.user_butterflies_sql(),
+        "forman_web": O.forman_web_sql(),
+        "embeddedness_web": O.embeddedness_web_sql(),
+        "ego_stats_web": O.ego_stats_web_sql(),
+        "burt_web": O.burt_web_sql(),
+        "backbone_web": O.backbone_web_sql(alpha_cut=0.5),
         **_text_oracles(),
     }
 

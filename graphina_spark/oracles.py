@@ -3693,3 +3693,86 @@ def topo_layers_sql(rounds: int = 12) -> str:
     return (
         "WITH " + ",\n ".join(parts) + f"\nSELECT id, layer FROM l{rounds}"
     )
+
+
+_ESUP_CTE = """
+ esup AS (
+   SELECT c.src, c.dst, coalesce(s.t, 0) AS support
+   FROM canon c LEFT JOIN (
+     SELECT src, dst, count(*) AS t FROM (
+       SELECT least(a, b) AS src, greatest(a, b) AS dst FROM tris
+       UNION ALL SELECT least(b, c), greatest(b, c) FROM tris
+       UNION ALL SELECT least(a, c), greatest(a, c) FROM tris) u
+     GROUP BY src, dst) s ON c.src = s.src AND c.dst = s.dst)"""
+
+
+def forman_web_sql() -> str:
+    """Mirror of operators/egonet.py::forman_curvature — integer-exact
+    augmented Forman curvature per canonical undirected simple edge."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES},{_ESUP_CTE}
+SELECT e.src, e.dst,
+       CAST(4 - da.deg - db.deg + 3 * e.support AS BIGINT) AS curvature
+FROM esup e JOIN cdeg da ON e.src = da.id JOIN cdeg db ON e.dst = db.id"""
+
+
+def embeddedness_web_sql() -> str:
+    """Mirror of operators/egonet.py::edge_embeddedness (cn integer-exact,
+    overlap = cn / (du + dv - 2 - cn) rounded)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES},{_ESUP_CTE}
+SELECT e.src, e.dst, CAST(e.support AS BIGINT) AS cn,
+       round(CASE WHEN da.deg + db.deg - 2 - e.support > 0
+                  THEN e.support / CAST(da.deg + db.deg - 2 - e.support AS DOUBLE)
+                  ELSE 0.0 END, {ROUND}) AS overlap
+FROM esup e JOIN cdeg da ON e.src = da.id JOIN cdeg db ON e.dst = db.id"""
+
+
+def ego_stats_web_sql() -> str:
+    """Mirror of operators/egonet.py::ego_stats (scan statistic, Burt
+    effective size / efficiency) over deg >= 1 vertices."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES}
+SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(p.t, 0) AS BIGINT) AS tri,
+       CAST(d.deg + coalesce(p.t, 0) AS BIGINT) AS scan1,
+       round(d.deg - 2.0 * coalesce(p.t, 0) / d.deg, {ROUND}) AS effective_size,
+       round((d.deg - 2.0 * coalesce(p.t, 0) / d.deg) / d.deg, {ROUND})
+         AS efficiency
+FROM cdeg d LEFT JOIN percnt p ON d.id = p.id"""
+
+
+def burt_web_sql() -> str:
+    """Mirror of operators/egonet.py::burt_constraint — unweighted Burt
+    network constraint; the indirect term enumerates the 6 ordered roles of
+    each triangle exactly as the Spark corner join does."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES},
+ perms AS (
+   SELECT a AS i, b AS j, c AS q FROM tris UNION ALL
+   SELECT b, a, c FROM tris UNION ALL
+   SELECT a, c, b FROM tris UNION ALL
+   SELECT c, a, b FROM tris UNION ALL
+   SELECT b, c, a FROM tris UNION ALL
+   SELECT c, b, a FROM tris),
+ ind AS (
+   SELECT p.i, p.j, sum(1.0 / (di.deg * dq.deg)) AS ind
+   FROM perms p JOIN cdeg di ON p.i = di.id JOIN cdeg dq ON p.q = dq.id
+   GROUP BY p.i, p.j),
+ adj AS (SELECT src AS i, dst AS j FROM canon
+         UNION ALL SELECT dst, src FROM canon),
+ per_pair AS (
+   SELECT a.i,
+          pow(1.0 / di.deg + coalesce(ind.ind, 0.0), 2) AS c_ij
+   FROM adj a JOIN cdeg di ON a.i = di.id
+   LEFT JOIN ind ON a.i = ind.i AND a.j = ind.j)
+SELECT i AS id, round(sum(c_ij), {ROUND}) AS burt_c
+FROM per_pair GROUP BY i"""
+
+
+def backbone_web_sql(alpha_cut: float = 0.5) -> str:
+    """Mirror of operators/egonet.py::disparity_backbone (Serrano et al.
+    2009 disparity filter on the directed weighted out-side)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ stats AS (SELECT src, count(*) AS k, sum(weight) AS s
+           FROM edges GROUP BY src)
+SELECT e.src, e.dst,
+       round(pow(1.0 - e.weight / st.s, st.k - 1), {ROUND}) AS alpha
+FROM edges e JOIN stats st ON e.src = st.src
+WHERE st.k > 1 AND pow(1.0 - e.weight / st.s, st.k - 1) < {alpha_cut}"""
