@@ -1924,6 +1924,19 @@ def _q_backbone_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("src", "dst", F.round("alpha", ROUND).alias("alpha"))
 
 
+def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
+    sample per vertex, long format (id, pos, mean_val, n_sampled)."""
+    from graphina_spark.operators.gnnprep import sage_neighbor_mean
+
+    df = sage_neighbor_mean(
+        _web(spark, sf_dir), _embs(spark, sf_dir), k=3, directed=False
+    )
+    return df.select(
+        "id", "pos", F.round("mean_val", ROUND).alias("mean_val"), "n_sampled"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_web": _q_pagerank_web,
@@ -2106,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_stats_web": _q_ego_stats_web,
         "burt_web": _q_burt_web,
         "backbone_web": _q_backbone_web,
+        "sage_agg_web": _q_sage_agg_web,
     }
 
 
@@ -2271,6 +2285,7 @@ def oracle_sql() -> dict[str, str]:
         "ego_stats_web": O.ego_stats_web_sql(),
         "burt_web": O.burt_web_sql(),
         "backbone_web": O.backbone_web_sql(alpha_cut=0.5),
+        "sage_agg_web": O.sage_agg_web_sql(k=3),
         **_text_oracles(),
     }
 

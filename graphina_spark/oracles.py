@@ -3776,3 +3776,33 @@ SELECT e.src, e.dst,
        round(pow(1.0 - e.weight / st.s, st.k - 1), {ROUND}) AS alpha
 FROM edges e JOIN stats st ON e.src = st.src
 WHERE st.k > 1 AND pow(1.0 - e.weight / st.s, st.k - 1) < {alpha_cut}"""
+
+
+def sage_agg_web_sql(k: int = 3) -> str:
+    """Mirror of operators/gnnprep.py::sage_neighbor_mean over the web graph
+    + embeddings table.  Single-window top-k (selection under a total order
+    equals the Spark side's two-phase form); float32 upcast to DOUBLE before
+    avg so the ≤k-term mean is exact in both engines."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ nv AS (SELECT count(*) AS n FROM embeddings),
+ und AS (SELECT DISTINCT src, dst FROM (
+     SELECT src, dst FROM edges WHERE src <> dst
+     UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+ h1t AS (SELECT src, dst,
+         (src * {PRI_A1} + dst + {PRI_B}) % {ANF_P} AS h1 FROM und),
+ h2t AS (SELECT src, dst, (h1 * h1 + {PRI_A1}) % {ANF_P} AS h2 FROM h1t),
+ h3t AS (SELECT src, dst, (h2 * h2 + {PRI_A2}) % {ANF_P} AS h FROM h2t),
+ rk AS (SELECT src, dst,
+        row_number() OVER (PARTITION BY src ORDER BY h, dst) AS r FROM h3t),
+ samp AS (SELECT src, dst FROM rk WHERE r <= {k}),
+ fx AS (SELECT s.src AS id,
+               generate_subscripts(e.embedding, 1) - 1 AS pos,
+               unnest(CAST(e.embedding AS DOUBLE[])) AS val
+        FROM samp s JOIN embeddings e
+          ON e.vec_id = s.dst % (SELECT n FROM nv))
+SELECT id, CAST(pos AS INT) AS pos, round(avg(val), {ROUND}) AS mean_val,
+       count(*) AS n_sampled
+FROM fx GROUP BY id, pos"""
