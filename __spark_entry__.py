@@ -1924,6 +1924,15 @@ def _q_backbone_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("src", "dst", F.round("alpha", ROUND).alias("alpha"))
 
 
+def _q_s_core_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted s-core (strength-peeling) survivors at s=15 after exactly
+    12 synchronous peel rounds (fixed-round contract; cascade still active
+    at the cap, which the oracle replays exactly)."""
+    from graphina_spark.operators.kcore import s_core
+
+    return s_core(_web(spark, sf_dir), s=15.0, fixed_rounds=12)
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2120,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burt_web": _q_burt_web,
         "backbone_web": _q_backbone_web,
         "sage_agg_web": _q_sage_agg_web,
+        "s_core_web": _q_s_core_web,
     }
 
 
@@ -2286,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
         "burt_web": O.burt_web_sql(),
         "backbone_web": O.backbone_web_sql(alpha_cut=0.5),
         "sage_agg_web": O.sage_agg_web_sql(k=3),
+        "s_core_web": O.s_core_web_sql(s=15.0, rounds=12),
         **_text_oracles(),
     }
 

@@ -141,3 +141,60 @@ def core_number(
             cur = new
     sym.unpersist()
     return cur.select("id", F.col("c").alias("core"))
+
+
+def s_core(
+    g: LinkGraph, s: float, fixed_rounds: int | None = None, max_iter: int = 10_000
+) -> DataFrame:
+    """(id) — vertices of the s-core (weighted k-core; Garas et al. 2012
+    "A k-shell decomposition method for weighted networks"): the maximal
+    subgraph in which every vertex has incident STRENGTH ≥ s, strength being
+    the sum of surviving incident edge weights.
+
+    Edge weights on the undirected projection: parallel/antiparallel directed
+    edges between a pair merge by SUM (one groupBy — the natural projection
+    of a directed weighted multigraph).  With integer-valued weights the
+    per-round strengths are exact in double, so synchronous peeling is
+    bit-deterministic; ``fixed_rounds=R`` is the unrolled-oracle contract.
+
+    Scale shape: identical to :func:`k_core` — one alive-semijoin + one
+    map-side-combinable sum per round over a monotonically shrinking edge
+    set; the merge groupBy happens once up front.
+    """
+    cew = (
+        g.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("w"))
+    )
+    sym = (
+        cew.unionAll(
+            cew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .repartition("src")
+        .cache()
+    )
+    alive = g.vertices.select("id").transform(_mat)
+    n_alive = None
+    rounds = fixed_rounds if fixed_rounds is not None else max_iter
+    for _ in range(rounds):
+        st = (
+            sym.join(alive.withColumnRenamed("id", "src"), "src")
+            .join(alive.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("w").alias("c"))
+        )
+        new = st.where(F.col("c") >= s).select("id").transform(_mat)
+        n_new = new.count()
+        converged = n_alive is not None and n_new == n_alive
+        if n_alive is None:
+            converged = False
+        alive, n_alive = new, n_new
+        if fixed_rounds is None and converged:
+            break
+    sym.unpersist()
+    return alive

@@ -3806,3 +3806,26 @@ def sage_agg_web_sql(k: int = 3) -> str:
 SELECT id, CAST(pos AS INT) AS pos, round(avg(val), {ROUND}) AS mean_val,
        count(*) AS n_sampled
 FROM fx GROUP BY id, pos"""
+
+
+def s_core_web_sql(s: float = 20.0, rounds: int = 12) -> str:
+    """Unrolled synchronous s-core (weighted k-core) peeling — mirror of
+    operators/kcore.py::s_core with fixed_rounds=rounds.  Pair weights merge
+    by SUM before peeling; integer-valued weights keep every strength exact
+    in double, so the survival sets are bit-identical across engines."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "cew AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst)"
+        " AS b, sum(weight) AS w FROM edges WHERE src <> dst GROUP BY 1, 2)",
+        "symw AS MATERIALIZED (SELECT a AS u, b AS v, w FROM cew"
+        " UNION ALL SELECT b, a, w FROM cew)",
+        "a0 AS (SELECT id FROM v)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"st{r} AS MATERIALIZED (SELECT s.u AS id, sum(s.w) AS c FROM symw s"
+            f" JOIN a{r - 1} x ON s.u = x.id"
+            f" JOIN a{r - 1} y ON s.v = y.id GROUP BY s.u)"
+        )
+        ctes.append(f"a{r} AS MATERIALIZED (SELECT id FROM st{r} WHERE c >= {s})")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds}"
