@@ -1933,6 +1933,13 @@ def _q_s_core_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s_core(_web(spark, sf_dir), s=15.0, fixed_rounds=12)
 
 
+def _q_khop_frontier_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop sampled GraphSAGE computation graph (k1=3, k2=2) per root."""
+    from graphina_spark.operators.gnnprep import sample_khop_frontier
+
+    return sample_khop_frontier(_web(spark, sf_dir), k1=3, k2=2, directed=False)
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2130,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backbone_web": _q_backbone_web,
         "sage_agg_web": _q_sage_agg_web,
         "s_core_web": _q_s_core_web,
+        "khop_frontier_web": _q_khop_frontier_web,
     }
 
 
@@ -2297,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "backbone_web": O.backbone_web_sql(alpha_cut=0.5),
         "sage_agg_web": O.sage_agg_web_sql(k=3),
         "s_core_web": O.s_core_web_sql(s=15.0, rounds=12),
+        "khop_frontier_web": O.khop_frontier_web_sql(k1=3, k2=2),
         **_text_oracles(),
     }
 

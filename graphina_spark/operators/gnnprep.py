@@ -125,3 +125,34 @@ def sage_neighbor_mean(
         F.avg("val").alias("mean_val"),
         (F.count("*")).alias("n_sampled"),
     )
+
+
+def sample_khop_frontier(
+    g: LinkGraph,
+    k1: int,
+    k2: int,
+    salt_buckets: int = 16,
+    directed: bool | None = None,
+) -> DataFrame:
+    """(root, hop, src, dst) — the edges of the 2-hop sampled computation
+    graph every GraphSAGE minibatch consumes: for each root, a deterministic
+    k1-sample of its neighbors (hop 1), then for each sampled neighbor u a
+    deterministic k2-sample of u's neighbors (hop 2).
+
+    Key scale property: the hop-2 sample of u is a function of u ALONE (the
+    portable per-edge hash does not see the root), so u's fan-out is sampled
+    ONCE and joined to every root that reached it — the hop-2 work is
+    O(#distinct frontier vertices · k2), never O(#roots · k1 · k2) re-sampling.
+    Output is ≤ n·k1·(1 + k2) rows by construction — degree skew cannot
+    inflate it.
+    """
+    s1 = sample_neighbors(g, k=k1, salt_buckets=salt_buckets, directed=directed)
+    hop1 = s1.select(
+        F.col("src").alias("root"), F.lit(1).alias("hop"), "src", "dst"
+    )
+    s2 = sample_neighbors(g, k=k2, salt_buckets=salt_buckets, directed=directed)
+    frontier = s1.select(F.col("src").alias("root"), F.col("dst").alias("u"))
+    hop2 = frontier.join(
+        s2.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u"
+    ).select("root", F.lit(2).alias("hop"), F.col("u").alias("src"), F.col("w").alias("dst"))
+    return hop1.unionAll(hop2)

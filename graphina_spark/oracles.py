@@ -3829,3 +3829,28 @@ def s_core_web_sql(s: float = 20.0, rounds: int = 12) -> str:
         )
         ctes.append(f"a{r} AS MATERIALIZED (SELECT id FROM st{r} WHERE c >= {s})")
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds}"
+
+
+def khop_frontier_web_sql(k1: int = 3, k2: int = 2) -> str:
+    """Mirror of operators/gnnprep.py::sample_khop_frontier — both hop
+    samples are prefixes of the SAME per-vertex (hash, dst) ranking, so one
+    window serves both."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ und AS (SELECT DISTINCT src, dst FROM (
+     SELECT src, dst FROM edges WHERE src <> dst
+     UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+ h1t AS (SELECT src, dst,
+         (src * {PRI_A1} + dst + {PRI_B}) % {ANF_P} AS h1 FROM und),
+ h2t AS (SELECT src, dst, (h1 * h1 + {PRI_A1}) % {ANF_P} AS h2 FROM h1t),
+ h3t AS (SELECT src, dst, (h2 * h2 + {PRI_A2}) % {ANF_P} AS h FROM h2t),
+ rk AS (SELECT src, dst,
+        row_number() OVER (PARTITION BY src ORDER BY h, dst) AS r FROM h3t),
+ s1 AS (SELECT src, dst FROM rk WHERE r <= {k1}),
+ s2 AS (SELECT src, dst FROM rk WHERE r <= {k2})
+SELECT src AS root, 1 AS hop, src, dst FROM s1
+UNION ALL
+SELECT f.src AS root, 2 AS hop, s.src, s.dst
+FROM s1 f JOIN s2 s ON s.src = f.dst"""

@@ -94,3 +94,32 @@ def test_sage_self_loop_and_isolate_excluded(spark, g):
     ids = {r["id"] for r in sage_neighbor_mean(g, feats, k=2, directed=False).collect()}
     assert 6 not in ids  # self-loop only
     assert 7 not in ids  # isolate
+
+
+def test_khop_frontier_structure(spark, g):
+    from graphina_spark.operators.gnnprep import sample_khop_frontier
+
+    rows = sample_khop_frontier(g, k1=2, k2=1, directed=False).collect()
+    s1 = _expected_sample(2)
+    s2 = _expected_sample(1)
+    hop1 = {(r["root"], r["src"], r["dst"]) for r in rows if r["hop"] == 1}
+    hop2 = {(r["root"], r["src"], r["dst"]) for r in rows if r["hop"] == 2}
+    exp1 = {(v, v, u) for v, ns in s1.items() for u in ns}
+    exp2 = {(v, u, w) for v, ns in s1.items() for u in ns for w in s2.get(u, ())}
+    assert hop1 == exp1
+    assert hop2 == exp2
+
+
+def test_khop_hop2_sample_is_root_independent(spark, g):
+    # the same frontier vertex must carry the identical hop-2 fanout for
+    # every root that reaches it (sampled once, joined, never re-sampled)
+    from graphina_spark.operators.gnnprep import sample_khop_frontier
+
+    rows = sample_khop_frontier(g, k1=3, k2=2, directed=False).collect()
+    per_root = {}
+    for r in rows:
+        if r["hop"] == 2:
+            per_root.setdefault((r["root"], r["src"]), set()).add(r["dst"])
+    by_vertex = {}
+    for (root, u), ws in per_root.items():
+        assert by_vertex.setdefault(u, ws) == ws, u
