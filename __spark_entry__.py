@@ -1940,6 +1940,14 @@ def _q_khop_frontier_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_khop_frontier(_web(spark, sf_dir), k1=3, k2=2, directed=False)
 
 
+def _q_config_model_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic configuration-model draw (degree-preserving null
+    graph): canonical edge multiset with multiplicities."""
+    from graphina_spark.operators.nullmodel import configuration_model
+
+    return configuration_model(_web(spark, sf_dir), seed=0)
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2138,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sage_agg_web": _q_sage_agg_web,
         "s_core_web": _q_s_core_web,
         "khop_frontier_web": _q_khop_frontier_web,
+        "config_model_web": _q_config_model_web,
     }
 
 
@@ -2306,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "sage_agg_web": O.sage_agg_web_sql(k=3),
         "s_core_web": O.s_core_web_sql(s=15.0, rounds=12),
         "khop_frontier_web": O.khop_frontier_web_sql(k1=3, k2=2),
+        "config_model_web": O.config_model_web_sql(seed=0),
         **_text_oracles(),
     }
 

@@ -3854,3 +3854,29 @@ SELECT src AS root, 1 AS hop, src, dst FROM s1
 UNION ALL
 SELECT f.src AS root, 2 AS hop, s.src, s.dst
 FROM s1 f JOIN s2 s ON s.src = f.dst"""
+
+
+def config_model_web_sql(seed: int = 0) -> str:
+    """Mirror of operators/nullmodel.py::configuration_model — one window
+    replaces the two-pass prefix sum (selection under the same total order
+    (h, id, stub) is identical)."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    b = PRI_B + seed * PRI_A2
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ canon AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+           FROM edges WHERE src <> dst),
+ cdeg AS (SELECT id, count(*) AS deg FROM (
+            SELECT src AS id FROM canon UNION ALL SELECT dst FROM canon) u
+          GROUP BY id),
+ stubs AS (SELECT id, unnest(range(deg)) AS stub FROM cdeg),
+ h1t AS (SELECT id, stub, (id * {PRI_A1} + stub + {b}) % {ANF_P} AS h1 FROM stubs),
+ h2t AS (SELECT id, stub, (h1 * h1 + {PRI_A1}) % {ANF_P} AS h2 FROM h1t),
+ h3t AS (SELECT id, stub, (h2 * h2 + {PRI_A2}) % {ANF_P} AS h FROM h2t),
+ rk AS (SELECT id, row_number() OVER (ORDER BY h, id, stub) - 1 AS r FROM h3t),
+ pairs AS (SELECT a.id AS u, b.id AS v
+           FROM rk a JOIN rk b
+             ON a.r // 2 = b.r // 2 AND a.r % 2 = 0 AND b.r % 2 = 1)
+SELECT least(u, v) AS src, greatest(u, v) AS dst, count(*) AS multiplicity
+FROM pairs GROUP BY 1, 2"""
