@@ -154,3 +154,134 @@ def latest_components(
     )
     found = ckpt.latest(spark)
     return None if found is None else found[1]
+
+
+PR_EDGES_DDL = "src long, dst long, weight double"
+
+
+def advance_pagerank(
+    edge_store: DataFrame,
+    prev_ranks: DataFrame | None,
+    new_edges: DataFrame,
+    damping: float = 0.85,
+    tol: float | None = 1e-8,
+    max_iter: int = 100,
+    stats: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch of new weighted edges into the accumulated edge store and
+    return ``(edge_store', ranks')`` with PageRank re-converged WARM-STARTED
+    from the previous rank vector — the pure-batch single step behind
+    :func:`run_incremental_pagerank` (callable directly for a
+    batch-incremental recrawl pipeline).
+
+    Warm-start contract: previously-seen vertices start from their old rank,
+    unseen vertices from ``1/n_new``; :func:`~graphina_spark.operators.
+    pagerank.pagerank` L1-normalizes the start vector, runs its usual
+    superstep loop and stops at ``tol``.  Because the damped PageRank
+    operator is a contraction with a unique fixpoint, the warm-started
+    result converges to the SAME vector a cold batch run produces — the
+    start only changes the iteration count (``stats["iterations"]``, which
+    shrinks as batches get relatively smaller; the observability hook a
+    recrawl scheduler reads).
+    """
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.pagerank import pagerank
+
+    cols = new_edges.columns
+    w = (
+        F.coalesce(F.col("weight").cast("double"), F.lit(1.0))
+        if "weight" in cols
+        else F.lit(1.0)
+    )
+    batch = new_edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), w.alias("weight")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    store2 = edge_store.unionByName(batch)
+    g = LinkGraph.from_edges(store2, directed=True)
+    nstart = None
+    if prev_ranks is not None:
+        n = g.num_vertices()
+        nstart = (
+            g.vertices.select("id")
+            .join(prev_ranks.withColumnRenamed("rank", "value"), "id", "left")
+            .select("id", F.coalesce("value", F.lit(1.0 / n)).alias("value"))
+        )
+    ranks = pagerank(
+        g, damping=damping, tol=tol, max_iter=max_iter, nstart=nstart, stats=stats
+    )
+    return store2, ranks
+
+
+def run_incremental_pagerank(
+    edges: DataFrame,
+    state_base: str,
+    stream_checkpoint: str,
+    run_id: str = "inc_pr",
+    damping: float = 0.85,
+    tol: float | None = 1e-8,
+    max_iter: int = 100,
+) -> StreamingQuery:
+    """Start the incremental-PageRank sink over a streaming edge frame.
+
+    State = two lineage-checkpointed snapshot families per iteration (the
+    accumulated edge store, then the rank vector — committed in that order,
+    so after a crash between the two commits the edge store wins and the
+    stale rank vector still serves as a warm start).  A replayed micro-batch
+    (same ``batch_id`` as the last committed one) is skipped — re-appending
+    its edges would double their weights, unlike the idempotent label merge
+    in :func:`run_incremental_components`.
+    """
+    e_ckpt = CheckpointManager(
+        base=state_base, run_id=f"{run_id}_edges", params={"kernel": "inc_pr_edges"}
+    )
+    r_ckpt = CheckpointManager(
+        base=state_base,
+        run_id=f"{run_id}_ranks",
+        params={"kernel": "inc_pr_ranks", "damping": damping},
+    )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        ef = e_ckpt.latest(sess)
+        rf = r_ckpt.latest(sess)
+        if ef is None:
+            it, store, ranks = -1, sess.createDataFrame([], PR_EDGES_DDL), None
+        else:
+            it, store, me = ef
+            last_bid = me.get("batch_id")
+            if last_bid is not None and batch_id <= last_bid:
+                return  # replay of an already-folded batch
+            ranks = rf[1] if rf is not None else None
+        stats: dict = {}
+        store2, pr = advance_pagerank(
+            store, ranks, batch, damping=damping, tol=tol, max_iter=max_iter,
+            stats=stats,
+        )
+        e_ckpt.save(sess, store2, it + 1, extra={"batch_id": batch_id})
+        r_ckpt.save(
+            sess,
+            pr,
+            it + 1,
+            delta=stats.get("delta"),
+            extra={"batch_id": batch_id, "iterations": stats.get("iterations")},
+        )
+
+    return (
+        edges.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", stream_checkpoint)
+        .start()
+    )
+
+
+def latest_pagerank(
+    spark: SparkSession, state_base: str, run_id: str = "inc_pr", damping: float = 0.85
+) -> tuple[DataFrame, dict] | None:
+    """Current (id, rank) snapshot + its manifest (iterations/delta per the
+    last batch), or None before the first batch."""
+    ckpt = CheckpointManager(
+        base=state_base,
+        run_id=f"{run_id}_ranks",
+        params={"kernel": "inc_pr_ranks", "damping": damping},
+    )
+    found = ckpt.latest(spark)
+    return None if found is None else (found[1], found[2])
