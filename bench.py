@@ -150,6 +150,11 @@ def main() -> None:
     run("bloom_seen", lambda: gated["bloom_seen_web"](spark, SF_DIR))
     run("crawl_schedule", lambda: gated["crawl_schedule"](spark, SF_DIR))
     run("topo_12r", lambda: gated["topo_layers_web"](spark, SF_DIR))
+    run("s_core_12r", lambda: gated["s_core_web"](spark, SF_DIR))
+    run("sage_export", lambda: gated["sage_agg_web"](spark, SF_DIR))
+    run("khop_frontier", lambda: gated["khop_frontier_web"](spark, SF_DIR))
+    run("config_model", lambda: gated["config_model_web"](spark, SF_DIR))
+    run("egonet_burt", lambda: gated["burt_web"](spark, SF_DIR))
 
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS

@@ -17,8 +17,22 @@ hub-safe plans.  Nothing here introduces a new join shape:
   the unbounded open-wedge join;
 - the disparity filter is two map-side-combinable aggregations + one join.
 
+Plan hygiene: every function builds the (canonical edges, degrees) kernel
+ONCE via :func:`_ctx` and caches both frames, so the degree union+groupBy
+is one exchange per query instead of one per consumer (the executedPlan
+exchange audit in PLANS.md §6s dropped from 41-98 shuffles to the single
+digits after this).  Per-node triangle counts derive from edge support
+(tri(v) = Σ incident support / 2) — no second triangle enumeration.
+
 At 10^12 edges every operator below is therefore bounded by one triangle
 enumeration (the engine's existing scale envelope) or less.
+
+Cache lifecycle: canon/cdeg (and burt's oriented frame) are ``.cache()``d
+because the returned DataFrame re-references them across several joins —
+they cannot be unpersisted eagerly here.  Long-lived sessions running many
+ego-net passes own the lifecycle (``spark.catalog.clearCache()`` or
+unpersist after materializing the result) — the same contract as the
+dedup shingle caches.
 """
 
 from __future__ import annotations
@@ -27,19 +41,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
-from graphina_spark.operators.triangles import triangle_corners, triangles
 
 
-def _canon_with_deg(g: LinkGraph) -> tuple[DataFrame, DataFrame]:
-    """(canonical src<dst simple edges, (id, deg) simple undirected degrees)."""
-    canon = g.canonical_undirected_edges()
+def _ctx(g: LinkGraph) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(canon, cdeg, sup): canonical src<dst simple edges, (id, deg) simple
+    undirected degrees, (src, dst, support) per-edge triangle support —
+    canon/cdeg cached, the support kernel reusing the SAME cached degrees."""
+    from graphina_spark.operators.truss import _edge_support
+
+    canon = g.canonical_undirected_edges().cache()
     cdeg = (
         canon.select(F.col("src").alias("id"))
         .unionAll(canon.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+    ).cache()
+    sup = _edge_support(canon, deg=cdeg.withColumnRenamed("deg", "d"))
+    return canon, cdeg, sup
+
+
+def _with_end_degrees(sup: DataFrame, cdeg: DataFrame) -> DataFrame:
+    return (
+        sup.join(cdeg.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("deg", "dsrc")
+        .join(cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst")), "dst")
     )
-    return canon, cdeg
 
 
 def forman_curvature(g: LinkGraph) -> DataFrame:
@@ -55,21 +81,13 @@ def forman_curvature(g: LinkGraph) -> DataFrame:
     edges are inter-community bridges; positive edges sit inside dense
     cores — the standard curvature-based community-boundary signal.
     """
-    from graphina_spark.operators.truss import _edge_support
-
-    canon, cdeg = _canon_with_deg(g)
-    sup = _edge_support(canon)
-    return (
-        sup.join(cdeg.withColumnRenamed("id", "src"), "src")
-        .withColumnRenamed("deg", "dsrc")
-        .join(cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst")), "dst")
-        .select(
-            "src",
-            "dst",
-            (F.lit(4) - F.col("dsrc") - F.col("ddst") + 3 * F.col("support"))
-            .cast("long")
-            .alias("curvature"),
-        )
+    _, cdeg, sup = _ctx(g)
+    return _with_end_degrees(sup, cdeg).select(
+        "src",
+        "dst",
+        (F.lit(4) - F.col("dsrc") - F.col("ddst") + 3 * F.col("support"))
+        .cast("long")
+        .alias("curvature"),
     )
 
 
@@ -82,23 +100,15 @@ def edge_embeddedness(g: LinkGraph) -> DataFrame:
     tie-strength / Granovetter weak-tie analysis).  overlap = 0.0 when the
     union of non-mutual neighbors is empty (two pendant endpoints).
     """
-    from graphina_spark.operators.truss import _edge_support
-
-    canon, cdeg = _canon_with_deg(g)
-    sup = _edge_support(canon)
+    _, cdeg, sup = _ctx(g)
     denom = F.col("dsrc") + F.col("ddst") - 2 - F.col("support")
-    return (
-        sup.join(cdeg.withColumnRenamed("id", "src"), "src")
-        .withColumnRenamed("deg", "dsrc")
-        .join(cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst")), "dst")
-        .select(
-            "src",
-            "dst",
-            F.col("support").cast("long").alias("cn"),
-            F.when(denom > 0, F.col("support") / denom)
-            .otherwise(F.lit(0.0))
-            .alias("overlap"),
-        )
+    return _with_end_degrees(sup, cdeg).select(
+        "src",
+        "dst",
+        F.col("support").cast("long").alias("cn"),
+        F.when(denom > 0, F.col("support") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("overlap"),
     )
 
 
@@ -111,20 +121,26 @@ def ego_stats(g: LinkGraph) -> DataFrame:
       anomaly signal on graphs).
     - effective_size(v) = deg - 2*tri/deg: Burt's effective size in the
       unweighted Borgatti simplification; efficiency = effective_size/deg.
+
+    tri(v) = Σ support(e) over edges incident to v, halved — each triangle
+    at v covers exactly two of v's incident edges — so the per-node counts
+    ride the SAME single support enumeration, not a second triangle pass.
     """
-    _, cdeg = _canon_with_deg(g)
-    tri = triangles(g)
-    deg, t = F.col("deg"), F.col("triangles")
-    return (
-        cdeg.join(tri, "id")
-        .select(
-            "id",
-            deg.cast("long").alias("deg"),
-            t.cast("long").alias("tri"),
-            (deg + t).cast("long").alias("scan1"),
-            (deg - 2.0 * t / deg).alias("effective_size"),
-            ((deg - 2.0 * t / deg) / deg).alias("efficiency"),
-        )
+    _, cdeg, sup = _ctx(g)
+    tri = (
+        sup.select(F.col("src").alias("id"), "support")
+        .unionAll(sup.select(F.col("dst").alias("id"), "support"))
+        .groupBy("id")
+        .agg((F.sum("support") / 2).cast("long").alias("tri"))
+    )
+    deg, t = F.col("deg"), F.coalesce(F.col("tri"), F.lit(0))
+    return cdeg.join(tri, "id", "left").select(
+        "id",
+        deg.cast("long").alias("deg"),
+        t.cast("long").alias("tri"),
+        (deg + t).cast("long").alias("scan1"),
+        (deg - 2.0 * t / deg).alias("effective_size"),
+        ((deg - 2.0 * t / deg) / deg).alias("efficiency"),
     )
 
 
@@ -140,8 +156,26 @@ def burt_constraint(g: LinkGraph) -> DataFrame:
     the open 2-path join that a crawl hub would explode.  Vertices with
     deg = 0 are omitted (constraint is undefined on isolates).
     """
-    canon, cdeg = _canon_with_deg(g)
-    corners = triangle_corners(g)
+    canon, cdeg, _ = _ctx(g)
+    # oriented corner join over the SAME cached (canon, cdeg) kernel
+    da = cdeg.select(F.col("id").alias("src"), F.col("deg").alias("dsrc"))
+    db = cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst"))
+    fwd = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    edir = (
+        canon.join(da, "src")
+        .join(db, "dst")
+        .select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("d"),
+        )
+        .cache()
+    )
+    e1 = edir.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = edir.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = edir.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    corners = e1.join(e2, "b").join(e3, ["a", "c"])
 
     # ordered (i, j, q): for each unordered triangle {a,b,c}, all 6 role
     # assignments (i = ego, j = alter, q = the mediating common neighbor)

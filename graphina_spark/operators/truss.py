@@ -30,15 +30,20 @@ from graphina_spark.graph import LinkGraph
 from graphina_spark.plans.materialize import local_materialize as _mat
 
 
-def _edge_support(edges: DataFrame) -> DataFrame:
+def _edge_support(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """(src, dst, support) for canonical src<dst edges: the number of
-    triangles each edge closes, via degree-ordered orientation."""
-    deg = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("d"))
-    )
+    triangles each edge closes, via degree-ordered orientation.
+
+    ``deg`` (id, d) may be passed in (ideally cached) when the caller
+    already has the simple-undirected degrees — avoids recomputing the
+    union+groupBy once per consumer (the egonet family shares one)."""
+    if deg is None:
+        deg = (
+            edges.select(F.col("src").alias("id"))
+            .unionAll(edges.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("d"))
+        )
     e = (
         edges.join(deg.withColumnRenamed("id", "src"), "src")
         .withColumnRenamed("d", "ds")
