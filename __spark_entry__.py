@@ -1948,6 +1948,19 @@ def _q_config_model_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return configuration_model(_web(spark, sf_dir), seed=0)
 
 
+def _q_null_delta_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: real graph vs configuration-model null draw
+    (same degree sequence) — the beyond-degree structure readout."""
+    from graphina_spark.operators.nullmodel import assortativity_null_delta
+
+    df = assortativity_null_delta(_web(spark, sf_dir), seed=0)
+    return df.select(
+        F.round("real_r", ROUND).alias("real_r"),
+        F.round("null_r", ROUND).alias("null_r"),
+        F.round("delta", ROUND).alias("delta"),
+    )
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2147,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_core_web": _q_s_core_web,
         "khop_frontier_web": _q_khop_frontier_web,
         "config_model_web": _q_config_model_web,
+        "null_delta_web": _q_null_delta_web,
     }
 
 
@@ -2316,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         "s_core_web": O.s_core_web_sql(s=15.0, rounds=12),
         "khop_frontier_web": O.khop_frontier_web_sql(k1=3, k2=2),
         "config_model_web": O.config_model_web_sql(seed=0),
+        "null_delta_web": O.null_delta_web_sql(seed=0),
         **_text_oracles(),
     }
 

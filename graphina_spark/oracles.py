@@ -3856,15 +3856,14 @@ SELECT f.src AS root, 2 AS hop, s.src, s.dst
 FROM s1 f JOIN s2 s ON s.src = f.dst"""
 
 
-def config_model_web_sql(seed: int = 0) -> str:
-    """Mirror of operators/nullmodel.py::configuration_model — one window
-    replaces the two-pass prefix sum (selection under the same total order
-    (h, id, stub) is identical)."""
+def _config_model_ctes(seed: int) -> str:
+    """Shared CTE chain reconstructing the configuration-model draw (see
+    config_model_web_sql) up to ``pairs`` (u, v) stub pairings."""
     from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
     from graphina_spark.operators.distmetrics import ANF_P
 
     b = PRI_B + seed * PRI_A2
-    return f"""WITH {WEB_EDGES_CTE.strip()},
+    return f"""{WEB_EDGES_CTE.strip()},
  canon AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
            FROM edges WHERE src <> dst),
  cdeg AS (SELECT id, count(*) AS deg FROM (
@@ -3877,6 +3876,38 @@ def config_model_web_sql(seed: int = 0) -> str:
  rk AS (SELECT id, row_number() OVER (ORDER BY h, id, stub) - 1 AS r FROM h3t),
  pairs AS (SELECT a.id AS u, b.id AS v
            FROM rk a JOIN rk b
-             ON a.r // 2 = b.r // 2 AND a.r % 2 = 0 AND b.r % 2 = 1)
+             ON a.r // 2 = b.r // 2 AND a.r % 2 = 0 AND b.r % 2 = 1)"""
+
+
+def config_model_web_sql(seed: int = 0) -> str:
+    """Mirror of operators/nullmodel.py::configuration_model — one window
+    replaces the two-pass prefix sum (selection under the same total order
+    (h, id, stub) is identical)."""
+    return f"""WITH {_config_model_ctes(seed)}
 SELECT least(u, v) AS src, greatest(u, v) AS dst, count(*) AS multiplicity
 FROM pairs GROUP BY 1, 2"""
+
+
+def null_delta_web_sql(seed: int = 0) -> str:
+    """Mirror of operators/nullmodel.py::assortativity_null_delta — Pearson
+    degree assortativity (simple undirected projection) vs the same metric
+    on the seed-``seed`` configuration-model draw; integer-exact moments."""
+    return f"""WITH {_config_model_ctes(seed)},
+ ne AS (SELECT least(u, v) AS src, greatest(u, v) AS dst,
+               count(*) AS m FROM pairs GROUP BY 1, 2),
+ rsym AS (SELECT src, dst, 1 AS m FROM canon
+          UNION ALL SELECT dst, src, 1 FROM canon),
+ nsym AS (SELECT src, dst, m FROM ne UNION ALL SELECT dst, src, m FROM ne),
+ rj AS (SELECT dj.deg AS j, dk.deg AS k, s.m FROM rsym s
+        JOIN cdeg dj ON s.src = dj.id JOIN cdeg dk ON s.dst = dk.id),
+ nj AS (SELECT dj.deg AS j, dk.deg AS k, s.m FROM nsym s
+        JOIN cdeg dj ON s.src = dj.id JOIN cdeg dk ON s.dst = dk.id),
+ rs AS (SELECT sum(m) AS n, sum(m*j) AS sx, sum(m*j*j) AS sxx,
+               sum(m*j*k) AS sxy FROM rj),
+ ns AS (SELECT sum(m) AS n, sum(m*j) AS sx, sum(m*j*j) AS sxx,
+               sum(m*j*k) AS sxy FROM nj),
+ rr AS (SELECT (sxy/n - (sx/n)*(sx/n)) / (sxx/n - (sx/n)*(sx/n)) AS r FROM rs),
+ nr AS (SELECT (sxy/n - (sx/n)*(sx/n)) / (sxx/n - (sx/n)*(sx/n)) AS r FROM ns)
+SELECT round(rr.r, {ROUND}) AS real_r, round(nr.r, {ROUND}) AS null_r,
+       round(rr.r - nr.r, {ROUND}) AS delta
+FROM rr, nr"""

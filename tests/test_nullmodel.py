@@ -62,3 +62,46 @@ def test_seeds_give_distinct_draws(spark, g):
 def test_canonical_edges(spark, g):
     rows = configuration_model(g, seed=1).collect()
     assert all(r["src"] <= r["dst"] for r in rows)
+
+
+def _pearson(pairs):
+    n = len(pairs)
+    sx = sum(j for j, _ in pairs)
+    sxx = sum(j * j for j, _ in pairs)
+    sxy = sum(j * k for j, k in pairs)
+    mx = sx / n
+    den = sxx / n - mx * mx
+    return 0.0 if den == 0 else (sxy / n - mx * mx) / den
+
+
+def test_null_delta_real_r_matches_bruteforce(spark, g):
+    from graphina_spark.operators.nullmodel import assortativity_null_delta
+
+    row = assortativity_null_delta(g, seed=0).first()
+    deg = _deg()
+    pairs = []
+    for s, d in EDGES:
+        if s == d:
+            continue
+        pairs.append((deg[s], deg[d]))
+        pairs.append((deg[d], deg[s]))
+    assert row["real_r"] == pytest.approx(_pearson(pairs))
+    assert row["delta"] == pytest.approx(row["real_r"] - row["null_r"])
+
+
+def test_null_r_uses_null_pairing(spark, g):
+    # the null draw has the same degree MARGINALS but different pairing;
+    # recompute its Pearson from the drawn edges directly
+    from graphina_spark.operators.nullmodel import (
+        assortativity_null_delta,
+        configuration_model,
+    )
+
+    row = assortativity_null_delta(g, seed=0).first()
+    deg = _deg()
+    pairs = []
+    for r in configuration_model(g, seed=0).collect():
+        for _ in range(r["multiplicity"]):
+            pairs.append((deg[r["src"]], deg[r["dst"]]))
+            pairs.append((deg[r["dst"]], deg[r["src"]]))
+    assert row["null_r"] == pytest.approx(_pearson(pairs))
