@@ -1961,6 +1961,27 @@ def _q_null_delta_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_balanced_part_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-constrained balanced-LPA partition assignment (k=8,
+    4 synchronous rounds, 10% slack) — the executor-placement operator."""
+    from graphina_spark.operators.balance import balanced_partition
+
+    return balanced_partition(_web(spark, sf_dir), k=8, fixed_rounds=4)
+
+
+def _q_part_quality_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut fraction + balance envelope of the balanced-LPA assignment."""
+    from graphina_spark.operators.balance import balanced_partition, partition_quality
+
+    g = _web(spark, sf_dir)
+    a = balanced_partition(g, k=8, fixed_rounds=4)
+    q = partition_quality(g, a)
+    return q.select(
+        "cut_edges", "total_edges", F.round("cut_frac", ROUND).alias("cut_frac"),
+        "max_size", "min_size",
+    )
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2161,6 +2182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_frontier_web": _q_khop_frontier_web,
         "config_model_web": _q_config_model_web,
         "null_delta_web": _q_null_delta_web,
+        "balanced_part_web": _q_balanced_part_web,
+        "part_quality_web": _q_part_quality_web,
     }
 
 
@@ -2331,6 +2354,8 @@ def oracle_sql() -> dict[str, str]:
         "khop_frontier_web": O.khop_frontier_web_sql(k1=3, k2=2),
         "config_model_web": O.config_model_web_sql(seed=0),
         "null_delta_web": O.null_delta_web_sql(seed=0),
+        "balanced_part_web": O.balanced_part_web_sql(k=8, rounds=4, slack_pct=10),
+        "part_quality_web": O.part_quality_web_sql(k=8, rounds=4, slack_pct=10),
         **_text_oracles(),
     }
 

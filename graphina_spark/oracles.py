@@ -3911,3 +3911,92 @@ def null_delta_web_sql(seed: int = 0) -> str:
 SELECT round(rr.r, {ROUND}) AS real_r, round(nr.r, {ROUND}) AS null_r,
        round(rr.r - nr.r, {ROUND}) AS delta
 FROM rr, nr"""
+
+
+def balanced_part_web_sql(k: int = 8, rounds: int = 4, slack_pct: int = 10) -> str:
+    """Mirror of operators/balance.py::balanced_partition — unrolled
+    capacity-constrained balanced-LPA rounds (MATERIALIZED: every round
+    references the previous partition frame four times)."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM edges WHERE src <> dst))",
+        "nn3 AS (SELECT count(*) AS n FROM v)",
+        f"capt AS (SELECT (n * {100 + slack_pct} + {100 * k} - 1) // {100 * k}"
+        f" AS cap FROM nn3)",
+        f"p0 AS MATERIALIZED (SELECT id, id % {k} AS part FROM v)",
+    ]
+    for r in range(1, rounds + 1):
+        prev, pri_r = f"p{r - 1}", r - 1
+        b = pri_r * PRI_A2 + PRI_B
+        ctes.append(
+            f"cnt{r} AS MATERIALIZED (SELECT s.src AS id, p.part AS p, count(*) AS c"
+            f" FROM sym s JOIN {prev} p ON s.dst = p.id GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"best{r} AS MATERIALIZED (SELECT id, p AS best, c AS cbest FROM ("
+            f"SELECT id, p, c, row_number() OVER (PARTITION BY id"
+            f" ORDER BY c DESC, p ASC) AS rn FROM cnt{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cur{r} AS MATERIALIZED (SELECT pp.id, pp.part,"
+            f" coalesce(cc.c, 0) AS ccur FROM {prev} pp"
+            f" LEFT JOIN cnt{r} cc ON pp.id = cc.id AND pp.part = cc.p)"
+        )
+        ctes.append(
+            f"cand{r} AS MATERIALIZED (SELECT cur.id, cur.part, b.best,"
+            f" b.cbest - cur.ccur AS gain,"
+            f" (((((cur.id * {PRI_A1} + {b}) % {ANF_P})"
+            f" * ((cur.id * {PRI_A1} + {b}) % {ANF_P}) + {PRI_A1}) % {ANF_P})"
+            f" * ((((cur.id * {PRI_A1} + {b}) % {ANF_P})"
+            f" * ((cur.id * {PRI_A1} + {b}) % {ANF_P}) + {PRI_A1}) % {ANF_P})"
+            f" + {PRI_A2}) % {ANF_P} AS pri"
+            f" FROM cur{r} cur JOIN best{r} b ON cur.id = b.id"
+            f" WHERE b.best <> cur.part AND b.cbest > cur.ccur)"
+        )
+        ctes.append(
+            f"sz{r} AS MATERIALIZED (SELECT part, count(*) AS sz FROM {prev}"
+            f" GROUP BY part)"
+        )
+        ctes.append(
+            f"qt{r} AS MATERIALIZED (SELECT t.pt AS best,"
+            f" greatest(0, capt.cap - coalesce(s.sz, 0)) AS q"
+            f" FROM (SELECT unnest(range({k})) AS pt) t"
+            f" LEFT JOIN sz{r} s ON t.pt = s.part, capt)"
+        )
+        ctes.append(
+            f"acc{r} AS MATERIALIZED (SELECT id, best FROM ("
+            f"SELECT c.id, c.best, q.q, row_number() OVER (PARTITION BY c.best"
+            f" ORDER BY c.gain DESC, c.pri ASC, c.id ASC) AS rn"
+            f" FROM cand{r} c JOIN qt{r} q ON c.best = q.best) WHERE rn <= q)"
+        )
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT pp.id,"
+            f" coalesce(a.best, pp.part) AS part FROM {prev} pp"
+            f" LEFT JOIN acc{r} a ON pp.id = a.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, part FROM p{rounds}"
+
+
+def part_quality_web_sql(k: int = 8, rounds: int = 4, slack_pct: int = 10) -> str:
+    """Cut fraction + balance envelope of the balanced_part_web assignment
+    (mirror of operators/balance.py::partition_quality)."""
+    base = balanced_part_web_sql(k=k, rounds=rounds, slack_pct=slack_pct)
+    ctes = base[len("WITH ") : base.rindex("\nSELECT")]
+    return f"""WITH {ctes},
+ canonq AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+            FROM edges WHERE src <> dst),
+ edq AS (SELECT pa.part AS ps, pb.part AS pd FROM canonq e
+         JOIN p{rounds} pa ON e.src = pa.id JOIN p{rounds} pb ON e.dst = pb.id),
+ cutq AS (SELECT sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS cut,
+                 count(*) AS tot FROM edq),
+ szq AS (SELECT max(sz) AS mx, min(sz) AS mn FROM (
+           SELECT count(*) AS sz FROM p{rounds} GROUP BY part))
+SELECT CAST(cut AS BIGINT) AS cut_edges, CAST(tot AS BIGINT) AS total_edges,
+       round(cut / CAST(tot AS DOUBLE), {ROUND}) AS cut_frac,
+       CAST(mx AS BIGINT) AS max_size, CAST(mn AS BIGINT) AS min_size
+FROM cutq, szq"""
