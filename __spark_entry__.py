@@ -1982,6 +1982,23 @@ def _q_part_quality_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_k_center_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point k-center seeds over the quantized embedding
+    grid (diversity coreset seeding; integer-exact selection)."""
+    from graphina_spark.operators.coreset import k_center_seeds
+
+    return k_center_seeds(_embs(spark, sf_dir), k=6)
+
+
+def _q_coreset_assign_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector assigned to its nearest k-center seed (coverage
+    partition for stratified subset selection)."""
+    from graphina_spark.operators.coreset import coreset_assign, k_center_seeds
+
+    embs = _embs(spark, sf_dir)
+    return coreset_assign(embs, k_center_seeds(embs, k=6))
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2184,6 +2201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_delta_web": _q_null_delta_web,
         "balanced_part_web": _q_balanced_part_web,
         "part_quality_web": _q_part_quality_web,
+        "k_center_embs": _q_k_center_embs,
+        "coreset_assign_embs": _q_coreset_assign_embs,
     }
 
 
@@ -2356,6 +2375,8 @@ def oracle_sql() -> dict[str, str]:
         "null_delta_web": O.null_delta_web_sql(seed=0),
         "balanced_part_web": O.balanced_part_web_sql(k=8, rounds=4, slack_pct=10),
         "part_quality_web": O.part_quality_web_sql(k=8, rounds=4, slack_pct=10),
+        "k_center_embs": O.k_center_embs_sql(k=6),
+        "coreset_assign_embs": O.coreset_assign_embs_sql(k=6),
         **_text_oracles(),
     }
 

@@ -4000,3 +4000,61 @@ SELECT CAST(cut AS BIGINT) AS cut_edges, CAST(tot AS BIGINT) AS total_edges,
        round(cut / CAST(tot AS DOUBLE), {ROUND}) AS cut_frac,
        CAST(mx AS BIGINT) AS max_size, CAST(mn AS BIGINT) AS min_size
 FROM cutq, szq"""
+
+
+_D2 = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+
+
+def k_center_embs_sql(k: int = 6, qbits: int = 12) -> str:
+    """Mirror of operators/coreset.py::k_center_seeds — unrolled Gonzalez
+    farthest-point rounds over the floor(x·2^qbits) integer grid (selection
+    is integer arithmetic end to end, bit-exact across engines)."""
+    scale = 1 << qbits
+    ctes = [
+        "q AS MATERIALIZED (SELECT vec_id, list_transform("
+        f"CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * {scale}) AS BIGINT))"
+        " AS qv FROM embeddings)",
+        "s0 AS (SELECT min(vec_id) AS vid FROM q)",
+        "m0 AS MATERIALIZED (SELECT a.vec_id, a.qv, "
+        + _D2.format(a="a.qv", b="c.qv")
+        + " AS d FROM q a, (SELECT qv FROM q, s0 WHERE vec_id = s0.vid) c)",
+    ]
+    sel = ["SELECT 0 AS seed_rank, s0.vid AS vec_id, CAST(0 AS BIGINT) AS d2 FROM s0"]
+    for r in range(1, k):
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT vec_id AS vid, d FROM m{r - 1}"
+            f" ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT {r} AS seed_rank, vid AS vec_id, CAST(d AS BIGINT) AS d2"
+            f" FROM s{r}"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"m{r} AS MATERIALIZED (SELECT m.vec_id, m.qv,"
+                f" least(m.d, " + _D2.format(a="m.qv", b="c.qv") + ") AS d"
+                f" FROM m{r - 1} m,"
+                f" (SELECT qv FROM q, s{r} WHERE vec_id = s{r}.vid) c)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def coreset_assign_embs_sql(k: int = 6, qbits: int = 12) -> str:
+    """Mirror of operators/coreset.py::coreset_assign over the
+    k_center_embs seeds (nearest seed per vector, ties → smaller seed id)."""
+    base = k_center_embs_sql(k=k, qbits=qbits)
+    ctes = base[len("WITH ") : base.index("\nSELECT 0 AS seed_rank")]
+    unions = base[base.index("SELECT 0 AS seed_rank") :]
+    return f"""WITH {ctes},
+ seeds AS MATERIALIZED ({unions}),
+ sq AS (SELECT s.vec_id AS svid, q.qv AS sv FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+ pairs AS (SELECT q.vec_id, sq.svid, {_D2.format(a="q.qv", b="sq.sv")} AS d
+           FROM q, sq),
+ best AS (SELECT vec_id, svid, d,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, svid ASC)
+                   AS rn FROM pairs)
+SELECT vec_id, svid AS seed_vec_id, CAST(d AS BIGINT) AS d2
+FROM best WHERE rn = 1"""
