@@ -1999,6 +1999,13 @@ def _q_coreset_assign_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreset_assign(embs, k_center_seeds(embs, k=6))
 
 
+def _q_motif4_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESCAPE 4-vertex motif census (non-induced; squares_web covers C4)."""
+    from graphina_spark.operators.motifs import four_motif_census
+
+    return four_motif_census(_web(spark, sf_dir))
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2203,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_quality_web": _q_part_quality_web,
         "k_center_embs": _q_k_center_embs,
         "coreset_assign_embs": _q_coreset_assign_embs,
+        "motif4_web": _q_motif4_web,
     }
 
 
@@ -2377,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         "part_quality_web": O.part_quality_web_sql(k=8, rounds=4, slack_pct=10),
         "k_center_embs": O.k_center_embs_sql(k=6),
         "coreset_assign_embs": O.coreset_assign_embs_sql(k=6),
+        "motif4_web": O.motif4_web_sql(),
         **_text_oracles(),
     }
 

@@ -4058,3 +4058,36 @@ def coreset_assign_embs_sql(k: int = 6, qbits: int = 12) -> str:
                    AS rn FROM pairs)
 SELECT vec_id, svid AS seed_vec_id, CAST(d AS BIGINT) AS d2
 FROM best WHERE rn = 1"""
+
+
+def motif4_web_sql() -> str:
+    """Mirror of operators/motifs.py::four_motif_census — ESCAPE closed
+    forms, integer arithmetic end to end (non-induced counts; 4-cycles live
+    in squares_web)."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},{_TRI_CTES},{_ESUP_CTE},
+ degrow AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges,
+                   CAST(sum(deg * (deg - 1) * (deg - 2) // 6) AS BIGINT)
+                     AS star3 FROM cdeg),
+ se AS (SELECT e.support, da.deg AS du, db.deg AS dv FROM esup e
+        JOIN cdeg da ON e.src = da.id JOIN cdeg db ON e.dst = db.id),
+ erow AS (SELECT CAST(sum((du - 1) * (dv - 1)) AS BIGINT) AS p3raw,
+                 CAST(sum(support) AS BIGINT) AS sup_sum,
+                 CAST(sum(support * (support - 1) // 2) AS BIGINT) AS diamond
+          FROM se),
+ trow AS (SELECT CAST(sum(p.t * (d.deg - 2)) AS BIGINT) AS tailed
+          FROM percnt p JOIN cdeg d ON p.id = d.id),
+ tedges AS (SELECT least(a, b) AS le, greatest(a, b) AS he, c AS w FROM tris
+            UNION ALL SELECT least(a, c), greatest(a, c), b FROM tris
+            UNION ALL SELECT least(b, c), greatest(b, c), a FROM tris),
+ k4p AS (SELECT t1.w AS w1, t2.w AS w2 FROM tedges t1 JOIN tedges t2
+         ON t1.le = t2.le AND t1.he = t2.he AND t1.w < t2.w),
+ k4row AS (SELECT count(*) AS c6 FROM k4p p
+           JOIN canon e ON e.src = least(p.w1, p.w2)
+                       AND e.dst = greatest(p.w1, p.w2))
+SELECT degrow.wedges, degrow.star3,
+       CAST(erow.p3raw - 3 * (erow.sup_sum // 3) AS BIGINT) AS path3,
+       CAST(coalesce(trow.tailed, 0) AS BIGINT) AS tailed_tri,
+       erow.diamond,
+       CAST(k4row.c6 // 6 AS BIGINT) AS k4,
+       CAST(erow.sup_sum // 3 AS BIGINT) AS triangles
+FROM degrow, erow, trow, k4row"""
