@@ -2006,6 +2006,29 @@ def _q_motif4_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return four_motif_census(_web(spark, sf_dir))
 
 
+def _q_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase part pairs from the lineitem order lines
+    (item-cap skew guard, min co-occurrence 2)."""
+    from graphina_spark.operators.copurchase import copurchase_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return copurchase_pairs(li, min_count=2)
+
+
+def _q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the relational-derived co-purchase graph —
+    the same gated kernel exercised on real-skew data (dangling parts =
+    never co-purchased)."""
+    from graphina_spark.operators.copurchase import copurchase_graph
+    from graphina_spark.operators.pagerank import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = copurchase_graph(li, min_count=2)
+    g.edges = g.edges.transform(_mat)
+    pr = pagerank(g, damping=0.85, fixed_iters=5, tol=None)
+    return pr.select("id", F.round("rank", ROUND).alias("pr"))
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2211,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_center_embs": _q_k_center_embs,
         "coreset_assign_embs": _q_coreset_assign_embs,
         "motif4_web": _q_motif4_web,
+        "copurchase_parts": _q_copurchase_parts,
+        "pagerank_parts": _q_pagerank_parts,
     }
 
 
@@ -2386,6 +2411,8 @@ def oracle_sql() -> dict[str, str]:
         "k_center_embs": O.k_center_embs_sql(k=6),
         "coreset_assign_embs": O.coreset_assign_embs_sql(k=6),
         "motif4_web": O.motif4_web_sql(),
+        "copurchase_parts": O.copurchase_parts_sql(min_count=2),
+        "pagerank_parts": pagerank_web_sql(edges_cte=O.parts_edges_cte(2, 1_000)),
         **_text_oracles(),
     }
 

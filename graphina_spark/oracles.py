@@ -4091,3 +4091,25 @@ SELECT degrow.wedges, degrow.star3,
        CAST(k4row.c6 // 6 AS BIGINT) AS k4,
        CAST(erow.sup_sum // 3 AS BIGINT) AS triangles
 FROM degrow, erow, trow, k4row"""
+
+
+def parts_edges_cte(min_count: int = 2, cap: int = 1_000) -> str:
+    """Edge derivation CTE for the lineitem co-purchase graph — mirror of
+    operators/copurchase.py::copurchase_graph (same names `edges`/`v` as
+    WEB_EDGES_CTE so the parameterized kernel oracles compose)."""
+    return f"""
+ items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+ okv AS (SELECT ok FROM (SELECT ok, count(*) AS c FROM items GROUP BY ok)
+         WHERE c <= {cap}),
+ kept AS (SELECT i.ok, i.pk FROM items i JOIN okv ON i.ok = okv.ok),
+ prs AS (SELECT a.pk AS src, b.pk AS dst, count(*) AS cnt
+         FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+ edges AS (SELECT src, dst, CAST(cnt AS DOUBLE) AS weight FROM prs
+           UNION ALL SELECT dst, src, CAST(cnt AS DOUBLE) FROM prs),
+ v AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS id FROM lineitem)"""
+
+
+def copurchase_parts_sql(min_count: int = 2, cap: int = 1_000) -> str:
+    return f"""WITH {parts_edges_cte(min_count, cap).strip()}
+SELECT src, dst, CAST(cnt AS BIGINT) AS cnt FROM prs"""
