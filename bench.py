@@ -155,6 +155,10 @@ def main() -> None:
     run("khop_frontier", lambda: gated["khop_frontier_web"](spark, SF_DIR))
     run("config_model", lambda: gated["config_model_web"](spark, SF_DIR))
     run("egonet_burt", lambda: gated["burt_web"](spark, SF_DIR))
+    run("motif4_census", lambda: gated["motif4_web"](spark, SF_DIR))
+    run("balanced_part_4r", lambda: gated["balanced_part_web"](spark, SF_DIR))
+    run("k_center_6", lambda: gated["k_center_embs"](spark, SF_DIR))
+    run("copurchase_pr", lambda: gated["pagerank_parts"](spark, SF_DIR))
 
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS

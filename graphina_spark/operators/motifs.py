@@ -41,38 +41,17 @@ from graphina_spark.operators.egonet import _ctx
 def four_motif_census(g: LinkGraph) -> DataFrame:
     """One row (wedges, star3, path3, tailed_tri, diamond, k4, triangles) —
     global non-induced counts over the simple undirected projection."""
-    canon, cdeg, sup = _ctx(g)
+    canon, cdeg, _ = _ctx(g)
+    # ONE triangle enumeration serves everything: the oriented corner join
+    # is cached, per-edge support is DERIVED from it (tedges → groupBy), and
+    # every scalar folds into one single-row lazy plan (cross joins of 1-row
+    # aggregates) so the census is a single action.
     d = F.col("deg").cast("long")
     degrow = cdeg.agg(
         F.sum((d * (d - 1) / 2).cast("long")).alias("wedges"),
         F.sum((d * (d - 1) * (d - 2) / 6).cast("long")).alias("star3"),
-    ).first()
-
-    se = sup.join(cdeg.withColumnRenamed("id", "src"), "src").withColumnRenamed(
-        "deg", "du"
-    ).join(cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("dv")), "dst")
-    erow = se.agg(
-        F.sum(((F.col("du") - 1) * (F.col("dv") - 1)).cast("long")).alias("p3raw"),
-        F.sum("support").cast("long").alias("sup_sum"),
-        F.sum((F.col("support") * (F.col("support") - 1) / 2).cast("long"))
-        .alias("diamond"),
-    ).first()
-    tri_total = erow["sup_sum"] // 3
-
-    tri_v = (
-        sup.select(F.col("src").alias("id"), "support")
-        .unionAll(sup.select(F.col("dst").alias("id"), "support"))
-        .groupBy("id")
-        .agg((F.sum("support") / 2).cast("long").alias("tri"))
-    )
-    trow = (
-        tri_v.join(cdeg, "id")
-        .agg(F.sum((F.col("tri") * (F.col("deg") - 2)).cast("long")).alias("tailed"))
-        .first()
     )
 
-    # k4: pairs of triangles sharing an edge whose opposite vertices are
-    # adjacent; each K4 is found once per its 6 edges
     da = cdeg.select(F.col("id").alias("src"), F.col("deg").alias("dsrc"))
     db = cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst"))
     fwd = (F.col("dsrc") < F.col("ddst")) | (
@@ -85,7 +64,6 @@ def four_motif_census(g: LinkGraph) -> DataFrame:
             F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
             F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("d"),
         )
-        .cache()
     )
     e1 = edir.select(F.col("s").alias("a"), F.col("d").alias("b"))
     e2 = edir.select(F.col("s").alias("b"), F.col("d").alias("c"))
@@ -108,7 +86,38 @@ def four_motif_census(g: LinkGraph) -> DataFrame:
                 F.col("a").alias("w"),
             )
         )
+        .cache()
     )
+    sup = canon.join(
+        tedges.groupBy(F.col("le").alias("src"), F.col("he").alias("dst")).agg(
+            F.count("*").alias("t")
+        ),
+        ["src", "dst"],
+        "left",
+    ).select("src", "dst", F.coalesce("t", F.lit(0)).alias("support"))
+
+    se = sup.join(cdeg.withColumnRenamed("id", "src"), "src").withColumnRenamed(
+        "deg", "du"
+    ).join(cdeg.select(F.col("id").alias("dst"), F.col("deg").alias("dv")), "dst")
+    erow = se.agg(
+        F.sum(((F.col("du") - 1) * (F.col("dv") - 1)).cast("long")).alias("p3raw"),
+        F.sum("support").cast("long").alias("sup_sum"),
+        F.sum((F.col("support") * (F.col("support") - 1) / 2).cast("long"))
+        .alias("diamond"),
+    )
+
+    tri_v = (
+        sup.select(F.col("src").alias("id"), "support")
+        .unionAll(sup.select(F.col("dst").alias("id"), "support"))
+        .groupBy("id")
+        .agg((F.sum("support") / 2).cast("long").alias("tri"))
+    )
+    trow = tri_v.join(cdeg, "id").agg(
+        F.sum((F.col("tri") * (F.col("deg") - 2)).cast("long")).alias("tailed")
+    )
+
+    # k4: pairs of triangles sharing an edge whose opposite vertices are
+    # adjacent; each K4 is found once per its 6 edges
     t1, t2 = tedges.alias("t1"), tedges.alias("t2")
     k4pairs = t1.join(
         t2,
@@ -116,30 +125,24 @@ def four_motif_census(g: LinkGraph) -> DataFrame:
         & (F.col("t1.he") == F.col("t2.he"))
         & (F.col("t1.w") < F.col("t2.w")),
     ).select(F.col("t1.w").alias("w1"), F.col("t2.w").alias("w2"))
-    k4row = (
-        k4pairs.join(
-            canon,
-            (canon["src"] == F.least("w1", "w2"))
-            & (canon["dst"] == F.greatest("w1", "w2")),
-        )
-        .agg(F.count("*").alias("c6"))
-        .first()
-    )
-    k4 = int(k4row["c6"] or 0) // 6
+    k4row = k4pairs.join(
+        canon,
+        (canon["src"] == F.least("w1", "w2"))
+        & (canon["dst"] == F.greatest("w1", "w2")),
+    ).agg(F.count("*").alias("c6"))
 
-    spark = g.vertices.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                int(degrow["wedges"] or 0),
-                int(degrow["star3"] or 0),
-                int(erow["p3raw"] or 0) - 3 * tri_total,
-                int(trow["tailed"] or 0),
-                int(erow["diamond"] or 0),
-                k4,
-                tri_total,
-            )
-        ],
-        "wedges long, star3 long, path3 long, tailed_tri long, diamond long,"
-        " k4 long, triangles long",
+    tri_total = (F.col("sup_sum") / 3).cast("long")
+    return (
+        degrow.crossJoin(erow)
+        .crossJoin(trow)
+        .crossJoin(k4row)
+        .select(
+            F.coalesce("wedges", F.lit(0)).alias("wedges"),
+            F.coalesce("star3", F.lit(0)).alias("star3"),
+            (F.coalesce("p3raw", F.lit(0)) - 3 * tri_total).alias("path3"),
+            F.coalesce("tailed", F.lit(0)).alias("tailed_tri"),
+            F.coalesce("diamond", F.lit(0)).alias("diamond"),
+            (F.coalesce("c6", F.lit(0)) / 6).cast("long").alias("k4"),
+            tri_total.alias("triangles"),
+        )
     )
