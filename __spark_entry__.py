@@ -2029,6 +2029,27 @@ def _q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", ROUND).alias("pr"))
 
 
+def _q_rank_delta_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority shift per recrawl: PageRank on the base crawl vs the
+    recrawl snapshot (link rot + newly discovered ring), per-id delta."""
+    from graphina_spark.operators.pagerank import pagerank
+    from graphina_spark.sources.derived import web_graph_recrawl
+
+    ga = _web(spark, sf_dir)
+    gb = web_graph_recrawl(spark, sf_dir)
+    gb.edges = gb.edges.transform(_mat)
+    pa = pagerank(ga, damping=0.85, fixed_iters=5, tol=None).select(
+        "id", F.round("rank", ROUND).alias("pr_old")
+    )
+    pb = pagerank(gb, damping=0.85, fixed_iters=5, tol=None).select(
+        "id", F.round("rank", ROUND).alias("pr_new")
+    )
+    return pa.join(pb, "id").select(
+        "id", "pr_old", "pr_new",
+        F.round(F.col("pr_new") - F.col("pr_old"), ROUND).alias("delta"),
+    )
+
+
 def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE export: mean feature vector of a deterministic 3-neighbor
     sample per vertex, long format (id, pos, mean_val, n_sampled)."""
@@ -2236,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif4_web": _q_motif4_web,
         "copurchase_parts": _q_copurchase_parts,
         "pagerank_parts": _q_pagerank_parts,
+        "rank_delta_web": _q_rank_delta_web,
     }
 
 
@@ -2413,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "motif4_web": O.motif4_web_sql(),
         "copurchase_parts": O.copurchase_parts_sql(min_count=2),
         "pagerank_parts": pagerank_web_sql(edges_cte=O.parts_edges_cte(2, 1_000)),
+        "rank_delta_web": O.rank_delta_web_sql(),
         **_text_oracles(),
     }
 

@@ -4113,3 +4113,74 @@ def parts_edges_cte(min_count: int = 2, cap: int = 1_000) -> str:
 def copurchase_parts_sql(min_count: int = 2, cap: int = 1_000) -> str:
     return f"""WITH {parts_edges_cte(min_count, cap).strip()}
 SELECT src, dst, CAST(cnt AS BIGINT) AS cnt FROM prs"""
+
+
+def _pr_chain(edges_src: str, verts_src: str, pfx: str, iters: int, d: float) -> list[str]:
+    """Prefixed unrolled weighted-PageRank CTE chain (same trajectory as
+    pagerank_web_sql, parameterized so two graphs coexist in one query)."""
+    ctes = [
+        f"{pfx}n AS (SELECT count(*) AS n FROM {verts_src})",
+        f"{pfx}wout AS (SELECT src AS id, sum(weight) AS w_out FROM {edges_src}"
+        f" GROUP BY src)",
+        f"{pfx}en AS (SELECT e.src, e.dst, e.weight / w.w_out AS w_norm"
+        f" FROM {edges_src} e JOIN {pfx}wout w ON e.src = w.id)",
+        f"{pfx}r0 AS (SELECT id, 1.0 / n AS pr FROM {verts_src}, {pfx}n)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = f"{pfx}r{k - 1}", f"{pfx}r{k}"
+        ctes.append(
+            f"{pfx}d{k} AS (SELECT coalesce(sum(r.pr), 0.0) AS dang FROM {p} r"
+            f" LEFT JOIN {pfx}wout w ON r.id = w.id WHERE w.id IS NULL)"
+        )
+        ctes.append(
+            f"{pfx}g{k} AS (SELECT en.dst AS id, sum(r.pr * en.w_norm) AS gather"
+            f" FROM {p} r JOIN {pfx}en en ON r.id = en.src GROUP BY en.dst)"
+        )
+        ctes.append(
+            f"{c} AS (SELECT vv.id,"
+            f" {1.0 - d} / {pfx}n.n + {d} * {pfx}d{k}.dang / {pfx}n.n"
+            f" + {d} * coalesce({pfx}g{k}.gather, 0.0) AS pr"
+            f" FROM {verts_src} vv LEFT JOIN {pfx}g{k} ON vv.id = {pfx}g{k}.id,"
+            f" {pfx}n, {pfx}d{k})"
+        )
+    return ctes
+
+
+def rank_delta_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """PageRank before/after the recrawl snapshot — mirror of the
+    rank_delta_web gate.  Delta is computed from the 6-dp-ROUNDED ranks on
+    both sides (identical doubles → identical subtraction)."""
+    from graphina_spark.sources.derived import (
+        DANGLING_MOD,
+        MULTIPLIERS,
+        N_HUBS,
+        RECRAWL_NEW,
+        RECRAWL_ROT,
+    )
+
+    ra, rb, rm = RECRAWL_ROT
+    mult_b = "\n      UNION ALL ".join(
+        f"SELECT id AS src, (id*{a}+{b}) % n AS dst FROM v, nn"
+        for a, b in MULTIPLIERS + [RECRAWL_NEW]
+    )
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "e0b AS (\n      "
+        + mult_b
+        + f"\n      UNION ALL SELECT id AS src, id % {N_HUBS} AS dst FROM v\n )",
+        f"""edges_b AS (
+      SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS weight
+      FROM (SELECT DISTINCT src, dst FROM e0b
+            WHERE src <> dst AND src % {DANGLING_MOD} <> 0
+              AND (src*{ra} + dst*{rb}) % {rm} <> 0))""",
+    ]
+    ctes += _pr_chain("edges", "v", "a_", iters, d)
+    ctes += _pr_chain("edges_b", "v", "b_", iters, d)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.id, round(a.pr, {ROUND}) AS pr_old, round(b.pr, {ROUND}) AS pr_new,
+       round(round(b.pr, {ROUND}) - round(a.pr, {ROUND}), {ROUND}) AS delta
+FROM a_r{iters} a JOIN b_r{iters} b ON a.id = b.id"""
+    )

@@ -60,3 +60,20 @@ def test_rank_drift_semantics(spark):
         .first()[0]
     )
     assert zero == 0.0
+
+
+def test_rank_delta_sums_to_zero(spark):
+    """Both rank vectors sum to 1, so deltas sum to ~0 — and the recrawl
+    must actually move mass (some nonzero deltas)."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    df = m.queries()["rank_delta_web"](spark, "/root/testdata/sf0.001")
+    agg = df.agg(
+        F.sum("delta").alias("s"),
+        F.sum(F.when(F.col("delta") != 0.0, 1).otherwise(0)).alias("moved"),
+        F.count("*").alias("n"),
+    ).first()
+    assert abs(agg["s"]) < 1e-3  # 6-dp rounding residue only
+    assert agg["moved"] > 0
+    assert agg["n"] == df.select("id").distinct().count()
