@@ -1982,6 +1982,32 @@ def _q_part_quality_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multilevel_part_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel (coarsen → partition → refine) assignment: heavy-edge
+    handshake matching contracts the graph, weighted balanced-LPA
+    partitions the coarse graph under fine-vertex quotas, two unweighted
+    fine rounds refine the projection (k=8, 10% slack)."""
+    from graphina_spark.operators.multilevel import multilevel_partition
+
+    return multilevel_partition(
+        _web(spark, sf_dir), k=8, coarse_rounds=4, refine_rounds=2
+    )
+
+
+def _q_multilevel_quality_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut fraction + balance envelope of the multilevel assignment."""
+    from graphina_spark.operators.balance import partition_quality
+    from graphina_spark.operators.multilevel import multilevel_partition
+
+    g = _web(spark, sf_dir)
+    a = multilevel_partition(g, k=8, coarse_rounds=4, refine_rounds=2)
+    q = partition_quality(g, a)
+    return q.select(
+        "cut_edges", "total_edges", F.round("cut_frac", ROUND).alias("cut_frac"),
+        "max_size", "min_size",
+    )
+
+
 def _q_k_center_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gonzalez farthest-point k-center seeds over the quantized embedding
     grid (diversity coreset seeding; integer-exact selection)."""
@@ -2252,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_delta_web": _q_null_delta_web,
         "balanced_part_web": _q_balanced_part_web,
         "part_quality_web": _q_part_quality_web,
+        "multilevel_part_web": _q_multilevel_part_web,
+        "multilevel_quality_web": _q_multilevel_quality_web,
         "k_center_embs": _q_k_center_embs,
         "coreset_assign_embs": _q_coreset_assign_embs,
         "motif4_web": _q_motif4_web,
@@ -2430,6 +2458,12 @@ def oracle_sql() -> dict[str, str]:
         "null_delta_web": O.null_delta_web_sql(seed=0),
         "balanced_part_web": O.balanced_part_web_sql(k=8, rounds=4, slack_pct=10),
         "part_quality_web": O.part_quality_web_sql(k=8, rounds=4, slack_pct=10),
+        "multilevel_part_web": O.multilevel_part_web_sql(
+            k=8, coarse_rounds=4, refine_rounds=2, slack_pct=10
+        ),
+        "multilevel_quality_web": O.multilevel_quality_web_sql(
+            k=8, coarse_rounds=4, refine_rounds=2, slack_pct=10
+        ),
         "k_center_embs": O.k_center_embs_sql(k=6),
         "coreset_assign_embs": O.coreset_assign_embs_sql(k=6),
         "motif4_web": O.motif4_web_sql(),

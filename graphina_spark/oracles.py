@@ -4184,3 +4184,159 @@ SELECT a.id, round(a.pr, {ROUND}) AS pr_old, round(b.pr, {ROUND}) AS pr_new,
        round(round(b.pr, {ROUND}) - round(a.pr, {ROUND}), {ROUND}) AS delta
 FROM a_r{iters} a JOIN b_r{iters} b ON a.id = b.id"""
     )
+
+
+# ------------------------------------------------------- multilevel partition
+
+
+def _ml_pri_sql(idexpr: str, r: int) -> str:
+    """SQL twin of operators/balance.py::_move_pri for round index ``r``."""
+    from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
+    from graphina_spark.operators.distmetrics import ANF_P
+
+    b = r * PRI_A2 + PRI_B
+    h1 = f"(({idexpr}) * {PRI_A1} + {b}) % {ANF_P}"
+    h2 = f"(({h1}) * ({h1}) + {PRI_A1}) % {ANF_P}"
+    return f"((({h2}) * ({h2}) + {PRI_A2}) % {ANF_P})"
+
+
+def multilevel_part_web_sql(
+    k: int = 8,
+    coarse_rounds: int = 4,
+    refine_rounds: int = 2,
+    slack_pct: int = 10,
+) -> str:
+    """Mirror of operators/multilevel.py::multilevel_partition — heavy-edge
+    handshake matching, contraction, ``coarse_rounds`` weight-generalized
+    balanced-LPA rounds (edge-weight affinity, fine-vertex-mass quotas via a
+    running-sum window), projection, ``refine_rounds`` unweighted fine
+    rounds.  Fully unrolled; every frame MATERIALIZED because each round
+    reads the previous partition four times."""
+    ctes = [
+        WEB_EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "pw AS MATERIALIZED (SELECT least(src, dst) AS s, greatest(src, dst) AS d,"
+        " CAST(sum(weight) AS BIGINT) AS w FROM edges WHERE src <> dst"
+        " GROUP BY 1, 2)",
+        "psym AS MATERIALIZED (SELECT s, d, w FROM pw"
+        " UNION ALL SELECT d, s, w FROM pw)",
+        "pick AS (SELECT s AS v, d AS u FROM (SELECT s, d, row_number() OVER ("
+        "PARTITION BY s ORDER BY w DESC, d ASC) AS rn FROM psym) WHERE rn = 1)",
+        "mtch AS (SELECT a.v, a.u FROM pick a JOIN pick b"
+        " ON a.u = b.v AND b.u = a.v WHERE a.v < a.u)",
+        "mm AS (SELECT v AS id, v AS g FROM mtch"
+        " UNION ALL SELECT u AS id, v AS g FROM mtch)",
+        "cmap AS MATERIALIZED (SELECT v.id, coalesce(mm.g, v.id) AS grp"
+        " FROM v LEFT JOIN mm ON v.id = mm.id)",
+        "nwt AS MATERIALIZED (SELECT grp AS id, count(*) AS nw FROM cmap"
+        " GROUP BY 1)",
+        "ce AS MATERIALIZED (SELECT least(ca.grp, cb.grp) AS s,"
+        " greatest(ca.grp, cb.grp) AS d, CAST(sum(pw.w) AS BIGINT) AS w"
+        " FROM pw JOIN cmap ca ON pw.s = ca.id JOIN cmap cb ON pw.d = cb.id"
+        " WHERE ca.grp <> cb.grp GROUP BY 1, 2)",
+        "csym AS MATERIALIZED (SELECT s AS src, d AS dst, w FROM ce"
+        " UNION ALL SELECT d, s, w FROM ce)",
+        "nn3 AS (SELECT count(*) AS n FROM v)",
+        f"capt AS (SELECT (n * {100 + slack_pct} + {100 * k} - 1) // {100 * k}"
+        f" AS cap FROM nn3)",
+        f"cp0 AS MATERIALIZED (SELECT id, (row_number() OVER ("
+        f"ORDER BY nw DESC, id ASC) - 1) % {k} AS part FROM nwt)",
+    ]
+
+    def rounds(
+        prefix: str, sym: str, wexpr: str, nw_join: bool, n_rounds: int, off: int
+    ) -> None:
+        for j in range(1, n_rounds + 1):
+            prev = f"{prefix}{j - 1}"
+            pri = _ml_pri_sql("cur.id", off + j - 1)
+            nw_src = "w.nw" if nw_join else "1"
+            nw_from = " JOIN nwt w ON cur.id = w.id" if nw_join else ""
+            ctes.append(
+                f"{prefix}cnt{j} AS MATERIALIZED (SELECT cs.src AS id, p.part AS p,"
+                f" CAST(sum({wexpr}) AS BIGINT) AS c FROM {sym} cs"
+                f" JOIN {prev} p ON cs.dst = p.id GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"{prefix}best{j} AS MATERIALIZED (SELECT id, p AS best, c AS cbest"
+                f" FROM (SELECT id, p, c, row_number() OVER (PARTITION BY id"
+                f" ORDER BY c DESC, p ASC) AS rn FROM {prefix}cnt{j}) WHERE rn = 1)"
+            )
+            ctes.append(
+                f"{prefix}cand{j} AS MATERIALIZED (SELECT cur.id, b.best,"
+                f" b.cbest - coalesce(cc.c, 0) AS gain, {pri} AS pri,"
+                f" {nw_src} AS nw"
+                f" FROM {prev} cur JOIN {prefix}best{j} b ON cur.id = b.id"
+                f" LEFT JOIN {prefix}cnt{j} cc"
+                f" ON cur.id = cc.id AND cur.part = cc.p{nw_from}"
+                f" WHERE b.best <> cur.part AND b.cbest > coalesce(cc.c, 0))"
+            )
+            sz_expr = (
+                f"SELECT p.part, sum(w.nw) AS sz FROM {prev} p"
+                f" JOIN nwt w ON p.id = w.id GROUP BY 1"
+                if nw_join
+                else f"SELECT part, count(*) AS sz FROM {prev} GROUP BY part"
+            )
+            ctes.append(f"{prefix}sz{j} AS MATERIALIZED ({sz_expr})")
+            ctes.append(
+                f"{prefix}qt{j} AS MATERIALIZED (SELECT t.pt AS best,"
+                f" greatest(0, capt.cap - coalesce(s.sz, 0)) AS q"
+                f" FROM (SELECT unnest(range({k})) AS pt) t"
+                f" LEFT JOIN {prefix}sz{j} s ON t.pt = s.part, capt)"
+            )
+            ctes.append(
+                f"{prefix}acc{j} AS MATERIALIZED (SELECT id, best FROM ("
+                f"SELECT c.id, c.best, q.q, sum(c.nw) OVER (PARTITION BY c.best"
+                f" ORDER BY c.gain DESC, c.pri ASC, c.id ASC"
+                f" ROWS UNBOUNDED PRECEDING) AS run"
+                f" FROM {prefix}cand{j} c JOIN {prefix}qt{j} q ON c.best = q.best)"
+                f" WHERE run <= q)"
+            )
+            ctes.append(
+                f"{prefix}{j} AS MATERIALIZED (SELECT pp.id,"
+                f" coalesce(a.best, pp.part) AS part FROM {prev} pp"
+                f" LEFT JOIN {prefix}acc{j} a ON pp.id = a.id)"
+            )
+
+    rounds("cp", "csym", "cs.w", True, coarse_rounds, 0)
+    ctes.append(
+        f"fp0 AS MATERIALIZED (SELECT cm.id, p.part FROM cmap cm"
+        f" JOIN cp{coarse_rounds} p ON cm.grp = p.id)"
+    )
+    ctes.append("fsym AS MATERIALIZED (SELECT s AS src, d AS dst FROM psym)")
+    rounds("fp", "fsym", "1", False, refine_rounds, coarse_rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, part FROM fp{refine_rounds}"
+    )
+
+
+def multilevel_quality_web_sql(
+    k: int = 8,
+    coarse_rounds: int = 4,
+    refine_rounds: int = 2,
+    slack_pct: int = 10,
+) -> str:
+    """Cut fraction + balance envelope of multilevel_part_web (mirror of
+    operators/balance.py::partition_quality over the multilevel
+    assignment)."""
+    base = multilevel_part_web_sql(
+        k=k,
+        coarse_rounds=coarse_rounds,
+        refine_rounds=refine_rounds,
+        slack_pct=slack_pct,
+    )
+    ctes = base[len("WITH ") : base.rindex("\nSELECT")]
+    fin = f"fp{refine_rounds}"
+    return f"""WITH {ctes},
+ canonq AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+            FROM edges WHERE src <> dst),
+ edq AS (SELECT pa.part AS ps, pb.part AS pd FROM canonq e
+         JOIN {fin} pa ON e.src = pa.id JOIN {fin} pb ON e.dst = pb.id),
+ cutq AS (SELECT sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS cut,
+                 count(*) AS tot FROM edq),
+ szq AS (SELECT max(sz) AS mx, min(sz) AS mn FROM (
+           SELECT count(*) AS sz FROM {fin} GROUP BY part))
+SELECT CAST(cut AS BIGINT) AS cut_edges, CAST(tot AS BIGINT) AS total_edges,
+       round(cut / CAST(tot AS DOUBLE), {ROUND}) AS cut_frac,
+       CAST(mx AS BIGINT) AS max_size, CAST(mn AS BIGINT) AS min_size
+FROM cutq, szq"""
