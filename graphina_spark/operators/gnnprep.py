@@ -62,7 +62,11 @@ def _edge_hash(src: F.Column, dst: F.Column) -> F.Column:
 
 
 def sample_neighbors(
-    g: LinkGraph, k: int, salt_buckets: int = 16, directed: bool | None = None
+    g: LinkGraph,
+    k: int,
+    salt_buckets: int = 16,
+    directed: bool | None = None,
+    roots: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst) — for every vertex with ≥1 neighbor, a deterministic
     sample of min(k, degree) distinct neighbors.
@@ -71,6 +75,13 @@ def sample_neighbors(
     is unique and parallelism-independent.  ``directed=False`` (default for
     undirected graphs) samples over the union of in- and out-neighbors, the
     standard GraphSAGE message-passing view of a web graph.
+
+    ``roots`` (optional, one ``id`` column) restricts the output to samples
+    of those vertices.  Because the sample of ``src`` is a function of
+    ``src``'s own neighbor set alone, semi-joining the adjacency on src
+    BEFORE the ranking windows yields rows bit-identical to filtering the
+    full output — that exactness is what the streaming delta export
+    (streaming/gnnexport.py) relies on.
     """
     if directed is None:
         directed = g.directed
@@ -78,6 +89,10 @@ def sample_neighbors(
     if not directed:
         e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     adj = e.distinct()
+    if roots is not None:
+        adj = adj.join(
+            roots.select(F.col("id").alias("src")), "src", "left_semi"
+        )
     ranked = adj.select(
         "src", "dst", _edge_hash(F.col("src"), F.col("dst")).alias("h")
     )
@@ -102,6 +117,7 @@ def sage_neighbor_mean(
     k: int = 3,
     salt_buckets: int = 16,
     directed: bool | None = None,
+    roots: DataFrame | None = None,
 ) -> DataFrame:
     """(id, pos, mean_val, n_sampled) — per vertex, the elementwise mean of
     the feature vectors of its deterministic k-neighbor sample, exploded to
@@ -113,7 +129,9 @@ def sage_neighbor_mean(
     node→vector assignment, shared with the oracle).  Output has exactly
     (#sampled-vertices)·d rows — degree skew never inflates it.
     """
-    samp = sample_neighbors(g, k=k, salt_buckets=salt_buckets, directed=directed)
+    samp = sample_neighbors(
+        g, k=k, salt_buckets=salt_buckets, directed=directed, roots=roots
+    )
     n_vec = features.count()
     feat = features.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
