@@ -36,7 +36,14 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
         f"scaling_lpa_c{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        # 48g at EVERY level (identical config across the pair is the
+        # method): unlike the sharded PageRank kernel, LPA's symmetrized
+        # 2|E|-row adjacency makes the per-round shuffled-hash builds big
+        # enough that 32 concurrent tasks exhaust a 16g unified pool
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.driver.memory": "48g",
+        },
     )
     t0 = time.time()
     pgs = synth_pages(spark, pages, avg_out=avg_out, partitions=cores * 2)

@@ -157,6 +157,7 @@ def main() -> None:
     run("egonet_burt", lambda: gated["burt_web"](spark, SF_DIR))
     run("motif4_census", lambda: gated["motif4_web"](spark, SF_DIR))
     run("balanced_part_4r", lambda: gated["balanced_part_web"](spark, SF_DIR))
+    run("multilevel_part", lambda: gated["multilevel_part_web"](spark, SF_DIR))
     run("k_center_6", lambda: gated["k_center_embs"](spark, SF_DIR))
     run("copurchase_pr", lambda: gated["pagerank_parts"](spark, SF_DIR))
 
