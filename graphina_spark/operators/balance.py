@@ -75,11 +75,17 @@ def balanced_partition(
         cnt = nbr_part.groupBy(F.col("src").alias("id"), "p").agg(
             F.count("*").alias("c")
         )
-        w_best = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("p"))
+        # argmax by (c desc, p asc) as a hash aggregation — max over a
+        # struct compares lexicographically, so max(struct(c, -p)) is the
+        # same answer as the row_number window but with map-side partial
+        # combine and NO sort (the sort-window variant was the measured
+        # scaling bottleneck of the LPA kernel; see operators/lpa.py)
         best = (
-            cnt.withColumn("rn", F.row_number().over(w_best))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("p").alias("best"), F.col("c").alias("cbest"))
+            cnt.groupBy("id")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("p")).alias("np"))).alias("m"))
+            .select(
+                "id", (-F.col("m.np")).alias("best"), F.col("m.c").alias("cbest")
+            )
         )
         cur = part.join(
             cnt.withColumnRenamed("p", "part"), ["id", "part"], "left"

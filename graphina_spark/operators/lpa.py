@@ -15,13 +15,21 @@ Comparisons against the reference are partition-equality on fixtures whose
 converged partition is unambiguous (cliques / planted partitions), the same
 strategy the reference's oracle uses for Louvain (modularity, not labels).
 
-Superstep = join labels→edges, groupBy(dst,label).count(), window row_number
-— two shuffles, both with map-side partial aggregation.
+Superstep = join labels→edges, groupBy(dst,label).count(), then an argmax
+as ``max(struct(cnt, -label))`` — two shuffles, both HASH aggregations with
+map-side partial combine and no sort anywhere.  The argmax was originally a
+``row_number`` window: identical answers, but the window's per-round sort
+of the (id, label, cnt) frame is memory-bandwidth-bound and throttled
+multi-core scaling (measured on the 32M-edge scaling input: the sort-window
+kernel stalled at 0.47 efficiency local[2]→local[8] while the hash-agg
+PageRank kernel hit 0.86 on the same box; see BENCH/BASELINE.md §LPA).
+``max`` over a struct compares lexicographically, so (cnt, -label)
+reproduces the pinned (count desc, label asc) tie-break exactly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
@@ -58,7 +66,6 @@ def label_propagation(
         labels = g.vertices.select("id", F.col("id").alias("label"))
     labels = labels.transform(_mat)
 
-    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
     for it in range(start_iter, n_iters):
         freq = (
             labels.alias("l")
@@ -67,9 +74,13 @@ def label_propagation(
             .agg(F.count("*").alias("cnt"))
         )
         best = (
-            freq.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
+            freq.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("id", (-F.col("m.nl")).alias("new_label"))
         )
         new = (
             labels.join(best, "id", "left")
@@ -112,7 +123,8 @@ def seeded_label_propagation(
     Scale shape: identical to the unseeded kernel — per round one
     labels→edges join (only the labeled subset probes the edge frame, so
     early rounds are *cheaper* than full LPA), one (dst, label) count with
-    map-side combine, one per-vertex argmax window; the clamp is a broadcast
+    map-side combine, one per-vertex hash-agg argmax (max-struct, the same
+    sort-free shape as :func:`label_propagation`); the clamp is a broadcast
     left join against the seed frame.  DuckDB twin:
     oracles.py::seeded_lpa_web_sql (unrolled, AS MATERIALIZED per round).
     """
@@ -126,7 +138,6 @@ def seeded_label_propagation(
         .select("id", F.col("_seed").alias("label"))
         .transform(_mat)
     )
-    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
     for _ in range(fixed_iters):
         freq = (
             labels.where(F.col("label").isNotNull())
@@ -136,9 +147,13 @@ def seeded_label_propagation(
             .agg(F.count("*").alias("cnt"))
         )
         best = (
-            freq.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
+            freq.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("id", (-F.col("m.nl")).alias("new_label"))
         )
         labels = (
             labels.join(seed, "id", "left")

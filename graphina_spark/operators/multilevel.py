@@ -65,11 +65,11 @@ def heavy_edge_matching(g: LinkGraph) -> DataFrame:
         .agg(F.sum("weight").cast("long").alias("w"))
     )
     psym = pw.unionAll(pw.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
-    w_pick = Window.partitionBy("s").orderBy(F.desc("w"), F.asc("d"))
+    # heaviest-neighbor pick as a sort-free hash-agg argmax (w desc, d asc)
     pick = (
-        psym.withColumn("rn", F.row_number().over(w_pick))
-        .where(F.col("rn") == 1)
-        .select(F.col("s").alias("v"), F.col("d").alias("u"))
+        psym.groupBy("s")
+        .agg(F.max(F.struct(F.col("w"), (-F.col("d")).alias("nd"))).alias("m"))
+        .select(F.col("s").alias("v"), (-F.col("m.nd")).alias("u"))
     )
     match = (
         pick.alias("a")
@@ -112,11 +112,14 @@ def _weighted_rounds(
             .groupBy(F.col("src").alias("id"), "p")
             .agg(F.sum("w").alias("c"))
         )
-        w_best = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("p"))
+        # sort-free argmax by (c desc, p asc): max(struct(c, -p)) — same
+        # answer as a row_number window, hash-agg plan (see balance.py/lpa.py)
         best = (
-            cnt.withColumn("rn", F.row_number().over(w_best))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("p").alias("best"), F.col("c").alias("cbest"))
+            cnt.groupBy("id")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("p")).alias("np"))).alias("m"))
+            .select(
+                "id", (-F.col("m.np")).alias("best"), F.col("m.c").alias("cbest")
+            )
         )
         cur = part.join(
             cnt.withColumnRenamed("p", "part"), ["id", "part"], "left"
