@@ -14,7 +14,7 @@ partitions, and its own tests only pin the partition shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
@@ -53,11 +53,17 @@ def infomap(
             .groupBy(F.col("src").alias("id"), "module")
             .agg(F.sum("weight").alias("flow"))
         )
-        w = Window.partitionBy("id").orderBy(F.desc("flow"), F.asc("module"))
+        # sort-free argmax by (flow desc, module asc): max over a struct
+        # compares lexicographically — same answer as a row_number window,
+        # hash-agg plan with map-side combine (see operators/lpa.py)
         best = (
-            flows.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("module").alias("new_module"))
+            flows.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("flow"), (-F.col("module")).alias("nm"))
+                ).alias("m")
+            )
+            .select("id", (-F.col("m.nm")).alias("new_module"))
         )
         updated = (
             labels.join(best, "id", "left")

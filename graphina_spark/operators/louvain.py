@@ -34,7 +34,7 @@ weighted super-graph with one groupBy; levels stop when modularity gain
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
@@ -119,10 +119,29 @@ def _local_moving(
                 ).alias("stay_gain"),
             )
         )
-        w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("community"))
+        # sort-free argmax by (gain desc, community asc) via lexicographic
+        # struct max — identical answer to the row_number window, hash-agg
+        # plan with map-side combine (see operators/lpa.py).  `cur` rides
+        # along as a trailing struct field: it is constant per id and
+        # (id, community) is unique in cand, so it can never influence the
+        # comparison.
         best = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            cand.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"),
+                        (-F.col("community")).alias("nc"),
+                        F.col("cur"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "id",
+                F.col("m.gain").alias("gain"),
+                (-F.col("m.nc")).alias("community"),
+                F.col("m.cur").alias("cur"),
+            )
             .join(stay, "id")
             .select(
                 "id",

@@ -99,11 +99,9 @@ def label_spreading(
 def predict_labels(scores: DataFrame) -> DataFrame:
     """(id, cls): argmax class per vertex from a (cls, id, f) score
     frame; ties break to the smallest class id (deterministic)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.col("f").desc(), F.col("cls").asc())
+    # sort-free argmax (f desc, cls asc) via lexicographic struct max
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "cls")
+        scores.groupBy("id")
+        .agg(F.max(F.struct(F.col("f"), (-F.col("cls")).alias("nc"))).alias("m"))
+        .select("id", (-F.col("m.nc")).alias("cls"))
     )
