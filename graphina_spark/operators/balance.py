@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from graphina_spark.graph import LinkGraph
 from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
 from graphina_spark.operators.distmetrics import ANF_P
+from graphina_spark.plans.argmax import argmax_long
 from graphina_spark.plans.materialize import local_materialize as _mat
 
 
@@ -75,17 +76,14 @@ def balanced_partition(
         cnt = nbr_part.groupBy(F.col("src").alias("id"), "p").agg(
             F.count("*").alias("c")
         )
-        # argmax by (c desc, p asc) as a hash aggregation — max over a
-        # struct compares lexicographically, so max(struct(c, -p)) is the
-        # same answer as the row_number window but with map-side partial
-        # combine and NO sort (the sort-window variant was the measured
-        # scaling bottleneck of the LPA kernel; see operators/lpa.py)
-        best = (
-            cnt.groupBy("id")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("p")).alias("np"))).alias("m"))
-            .select(
-                "id", (-F.col("m.np")).alias("best"), F.col("m.c").alias("cbest")
-            )
+        # argmax by (c desc, p asc) as a packed-long hash aggregation
+        # (plans/argmax.py): map-side partial combine, NO sort — the
+        # sort-window variant was the measured scaling bottleneck of the
+        # LPA kernel, and max(struct) silently plans SortAggregate.
+        # Bounds are free here: c ≤ degree < n and p < k.
+        best = argmax_long(
+            cnt, "id", "c", "p", out_score="cbest", out_tie="best",
+            max_score=n, max_tie=k - 1,
         )
         cur = part.join(
             cnt.withColumnRenamed("p", "part"), ["id", "part"], "left"

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.argmax import argmax_any
 from graphina_spark.plans.materialize import local_materialize as _mat
 
 
@@ -53,17 +54,12 @@ def infomap(
             .groupBy(F.col("src").alias("id"), "module")
             .agg(F.sum("weight").alias("flow"))
         )
-        # sort-free argmax by (flow desc, module asc): max over a struct
-        # compares lexicographically — same answer as a row_number window,
-        # hash-agg plan with map-side combine (see operators/lpa.py)
-        best = (
-            flows.groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(F.col("flow"), (-F.col("module")).alias("nm"))
-                ).alias("m")
-            )
-            .select("id", (-F.col("m.nm")).alias("new_module"))
+        # sort-free argmax by (flow desc, module asc): float scores can't
+        # ride the packed-long encoding, so this is the max-then-min join
+        # strategy — two HashAggregates sharing one Exchange, no sort
+        # (max(struct) would silently plan SortAggregate; plans/argmax.py)
+        best = argmax_any(
+            flows, "id", "flow", "module", out_tie="new_module"
         )
         updated = (
             labels.join(best, "id", "left")

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.argmax import argmax_any
 from graphina_spark.plans.materialize import local_materialize as _mat
 
 
@@ -119,28 +120,15 @@ def _local_moving(
                 ).alias("stay_gain"),
             )
         )
-        # sort-free argmax by (gain desc, community asc) via lexicographic
-        # struct max — identical answer to the row_number window, hash-agg
-        # plan with map-side combine (see operators/lpa.py).  `cur` rides
-        # along as a trailing struct field: it is constant per id and
-        # (id, community) is unique in cand, so it can never influence the
-        # comparison.
+        # sort-free argmax by (gain desc, community asc): float gains can't
+        # ride the packed-long encoding, so this is the max-then-min join
+        # strategy — two HashAggregates sharing one Exchange, no sort
+        # (max(struct) would silently plan SortAggregate; plans/argmax.py).
+        # `cur` is constant per id and rides through as a carry column.
         best = (
-            cand.groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("gain"),
-                        (-F.col("community")).alias("nc"),
-                        F.col("cur"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                "id",
-                F.col("m.gain").alias("gain"),
-                (-F.col("m.nc")).alias("community"),
-                F.col("m.cur").alias("cur"),
+            argmax_any(
+                cand, "id", "gain", "community",
+                out_score="gain", out_tie="community", carry=["cur"],
             )
             .join(stay, "id")
             .select(

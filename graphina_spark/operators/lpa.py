@@ -15,16 +15,22 @@ Comparisons against the reference are partition-equality on fixtures whose
 converged partition is unambiguous (cliques / planted partitions), the same
 strategy the reference's oracle uses for Louvain (modularity, not labels).
 
-Superstep = join labels→edges, groupBy(dst,label).count(), then an argmax
-as ``max(struct(cnt, -label))`` — two shuffles, both HASH aggregations with
-map-side partial combine and no sort anywhere.  The argmax was originally a
-``row_number`` window: identical answers, but the window's per-round sort
-of the (id, label, cnt) frame is memory-bandwidth-bound and throttled
-multi-core scaling (measured on the 32M-edge scaling input: the sort-window
-kernel stalled at 0.47 efficiency local[2]→local[8] while the hash-agg
-PageRank kernel hit 0.86 on the same box; see BENCH/BASELINE.md §LPA).
-``max`` over a struct compares lexicographically, so (cnt, -label)
-reproduces the pinned (count desc, label asc) tie-break exactly.
+Superstep = join labels→edges, groupBy(dst,label).count(), then a
+sort-free argmax (plans/argmax.py) — two shuffles, both HASH aggregations
+with map-side partial combine and no sort anywhere.  The argmax went
+through three formulations, all value-identical (tie pinned as
+(count desc, label asc)) but radically different physical plans: the
+original ``row_number`` window sorts the whole (id, label, cnt) frame
+every round and stalled multi-core scaling at 0.47 efficiency
+local[2]→local[8] on the 32M-edge harness (memory-bandwidth-bound sort);
+``max(struct(cnt, -label))`` silently plans SortAggregate (struct is not
+a mutable aggregation buffer) and measured *slower* than the window
+(41 s vs 24 s per superstep at local[2]); the packed-long encoding keeps
+HashAggregateExec end to end.  Bounds for the packing (max degree /
+max label id) are computed ONCE per invocation and hold for every round
+(labels are always vertex ids); past the 63-bit split the argmax helper
+degrades to the sort-free max-then-min join, never the window.  See
+BENCH/BASELINE.md §LPA for the measured triple.
 """
 
 from __future__ import annotations
@@ -33,8 +39,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
+from graphina_spark.plans.argmax import argmax_long
 from graphina_spark.plans.materialize import local_materialize as _mat
 from graphina_spark.plans.checkpoint import CheckpointManager
+
+
+def _argmax_bounds(sym: DataFrame, label_frame: DataFrame,
+                   label_col: str) -> dict:
+    """argmax_long kwargs for the superstep argmax, computed once per
+    kernel invocation: a neighbor-label count is bounded by the symmetric
+    degree, and every label a round can produce already exists in the
+    initial label frame.  Negative labels (legal for caller-supplied
+    seeds) can't ride the packed encoding — route them to the sort-free
+    join strategy instead."""
+    max_deg = (
+        sym.groupBy("src").count().agg(F.max("count")).first()[0] or 0
+    )
+    lo, hi = (
+        label_frame.agg(F.min(label_col), F.max(label_col)).first() or (0, 0)
+    )
+    if lo is not None and lo < 0:
+        return {"strategy": "join"}
+    return {"max_score": int(max_deg), "max_tie": int(hi or 0)}
 
 
 def label_propagation(
@@ -65,6 +91,7 @@ def label_propagation(
     if labels is None:
         labels = g.vertices.select("id", F.col("id").alias("label"))
     labels = labels.transform(_mat)
+    am_kw = _argmax_bounds(sym, g.vertices, "id")
 
     for it in range(start_iter, n_iters):
         freq = (
@@ -73,14 +100,8 @@ def label_propagation(
             .groupBy(F.col("e.dst").alias("id"), F.col("l.label"))
             .agg(F.count("*").alias("cnt"))
         )
-        best = (
-            freq.groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
-                ).alias("m")
-            )
-            .select("id", (-F.col("m.nl")).alias("new_label"))
+        best = argmax_long(
+            freq, "id", "cnt", "label", out_tie="new_label", **am_kw
         )
         new = (
             labels.join(best, "id", "left")
@@ -123,7 +144,7 @@ def seeded_label_propagation(
     Scale shape: identical to the unseeded kernel — per round one
     labels→edges join (only the labeled subset probes the edge frame, so
     early rounds are *cheaper* than full LPA), one (dst, label) count with
-    map-side combine, one per-vertex hash-agg argmax (max-struct, the same
+    map-side combine, one per-vertex packed-long hash-agg argmax (the same
     sort-free shape as :func:`label_propagation`); the clamp is a broadcast
     left join against the seed frame.  DuckDB twin:
     oracles.py::seeded_lpa_web_sql (unrolled, AS MATERIALIZED per round).
@@ -138,6 +159,9 @@ def seeded_label_propagation(
         .select("id", F.col("_seed").alias("label"))
         .transform(_mat)
     )
+    am_kw = _argmax_bounds(
+        sym, seed.where(F.col("_seed").isNotNull()), "_seed"
+    )
     for _ in range(fixed_iters):
         freq = (
             labels.where(F.col("label").isNotNull())
@@ -146,14 +170,8 @@ def seeded_label_propagation(
             .groupBy(F.col("e.dst").alias("id"), F.col("l.label"))
             .agg(F.count("*").alias("cnt"))
         )
-        best = (
-            freq.groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
-                ).alias("m")
-            )
-            .select("id", (-F.col("m.nl")).alias("new_label"))
+        best = argmax_long(
+            freq, "id", "cnt", "label", out_tie="new_label", **am_kw
         )
         labels = (
             labels.join(seed, "id", "left")

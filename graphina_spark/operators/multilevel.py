@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from graphina_spark.graph import LinkGraph
 from graphina_spark.operators.balance import _move_pri
+from graphina_spark.plans.argmax import argmax_any, argmax_long
 from graphina_spark.plans.materialize import local_materialize as _mat
 
 
@@ -65,11 +66,11 @@ def heavy_edge_matching(g: LinkGraph) -> DataFrame:
         .agg(F.sum("weight").cast("long").alias("w"))
     )
     psym = pw.unionAll(pw.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
-    # heaviest-neighbor pick as a sort-free hash-agg argmax (w desc, d asc)
-    pick = (
-        psym.groupBy("s")
-        .agg(F.max(F.struct(F.col("w"), (-F.col("d")).alias("nd"))).alias("m"))
-        .select(F.col("s").alias("v"), (-F.col("m.nd")).alias("u"))
+    # heaviest-neighbor pick as a sort-free argmax (w desc, d asc) — the
+    # max-then-min join strategy needs no bounds on the summed weights
+    # (max(struct) would silently plan SortAggregate; plans/argmax.py)
+    pick = argmax_any(psym, "s", "w", "d", out_tie="u").select(
+        F.col("s").alias("v"), "u"
     )
     match = (
         pick.alias("a")
@@ -103,6 +104,12 @@ def _weighted_rounds(
     vertices; with w ≡ nw ≡ 1 this is bit-identical to balanced_partition's
     loop (running-sum-of-1 ≤ q ⇔ row_number ≤ q)."""
     spark = part.sparkSession
+    # packed-argmax bound, once per invocation: a per-partition affinity sum
+    # is at most the vertex's total incident weight, invariant across rounds
+    max_wdeg = int(
+        sym.groupBy("src").agg(F.sum("w").alias("wd")).agg(F.max("wd")).first()[0]
+        or 0
+    )
     for j in range(rounds):
         r = pri_offset + j
         cnt = (
@@ -112,14 +119,11 @@ def _weighted_rounds(
             .groupBy(F.col("src").alias("id"), "p")
             .agg(F.sum("w").alias("c"))
         )
-        # sort-free argmax by (c desc, p asc): max(struct(c, -p)) — same
-        # answer as a row_number window, hash-agg plan (see balance.py/lpa.py)
-        best = (
-            cnt.groupBy("id")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("p")).alias("np"))).alias("m"))
-            .select(
-                "id", (-F.col("m.np")).alias("best"), F.col("m.c").alias("cbest")
-            )
+        # sort-free argmax by (c desc, p asc) — packed-long hash aggregate
+        # (see balance.py/lpa.py; max(struct) silently plans SortAggregate)
+        best = argmax_long(
+            cnt, "id", "c", "p", out_score="cbest", out_tie="best",
+            max_score=max_wdeg, max_tie=k - 1,
         )
         cur = part.join(
             cnt.withColumnRenamed("p", "part"), ["id", "part"], "left"

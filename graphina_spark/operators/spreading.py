@@ -99,9 +99,9 @@ def label_spreading(
 def predict_labels(scores: DataFrame) -> DataFrame:
     """(id, cls): argmax class per vertex from a (cls, id, f) score
     frame; ties break to the smallest class id (deterministic)."""
-    # sort-free argmax (f desc, cls asc) via lexicographic struct max
-    return (
-        scores.groupBy("id")
-        .agg(F.max(F.struct(F.col("f"), (-F.col("cls")).alias("nc"))).alias("m"))
-        .select("id", (-F.col("m.nc")).alias("cls"))
-    )
+    # sort-free argmax (f desc, cls asc): float scores ride the
+    # max-then-min join strategy (plans/argmax.py) — max(struct) would
+    # silently plan SortAggregate
+    from graphina_spark.plans.argmax import argmax_any
+
+    return argmax_any(scores, "id", "f", "cls", out_tie="cls")
