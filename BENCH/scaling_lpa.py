@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
+def worker(cores: int, pages: int, avg_out: int, iters: int, heap: str) -> None:
     from graphina_spark.graph import LinkGraph
     from graphina_spark.operators.lpa import label_propagation
     from graphina_spark.session import get_spark
@@ -36,13 +36,15 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
         f"scaling_lpa_c{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
-        # 48g at EVERY level (identical config across the pair is the
-        # method): unlike the sharded PageRank kernel, LPA's symmetrized
-        # 2|E|-row adjacency makes the per-round shuffled-hash builds big
-        # enough that 32 concurrent tasks exhaust a 16g unified pool
+        # SAME heap at EVERY level (identical config across the pair is
+        # the method).  History: the sort-window/max-struct kernels needed
+        # 48g at local[32] (per-task sort buffers over the symmetrized
+        # 2|E| adjacency); the packed-argmax kernel is sort-free and fits
+        # a 16g pool — and an oversized heap actively hurts a small cpuset
+        # (GC threads are confined to the same cores).
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
-            "spark.driver.memory": "48g",
+            "spark.driver.memory": heap,
         },
     )
     t0 = time.time()
@@ -88,10 +90,11 @@ def main() -> None:
     ap.add_argument("--avg-out", type=int, default=16)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--cores", default="2,8")
+    ap.add_argument("--heap", default="16g")
     ap.add_argument("--worker-cores", type=int, default=None, help=argparse.SUPPRESS)
     a = ap.parse_args()
     if a.worker_cores:
-        worker(a.worker_cores, a.pages, a.avg_out, a.iters)
+        worker(a.worker_cores, a.pages, a.avg_out, a.iters, a.heap)
         return
 
     results = []
@@ -106,6 +109,7 @@ def main() -> None:
             "--pages", str(a.pages),
             "--avg-out", str(a.avg_out),
             "--iters", str(a.iters),
+            "--heap", a.heap,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_JSON:")]

@@ -25,9 +25,11 @@ Round semantics (all ties broken by portable deterministic orders):
    (gain desc, hash(id, round) asc, id asc).
 
 Every step is a keyed join / map-side-combinable aggregate / bounded
-window: the per-vertex argmax window has ≤ min(deg, k) rows per group, the
-per-target acceptance window ≤ #movers rows — no step is quadratic in
-degree, so crawl hubs cost their degree and nothing more.
+window: the per-vertex argmax is a packed-long HashAggregate
+(plans/argmax.py — no sort), and the only window left is the per-target
+quota acceptance, which sorts ONLY the movers of the round (an ordered
+prefix selection is inherently a sort; movers ≪ |V|) — no step is
+quadratic in degree, so crawl hubs cost their degree and nothing more.
 
 Initial assignment ``id % k`` is exactly balanced; ``slack_pct`` bounds how
 far any round may drift.  ``fixed_rounds`` is the oracle contract.

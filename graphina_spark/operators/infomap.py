@@ -54,10 +54,10 @@ def infomap(
             .groupBy(F.col("src").alias("id"), "module")
             .agg(F.sum("weight").alias("flow"))
         )
-        # sort-free argmax by (flow desc, module asc): float scores can't
-        # ride the packed-long encoding, so this is the max-then-min join
-        # strategy — two HashAggregates sharing one Exchange, no sort
-        # (max(struct) would silently plan SortAggregate; plans/argmax.py)
+        # argmax by (flow desc, module asc) as a map-side-combining
+        # aggregate (plans/argmax.py struct strategy — float flows can't
+        # ride the packed-long encoding): the Exchange carries only the
+        # per-map-partition partial maxima, never the full flow frame
         best = argmax_any(
             flows, "id", "flow", "module", out_tie="new_module"
         )

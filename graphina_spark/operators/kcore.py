@@ -20,10 +20,16 @@ Two kernels, both pure DataFrame supersteps:
   IEEE TPDS 2013): init c(v) = deg(v); repeat c(v) ← min(c(v),
   H({c(u) : u ∈ N(v)})) where H is the h-index.  The estimate decreases
   monotonically to the exact coreness.  The h-index is computed without
-  per-vertex arrays: rank neighbor values descending with a window
-  ``row_number`` and take max(rank where value ≥ rank) — skew-tolerant (a
-  hub's neighbor rows sort-spill inside one window partition instead of
-  materializing a degree-sized array in a single row).
+  per-vertex arrays OR an edge-frame sort: using
+  H = max over distinct values v of min(v, #{values ≥ v}), the kernel
+  first hash-aggregates neighbor values into a per-vertex histogram
+  (groupBy (id, cv) — map-side combine collapses a hub's repeated
+  neighbor estimates, and core estimates cluster hard on web graphs),
+  then runs the descending suffix-count window over only the DISTINCT
+  (id, cv) rows.  The original row_number-over-all-neighbor-rows window
+  sorted the full 2|E|-row frame every round — the same
+  memory-bandwidth-bound per-round sort that throttled the LPA kernel's
+  multi-core scaling (see operators/lpa.py, plans/argmax.py).
 
 Scale notes (100 TB): the peeling path touches only surviving edges and is
 the cheap way to answer "the k-core" for one k; coreness pays one window
@@ -104,20 +110,24 @@ def core_number(
         .select("id", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
         .transform(_mat)
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cv"), "nbr")
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("cv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     rounds = fixed_rounds if fixed_rounds is not None else max_iter
     for _ in range(rounds):
         nbr = sym.join(
             cur.select(F.col("id").alias("dst"), F.col("c").alias("cv")), "dst"
-        ).select(F.col("src").alias("id"), F.col("dst").alias("nbr"), "cv")
+        ).select(F.col("src").alias("id"), "cv")
+        # histogram first (hash agg, map-side combine), then the suffix
+        # count runs over only the distinct (id, cv) rows:
+        # H = max over distinct cv of min(cv, #neighbors with value >= cv)
+        hist = nbr.groupBy("id", "cv").agg(F.count("*").alias("k"))
         h = (
-            nbr.withColumn("rn", F.row_number().over(w))
+            hist.withColumn("ge", F.sum("k").over(w))
             .groupBy("id")
-            .agg(
-                F.max(
-                    F.when(F.col("cv") >= F.col("rn"), F.col("rn")).otherwise(0)
-                ).alias("h")
-            )
+            .agg(F.max(F.least(F.col("cv"), F.col("ge"))).alias("h"))
         )
         new = (
             cur.join(h, "id", "left")

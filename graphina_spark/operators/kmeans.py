@@ -19,9 +19,10 @@ Determinism contract (what lets a DuckDB oracle replay the trajectory):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphina_spark.plans.argmax import argmin_any
 from graphina_spark.plans.materialize import local_materialize as _mat
 
 DIST_ROUND = 9
@@ -80,10 +81,14 @@ def lloyd_states(base: DataFrame, k: int, iters: int, n: int | None = None):
             "cid",
             F.round(_sq_dist(F.col("vec"), F.col("cvec")), DIST_ROUND).alias("d2"),
         )
-        w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
+        # argmin (d2 asc, cid asc) as a map-side-combining aggregate: the
+        # window formulation shuffles the whole n×k scored frame every
+        # round (plans/argmax.py); `vec` is constant per id and rides as
+        # a carry field (the comparison never reaches it — (id, cid) is
+        # unique per row)
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            argmin_any(scored, "id", "d2", "cid", out_tie="cid",
+                       carry=["vec"])
             .select("id", "vec", "cid")
             .transform(_mat)
         )

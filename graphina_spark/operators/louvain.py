@@ -120,11 +120,11 @@ def _local_moving(
                 ).alias("stay_gain"),
             )
         )
-        # sort-free argmax by (gain desc, community asc): float gains can't
-        # ride the packed-long encoding, so this is the max-then-min join
-        # strategy — two HashAggregates sharing one Exchange, no sort
-        # (max(struct) would silently plan SortAggregate; plans/argmax.py).
-        # `cur` is constant per id and rides through as a carry column.
+        # argmax by (gain desc, community asc) as a map-side-combining
+        # aggregate (plans/argmax.py struct strategy — float gains can't
+        # ride the packed-long encoding): the Exchange carries only the
+        # per-map-partition partial maxima, never the full candidate
+        # frame.  `cur` is constant per id and rides as a carry column.
         best = (
             argmax_any(
                 cand, "id", "gain", "community",

@@ -16,21 +16,18 @@ converged partition is unambiguous (cliques / planted partitions), the same
 strategy the reference's oracle uses for Louvain (modularity, not labels).
 
 Superstep = join labels→edges, groupBy(dst,label).count(), then a
-sort-free argmax (plans/argmax.py) — two shuffles, both HASH aggregations
-with map-side partial combine and no sort anywhere.  The argmax went
-through three formulations, all value-identical (tie pinned as
-(count desc, label asc)) but radically different physical plans: the
-original ``row_number`` window sorts the whole (id, label, cnt) frame
-every round and stalled multi-core scaling at 0.47 efficiency
-local[2]→local[8] on the 32M-edge harness (memory-bandwidth-bound sort);
-``max(struct(cnt, -label))`` silently plans SortAggregate (struct is not
-a mutable aggregation buffer) and measured *slower* than the window
-(41 s vs 24 s per superstep at local[2]); the packed-long encoding keeps
-HashAggregateExec end to end.  Bounds for the packing (max degree /
-max label id) are computed ONCE per invocation and hold for every round
-(labels are always vertex ids); past the 63-bit split the argmax helper
-degrades to the sort-free max-then-min join, never the window.  See
-BENCH/BASELINE.md §LPA for the measured triple.
+packed-long argmax (plans/argmax.py) — two shuffles, both HASH
+aggregations with map-side partial combine and no sort anywhere.  The
+controlled within-JVM comparison of the four argmax formulations
+(BENCH/argmax_bench.py; table in plans/argmax.py) puts the packed
+encoding first at every parallelism level — 4.5× over the original
+``row_number`` window at local[32], whose real cost is shuffling the
+FULL candidate frame (no partial aggregation), not the sort itself.
+Bounds for the packing (max degree / max label id) are computed ONCE
+per invocation and hold for every round (labels are always vertex
+ids); past the 63-bit split the helper degrades to the struct-max
+aggregate (still map-side combining), never the window.  See
+BENCH/BASELINE.md §LPA for the kernel-level scaling triple.
 """
 
 from __future__ import annotations
@@ -50,8 +47,8 @@ def _argmax_bounds(sym: DataFrame, label_frame: DataFrame,
     kernel invocation: a neighbor-label count is bounded by the symmetric
     degree, and every label a round can produce already exists in the
     initial label frame.  Negative labels (legal for caller-supplied
-    seeds) can't ride the packed encoding — route them to the sort-free
-    join strategy instead."""
+    seeds) can't ride the packed encoding — route them to the struct-max
+    strategy instead."""
     max_deg = (
         sym.groupBy("src").count().agg(F.max("count")).first()[0] or 0
     )
@@ -59,7 +56,7 @@ def _argmax_bounds(sym: DataFrame, label_frame: DataFrame,
         label_frame.agg(F.min(label_col), F.max(label_col)).first() or (0, 0)
     )
     if lo is not None and lo < 0:
-        return {"strategy": "join"}
+        return {"strategy": "struct"}
     return {"max_score": int(max_deg), "max_tie": int(hi or 0)}
 
 

@@ -66,9 +66,9 @@ def heavy_edge_matching(g: LinkGraph) -> DataFrame:
         .agg(F.sum("weight").cast("long").alias("w"))
     )
     psym = pw.unionAll(pw.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
-    # heaviest-neighbor pick as a sort-free argmax (w desc, d asc) — the
-    # max-then-min join strategy needs no bounds on the summed weights
-    # (max(struct) would silently plan SortAggregate; plans/argmax.py)
+    # heaviest-neighbor pick as a map-side-combining argmax
+    # (w desc, d asc) — the struct strategy needs no bounds on the
+    # summed weights (plans/argmax.py)
     pick = argmax_any(psym, "s", "w", "d", out_tie="u").select(
         F.col("s").alias("v"), "u"
     )

@@ -99,9 +99,8 @@ def label_spreading(
 def predict_labels(scores: DataFrame) -> DataFrame:
     """(id, cls): argmax class per vertex from a (cls, id, f) score
     frame; ties break to the smallest class id (deterministic)."""
-    # sort-free argmax (f desc, cls asc): float scores ride the
-    # max-then-min join strategy (plans/argmax.py) — max(struct) would
-    # silently plan SortAggregate
+    # argmax (f desc, cls asc) as a map-side-combining aggregate
+    # (plans/argmax.py struct strategy)
     from graphina_spark.plans.argmax import argmax_any
 
     return argmax_any(scores, "id", "f", "cls", out_tie="cls")

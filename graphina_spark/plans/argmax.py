@@ -1,46 +1,49 @@
-"""Deterministic per-key argmax without a sort.
+"""Deterministic per-key argmax without shuffling the full candidate frame.
 
 The LPA-family superstep kernels all need, per round, "for every vertex
-take the (score, tie) pair that is max by (score desc, tie asc)".  The
-obvious Spark formulations are NOT equal at scale:
+take the (score, tie) pair that is max by (score desc, tie asc)".  Four
+value-identical formulations, radically different physical plans —
+measured in ONE JVM per level over the identical cached input (LPA
+superstep argmax, 32M-row symmetric adjacency, 24g heap, median of 3;
+BENCH/argmax_bench.py — single-box cross-JVM runs swing ±50%, so only
+within-JVM comparisons are trustworthy):
 
-1. ``row_number`` window — an Exchange + a full SORT of the candidate
-   frame every round.  The sort is memory-bandwidth-bound and was the
-   measured scaling bottleneck of the LPA kernel (0.47 efficiency
-   local[2]→local[8] on the 32M-edge harness vs 0.86 for the sort-free
-   PageRank kernel on the same box).
-2. ``max(struct(score, -tie))`` — looks sort-free, but a struct is not a
-   mutable aggregation-buffer type, so Spark silently plans
-   **SortAggregate** (with a partial-side sort too) — measured *slower*
-   than the window (41 s vs 24 s per superstep at local[2]).
-   (``max_by`` hash-aggregates only while both operands are primitive,
-   and its behavior on ordering ties is undefined — unusable for a
-   pinned deterministic tie-break.)
-3. **packed-long max** (:func:`argmax_long` strategy ``packed``) — pack
-   both orderings into one long,
+    formulation                  local[2]   local[8]   local[32]
+    row_number window              44.9 s     14.3 s    see BENCH
+    max(struct(score, -tie))        7.9 s      3.5 s    results_
+    packed-long max (this module)   7.7 s      3.0 s    argmax.json
+    max-then-min join              65.9 s     21.3 s
 
-       packed = score · M + (M − 1 − tie),   M = next_pow2(max_tie + 1)
+What actually matters is PARTIAL AGGREGATION, not sort-vs-hash: the two
+aggregate formulations combine map-side, so the Exchange carries at most
+|distinct keys| rows per map partition, while the window shuffles AND
+sorts every candidate row, and the max-then-min join pays two full
+exchanges plus a join.  ``max(struct)`` does plan SortAggregate (a
+struct is not a mutable aggregation buffer) — but the sort it adds is
+per-map-partition over partially-combined data, a ~15% tax vs the
+packed-long HashAggregate, not a disqualifier.  An earlier revision of
+this module recommended the max-then-min join as the at-scale fallback
+based on cross-JVM A/B timings; the controlled bench shows the join is
+strictly the WORST formulation and it has been removed.
 
-   whose natural max is exactly argmax by (score desc, tie asc).  A long
-   buffer keeps HashAggregateExec + whole-stage codegen + map-side
-   partial combine; no sort anywhere.  Exact iff
-   ``max_score · M + M − 1 < 2⁶³`` — the caller passes per-kernel bounds
-   (vertex-id / degree / weighted-degree maxima, computed ONCE per
-   kernel invocation, valid for every round) and the strategy engages
-   only when they fit.
-4. **max-then-min join** (:func:`argmax_long` strategy ``join``, and
-   :func:`argmax_any` for non-integer scores) — two HashAggregates and
-   one equi-join: per key take ``max(score)``, join back on
-   ``(key, score == max)``, take ``min(tie)``.  Sort-free at ANY scale
-   and any score type; both aggregations partial-combine map-side and
-   the join + second aggregation reuse the first Exchange's
-   ``hashpartitioning(key)``.  This — not the window — is the fallback
-   when the packed bounds don't fit (10¹²-vertex ids exceed any 63-bit
-   split that also leaves room for the score).
+Strategy choice (``argmax_long`` with ``strategy=None``):
 
-``strategy=None`` picks ``packed`` when the supplied bounds fit, else
-``join``.  ``window`` is kept as the reference implementation the
-equality tests compare against.
+- **packed** when ``score`` and ``tie`` are non-negative longs whose
+  caller-supplied bounds fit 63 bits: pack both orderings into one long,
+  ``packed = score·M + (M−1−tie)``, ``M = next_pow2(max_tie+1)``, whose
+  natural max is exactly argmax by (score desc, tie asc).  A long buffer
+  keeps HashAggregateExec + whole-stage codegen.  Bounds are per-kernel
+  invariants (count ≤ max degree, label ∈ vertex ids, partition < k) —
+  compute them once per kernel invocation, not per round.
+- **struct** otherwise (float scores, unbounded values):
+  ``max(struct(score, -tie, *carry))`` — lexicographic struct max,
+  SortAggregate with map-side partial combine.
+- **window** is kept only as the reference implementation the equality
+  tests compare against.
+
+``max_by`` was rejected: it hash-aggregates only on primitive operands
+and its behavior on ordering ties is undefined (partition-order
+dependent) — unusable under the determinism contract.
 """
 
 from __future__ import annotations
@@ -63,10 +66,11 @@ def _fits(max_score: int, max_tie: int) -> int | None:
 
 
 def _select(out, key: str, score_col, tie_col, out_score: str | None,
-            out_tie: str) -> DataFrame:
+            out_tie: str, extra=()) -> DataFrame:
     cols: list[Column | str] = [key, tie_col.alias(out_tie)]
     if out_score is not None:
         cols.insert(1, score_col.alias(out_score))
+    cols.extend(extra)
     return out.select(*cols)
 
 
@@ -83,10 +87,11 @@ def argmax_long(
 ) -> DataFrame:
     """(key, [out_score], out_tie): per ``key``, the row max by
     (``score`` desc, ``tie`` asc).  ``score`` and ``tie`` must be
-    non-negative longs bounded by ``max_score`` / ``max_tie`` (caller
-    verifies ONCE per kernel invocation — see module docstring)."""
+    non-negative longs bounded by ``max_score`` / ``max_tie`` for the
+    packed strategy (caller verifies ONCE per kernel invocation — see
+    module docstring); ``struct`` and ``window`` have no bounds."""
     if strategy is None:
-        strategy = "packed" if _fits(max_score, max_tie) else "join"
+        strategy = "packed" if _fits(max_score, max_tie) else "struct"
     if strategy == "packed":
         m = _fits(max_score, max_tie)
         if m is None:
@@ -102,7 +107,7 @@ def argmax_long(
             F.lit(m - 1) - F.col("_k").bitwiseAND(F.lit(m - 1)),
             out_score, out_tie,
         )
-    if strategy == "join":
+    if strategy == "struct":
         return argmax_any(df, key, score, tie, out_score, out_tie)
     if strategy == "window":
         w = Window.partitionBy(key).orderBy(F.desc(score), F.asc(tie))
@@ -121,29 +126,42 @@ def argmax_any(
     out_score: str | None = None,
     out_tie: str = "best",
     carry: list[str] | None = None,
+    minimize: bool = False,
 ) -> DataFrame:
-    """Sort-free argmax by (``score`` desc, ``tie`` asc) for ANY orderable
-    score type (doubles included): max-then-min join, two HashAggregates
-    sharing one Exchange.  Ties on ``score`` compare the exact stored
-    values on both sides of the equi-join, so the result is identical to
-    the window formulation (NaN scores are the caller's bug).  ``carry``
-    columns MUST be constant per key; they ride through the aggregation."""
-    mx = df.groupBy(key).agg(F.max(score).alias("_ms"))
-    out = (
-        df.join(mx, [key])
-        .where(F.col(score) == F.col("_ms"))
-        .groupBy(key)
-        # _ms (and carry cols) are constant within a key, so max() just
-        # carries them through
-        .agg(
-            F.min(tie).alias("_mt"),
-            F.max("_ms").alias("_msv"),
-            *[F.max(c).alias(c) for c in carry or []],
-        )
+    """Sort-free-shuffle argmax by (``score`` desc, ``tie`` asc) for ANY
+    orderable score type (doubles included): lexicographic struct
+    max/min with map-side partial combine.  ``tie`` must be numeric (it
+    is negated to flip its ordering under max).  ``minimize=True`` gives
+    argmin by (``score`` asc, ``tie`` asc).  ``carry`` columns ride as
+    trailing struct fields; they must be constant per (key, score, tie)
+    — with (key, tie) unique per row (true for every kernel here) they
+    can never influence the comparison."""
+    carry = carry or []
+    if minimize:
+        fields = [F.col(score), F.col(tie).alias("_t")]
+        agg = F.min
+        tie_out = F.col("_m._t")
+    else:
+        fields = [F.col(score), (-F.col(tie)).alias("_nt")]
+        agg = F.max
+        tie_out = -F.col("_m._nt")
+    fields.extend(F.col(c) for c in carry)
+    out = df.groupBy(key).agg(agg(F.struct(*fields)).alias("_m"))
+    return _select(
+        out, key, F.col(f"_m.{score}"), tie_out, out_score, out_tie,
+        extra=[F.col(f"_m.{c}").alias(c) for c in carry],
     )
-    cols: list[Column | str] = [key]
-    if out_score is not None:
-        cols.append(F.col("_msv").alias(out_score))
-    cols.append(F.col("_mt").alias(out_tie))
-    cols.extend(carry or [])
-    return out.select(*cols)
+
+
+def argmin_any(
+    df: DataFrame,
+    key: str,
+    score: str,
+    tie: str,
+    out_score: str | None = None,
+    out_tie: str = "best",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Argmin by (``score`` asc, ``tie`` asc) — see :func:`argmax_any`."""
+    return argmax_any(df, key, score, tie, out_score, out_tie, carry,
+                      minimize=True)

@@ -1,10 +1,17 @@
-"""plans/argmax.py — sort-free argmax strategies: equality with the window
-reference, tie-break direction, packed-bound dispatch, plan shapes."""
+"""plans/argmax.py — map-side-combining argmax strategies: equality with
+the window reference, tie-break direction, packed-bound dispatch, carry
+columns, plan shapes."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from graphina_spark.plans.argmax import P31, _fits, argmax_any, argmax_long
+from graphina_spark.plans.argmax import (
+    P31,
+    _fits,
+    argmax_any,
+    argmax_long,
+    argmin_any,
+)
 
 
 def _frame(spark, rows):
@@ -28,7 +35,7 @@ ROWS = [
 EXPECT = {0: (5, 9), 1: (7, 2), 2: (0, 0), 3: (0, 3)}
 
 
-@pytest.mark.parametrize("strategy", ["packed", "join", "window"])
+@pytest.mark.parametrize("strategy", ["packed", "struct", "window"])
 def test_strategies_match_expected(spark, strategy):
     out = argmax_long(_frame(spark, ROWS), "key", "score", "tie",
                       out_score="s", out_tie="t", strategy=strategy)
@@ -43,18 +50,17 @@ def test_fits_dispatch():
     assert _fits(10**12, 10**12) is None
     # small tie leaves plenty of score headroom
     assert _fits(10**12, 7) == 8
-    # auto mode must route the non-fitting case to the join strategy
     assert _fits((1 << 62), 1) is None
 
 
-def test_auto_uses_join_when_bounds_do_not_fit(spark):
+def test_auto_uses_struct_when_bounds_do_not_fit(spark):
     df = _frame(spark, ROWS)
     out = argmax_long(df, "key", "score", "tie", out_score="s", out_tie="t",
                       max_score=1 << 61, max_tie=1 << 61)
     got = {r["key"]: (r["s"], r["t"]) for r in out.collect()}
     assert got == EXPECT
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortAggregate" not in plan and "Window" not in plan
+    assert "Window" not in plan
 
 
 def test_packed_raises_when_bounds_do_not_fit(spark):
@@ -103,12 +109,14 @@ def test_packed_plan_is_hash_aggregate(spark):
     assert "Window" not in plan
 
 
-def test_join_plan_is_sort_free(spark):
+def test_struct_plan_is_partial_aggregate(spark):
+    # struct max plans SortAggregate (struct is not a mutable buffer) but
+    # MUST keep the partial/final split — the map-side combine is what
+    # makes it viable (plans/argmax.py module docstring) — and no Window
     out = argmax_long(_frame(spark, ROWS), "key", "score", "tie",
-                      out_score="s", strategy="join")
+                      out_score="s", strategy="struct")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "HashAggregate" in plan
-    assert "SortAggregate" not in plan
+    assert plan.count("SortAggregate") >= 2  # partial + final
     assert "Window" not in plan
 
 
@@ -120,7 +128,34 @@ def test_argmax_any_double_scores(spark):
     got = {r["key"]: (r["s"], r["t"]) for r in out.collect()}
     assert got == {0: (1.5, 2), 1: (-3.25, 4)}
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortAggregate" not in plan and "Window" not in plan
+    assert "Window" not in plan
+
+
+def test_argmin_any(spark):
+    rows = [(0, 2.5, 9), (0, 2.5, 2), (0, 7.0, 0), (1, -1.0, 4), (1, 0.0, 1)]
+    df = spark.createDataFrame(rows, "key long, score double, tie long")
+    out = argmin_any(df, "key", "score", "tie", out_score="s", out_tie="t")
+    got = {r["key"]: (r["s"], r["t"]) for r in out.collect()}
+    assert got == {0: (2.5, 2), 1: (-1.0, 4)}
+
+
+def test_argmax_any_carry(spark):
+    rows = [(0, 1.0, 5, 77), (0, 2.0, 3, 77), (1, 4.0, 8, 42)]
+    df = spark.createDataFrame(rows, "key long, score double, tie long, c long")
+    out = argmax_any(df, "key", "score", "tie", out_tie="t", carry=["c"])
+    got = {r["key"]: (r["t"], r["c"]) for r in out.collect()}
+    assert got == {0: (3, 77), 1: (8, 42)}
+
+
+def test_argmin_any_array_carry(spark):
+    # kmeans carries the vector column through the argmin
+    rows = [(0, 2.0, 1, [1.0, 2.0]), (0, 1.0, 2, [1.0, 2.0])]
+    df = spark.createDataFrame(
+        rows, "key long, score double, tie long, v array<double>"
+    )
+    out = argmin_any(df, "key", "score", "tie", out_tie="t", carry=["v"])
+    r = out.collect()[0]
+    assert (r["key"], r["t"], list(r["v"])) == (0, 2, [1.0, 2.0])
 
 
 @pytest.mark.parametrize("seed", [1, 2])
@@ -137,7 +172,7 @@ def test_randomized_strategy_equality(spark, seed):
         map(tuple, argmax_long(df, "key", "score", "tie", out_score="s",
                                out_tie="t", strategy="window").collect())
     )
-    for strategy in ("packed", "join"):
+    for strategy in ("packed", "struct"):
         got = sorted(
             map(tuple, argmax_long(df, "key", "score", "tie", out_score="s",
                                    out_tie="t", strategy=strategy).collect())
