@@ -59,7 +59,10 @@ def worker(cores: int, pages: int, avg_out: int, iters: int, heap: str) -> None:
     lo, hi = max(1, iters // 3), iters
     label_propagation(g, fixed_iters=1).count()  # warmup
     per_iter = []
-    for _ in range(2):
+    # median of 4 in-JVM differentials: single-box timings drift ±50%
+    # across JVMs (BENCH/results_argmax.json notes); more in-JVM reps is
+    # the only lever that tightens a level's estimate
+    for _ in range(4):
         t0 = time.time()
         label_propagation(g, fixed_iters=lo).count()
         t_lo = time.time() - t0
