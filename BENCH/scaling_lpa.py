@@ -37,11 +37,12 @@ def worker(cores: int, pages: int, avg_out: int, iters: int, heap: str) -> None:
         master=f"local[{cores}]",
         shuffle_partitions=cores,
         # SAME heap at EVERY level (identical config across the pair is
-        # the method).  History: the sort-window/max-struct kernels needed
-        # 48g at local[32] (per-task sort buffers over the symmetrized
-        # 2|E| adjacency); the packed-argmax kernel is sort-free and fits
-        # a 16g pool — and an oversized heap actively hurts a small cpuset
-        # (GC threads are confined to the same cores).
+        # the method).  48g is required at local[32] even for the
+        # sort-free packed-argmax kernel: the superstep localCheckpoint
+        # of the label frame plus the cached symmetrized 2|E| adjacency
+        # needs storage memory for 32 concurrent task buffers — a 16g
+        # pool dies in LocalRDDCheckpointData.doCheckpoint (measured
+        # 2026-08-19; do not retry 16g at 32 cores).
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
             "spark.driver.memory": heap,
