@@ -2055,6 +2055,29 @@ def _q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", ROUND).alias("pr"))
 
 
+def _q_percolation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 clique-percolation communities (Palla 2005): (id, community)
+    membership rows; community = min packed triangle-edge key."""
+    from graphina_spark.operators.percolation import triangle_percolation
+
+    return triangle_percolation(_web(spark, sf_dir))
+
+
+def _q_percolation_sizes_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community vertex/edge sizes of the percolation communities."""
+    from graphina_spark.operators.percolation import percolation_summary
+
+    return percolation_summary(_web(spark, sf_dir))
+
+
+def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sparsified triangle estimate at frac=0.5 (deterministic
+    md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
+    from graphina_spark.operators.triangles import sampled_triangle_count
+
+    return sampled_triangle_count(_web(spark, sf_dir), frac=0.5)
+
+
 def _q_rank_delta_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority shift per recrawl: PageRank on the base crawl vs the
     recrawl snapshot (link rot + newly discovered ring), per-id delta."""
@@ -2286,6 +2309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_parts": _q_copurchase_parts,
         "pagerank_parts": _q_pagerank_parts,
         "rank_delta_web": _q_rank_delta_web,
+        "percolation_web": _q_percolation_web,
+        "percolation_sizes_web": _q_percolation_sizes_web,
+        "sampled_tri_web": _q_sampled_tri_web,
     }
 
 
@@ -2470,6 +2496,9 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_parts": O.copurchase_parts_sql(min_count=2),
         "pagerank_parts": pagerank_web_sql(edges_cte=O.parts_edges_cte(2, 1_000)),
         "rank_delta_web": O.rank_delta_web_sql(),
+        "percolation_web": O.percolation_web_sql(),
+        "percolation_sizes_web": O.percolation_sizes_web_sql(),
+        "sampled_tri_web": O.sampled_triangles_sql(frac=0.5),
         **_text_oracles(),
     }
 

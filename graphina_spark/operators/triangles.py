@@ -108,6 +108,60 @@ def clustering_coefficients(g: LinkGraph) -> DataFrame:
     )
 
 
+def sampled_triangle_count(
+    g: LinkGraph, frac: float, salt: str = "doulion"
+) -> DataFrame:
+    """DOULION sparsified triangle estimate (Tsourakakis et al., KDD 2009).
+
+    One row ``(sampled_edges: long, sample_triangles: long, est_triangles:
+    double)``: keep each canonical undirected edge independently with
+    probability ``frac`` (deterministic md5 coin on the edge pair — the same
+    primitive as operators/sampling.py::sample_edges, so reruns / partition
+    layouts / engines agree bit-for-bit), count triangles on the sparsified
+    graph with the exact oriented kernel, and scale by ``1/frac³`` (each
+    surviving triangle needed all 3 coins).  The 100 TB play: triangle
+    counting cost drops ~``frac³`` for the join while the estimator stays
+    unbiased with variance ~1/(frac³·T) relative (Tsourakakis Thm 2) — run
+    exact on samples, estimate the corpus.
+
+    DuckDB twin: oracles.py::sampled_triangles_sql (same coin, same oriented
+    count, same arithmetic).
+    """
+    from graphina_spark.operators.sampling import _hex_threshold
+
+    canon = g.canonical_undirected_edges()
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    if frac >= 1.0:
+        kept = canon.cache()  # degenerate: no sparsification
+    else:
+        kept = canon.where(coin < F.lit(_hex_threshold(frac))).cache()
+    sub = LinkGraph(
+        vertices=g.vertices.select("id"),
+        edges=kept.withColumn("weight", F.lit(1.0)),
+        directed=False,
+    )
+    t = triangle_corners(sub).count()
+    m = kept.count()
+    kept.unpersist()
+    est = t / float(frac) ** 3
+    spark = g.vertices.sparkSession
+    return spark.createDataFrame(
+        [(m, t, round(est, 6))],
+        "sampled_edges long, sample_triangles long, est_triangles double",
+    )
+
+
 def clustering_by_degree(g: LinkGraph) -> DataFrame:
     """(degree long, n_nodes long, avg_cc double) — the C(k) curve: mean
     local clustering coefficient over the vertices of each (simple,

@@ -4340,3 +4340,77 @@ SELECT CAST(cut AS BIGINT) AS cut_edges, CAST(tot AS BIGINT) AS total_edges,
        round(cut / CAST(tot AS DOUBLE), {ROUND}) AS cut_frac,
        CAST(mx AS BIGINT) AS max_size, CAST(mn AS BIGINT) AS min_size
 FROM cutq, szq"""
+
+
+_PERC_CTES = """
+ tre AS (SELECT least(a, b) * 4294967296 + greatest(a, b) AS e1,
+                least(b, c) * 4294967296 + greatest(b, c) AS e2,
+                least(a, c) * 4294967296 + greatest(a, c) AS e3
+         FROM tris),
+ psym AS (SELECT e1 AS x, e2 AS y FROM tre UNION SELECT e2, e1 FROM tre
+          UNION SELECT e1, e3 FROM tre UNION SELECT e3, e1 FROM tre
+          UNION SELECT e2, e3 FROM tre UNION SELECT e3, e2 FROM tre),
+ enodes AS (SELECT e1 AS k FROM tre UNION SELECT e2 FROM tre
+            UNION SELECT e3 FROM tre),
+ preach(k, r) AS (
+   SELECT k, k AS r FROM enodes
+   UNION
+   SELECT s.y AS k, preach.r FROM preach JOIN psym s ON preach.k = s.x),
+ pcomp AS (SELECT k, min(r) AS community FROM preach GROUP BY k)"""
+
+
+def percolation_web_sql() -> str:
+    """Twin of operators/percolation.py::triangle_percolation on the web
+    graph: recursive-CTE closure over the packed triangle-edge adjacency,
+    community = min packed edge key, members = unpacked endpoints."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},{_TRI_CTES},{_PERC_CTES}
+SELECT DISTINCT id, community FROM (
+  SELECT CAST(k // 4294967296 AS BIGINT) AS id, community FROM pcomp
+  UNION ALL
+  SELECT CAST(k % 4294967296 AS BIGINT) AS id, community FROM pcomp)"""
+
+
+def percolation_sizes_web_sql() -> str:
+    """Twin of operators/percolation.py::percolation_summary."""
+    return f"""WITH RECURSIVE {WEB_EDGES_CTE.strip()},{_TRI_CTES},{_PERC_CTES},
+ mem AS (SELECT DISTINCT id, community FROM (
+   SELECT CAST(k // 4294967296 AS BIGINT) AS id, community FROM pcomp
+   UNION ALL
+   SELECT CAST(k % 4294967296 AS BIGINT) AS id, community FROM pcomp)),
+ nv AS (SELECT community, count(*) AS n_vertices FROM mem GROUP BY community),
+ ne AS (SELECT community, count(*) AS n_edges FROM pcomp GROUP BY community)
+SELECT nv.community, CAST(nv.n_vertices AS BIGINT) AS n_vertices,
+       CAST(ne.n_edges AS BIGINT) AS n_edges
+FROM nv JOIN ne ON nv.community = ne.community"""
+
+
+def sampled_triangles_sql(frac: float, salt: str = "doulion") -> str:
+    """Twin of operators/triangles.py::sampled_triangle_count — identical
+    md5 edge coin, degrees recomputed on the sparsified graph, the same
+    oriented forward count, estimate = t / frac^3."""
+    from graphina_spark.operators.sampling import _hex_threshold
+
+    thr = _hex_threshold(frac)
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ canon0 AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+            FROM edges WHERE src <> dst),
+ kept AS (SELECT src, dst FROM canon0
+          WHERE substr(md5('{salt}:' || CAST(src AS VARCHAR) || ':'
+                           || CAST(dst AS VARCHAR)), 1, 8) < '{thr}'),
+ kdeg AS (SELECT id, count(*) AS deg FROM
+            (SELECT src AS id FROM kept UNION ALL SELECT dst AS id FROM kept) u
+          GROUP BY id),
+ kdir AS (
+   SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.src < c.dst)
+               THEN c.src ELSE c.dst END AS s,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.src < c.dst)
+               THEN c.dst ELSE c.src END AS d
+   FROM kept c JOIN kdeg da ON c.src = da.id JOIN kdeg db ON c.dst = db.id),
+ ktris AS (
+   SELECT e1.s AS a, e1.d AS b, e2.d AS c
+   FROM kdir e1 JOIN kdir e2 ON e1.d = e2.s
+   JOIN kdir e3 ON e3.s = e1.s AND e3.d = e2.d)
+SELECT (SELECT count(*) FROM kept) AS sampled_edges,
+       (SELECT count(*) FROM ktris) AS sample_triangles,
+       round((SELECT count(*) FROM ktris) / ({frac} * {frac} * {frac}), {ROUND})
+         AS est_triangles"""
