@@ -1655,6 +1655,43 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier inference: hashed
+    unigram+bigram features, mean pooling, sigmoid; model-as-data weight
+    table (md5-derived demo weights standing in for a trained model)."""
+    from graphina_spark.operators.classify import classifier_scores, demo_weights
+
+    return classifier_scores(
+        _docs(spark, sf_dir), demo_weights(spark), bias=-0.05
+    )
+
+
+def _q_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch matrix over the corpus token stream — sparse
+    integer (r, c, cnt) cells, bit-exact across engines."""
+    from graphina_spark.operators.cms import cms_sketch
+
+    return cms_sketch(_docs(spark, sf_dir))
+
+
+def _q_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates for the top-10 exact tokens (count desc, token
+    asc): (token, exact_cnt, est) — est ≥ exact by construction."""
+    from graphina_spark.functions.textstats import tokens_col
+    from graphina_spark.operators.cms import cms_estimates
+
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    exact = (
+        tk.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    est = cms_estimates(docs, exact.select("token"))
+    return exact.join(est, "token").select("token", "exact_cnt", "est")
+
+
 def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import split_contamination
 
@@ -2222,6 +2259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": _q_lm_quality,
         "winnow_fp": _q_winnow_fp,
         "dsir_weights": _q_dsir_weights,
+        "classifier_scores": _q_classifier_scores,
+        "cms_cells": _q_cms_cells,
+        "cms_probe": _q_cms_probe,
         "split_contamination": _q_split_contamination,
         "tfidf_terms": _q_tfidf_terms,
         "reciprocity_web": _q_reciprocity_web,
@@ -2554,6 +2594,9 @@ def _text_oracles() -> dict[str, str]:
             token_budget=1_000_000,
         ),
         "dsir_weights": T.dsir_weights_sql(targets=("src0", "src1")),
+        "classifier_scores": T.classifier_scores_sql(bias=-0.05),
+        "cms_cells": T.cms_cells_sql(),
+        "cms_probe": T.cms_probe_sql(k=10),
         "split_contamination": T.split_contamination_sql(k=3),
         "tfidf_terms": T.tfidf_top_terms_sql(k=3),
         "kmeans_emb": T.kmeans_sql(k=KMEANS_K, iters=KMEANS_ITERS),

@@ -1587,3 +1587,95 @@ def len_deciles_sql(q: int = 10) -> str:
 SELECT k, min(v) AS value FROM cum, tot, ks
 WHERE cum >= (k * n + {q - 1}) // {q}
 GROUP BY k"""
+
+
+def classifier_scores_sql(salt: str = "clfw", scale: float = 4.0,
+                          bias: float = -0.05) -> str:
+    """Twin of operators/classify.py::classifier_scores with the
+    md5-derived demo weight table: the 256 (bucket, weight) literals are
+    computed by the SAME Python arithmetic that builds the Spark-side
+    table (hashlib md5 prefix → float), so the model is bit-identical by
+    construction; hashed unigram+bigram counts, mean pooling, sigmoid."""
+    import hashlib as _hl
+
+    vals = []
+    for i in range(256):
+        b = format(i, "02x")
+        h = int(_hl.md5(f"{salt}:{b}".encode()).hexdigest()[:8], 16)
+        vals.append(f"('{b}', {(h / 4294967296.0 - 0.5) * scale!r})")
+    wt = ", ".join(vals)
+    return f"""WITH {_TOK},
+ uni AS (SELECT doc_id AS id, substr(md5('u:' || t[i]), 1, 2) AS b
+         FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)),
+ bi AS (SELECT doc_id AS id, substr(md5('b:' || t[i] || ' ' || t[i+1]), 1, 2) AS b
+        FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+ cnt AS (SELECT id, b, count(*) AS n
+         FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) f GROUP BY id, b),
+ wt (b, w) AS (VALUES {wt}),
+ st AS (SELECT cnt.id, sum(cnt.n) AS nf,
+               sum(cnt.n * coalesce(wt.w, 0.0)) AS dot
+        FROM cnt LEFT JOIN wt ON cnt.b = wt.b GROUP BY cnt.id),
+ lg AS (SELECT d.doc_id AS id, CAST(coalesce(st.nf, 0) AS BIGINT) AS n_feats,
+               CASE WHEN st.nf IS NULL THEN {bias!r}
+                    ELSE {bias!r} + st.dot / st.nf END AS logit
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN st ON d.doc_id = st.id)
+SELECT id, n_feats, round(logit, {ROUND}) AS logit,
+       round(1.0 / (1.0 + exp(-logit)), {ROUND}) AS prob,
+       (1.0 / (1.0 + exp(-logit))) >= 0.5 AS label
+FROM lg"""
+
+
+def _md5int(arg: str) -> str:
+    """conv(md5(arg)[:8], 16, 10) as a fixed-order digit sum (DuckDB has no
+    hex→int cast); identical to Spark's conv for 8 hex chars."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(substr(md5({arg}), 1, 8), {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({digits})"
+
+
+def _cms_cells_ctes(depth: int, width: int, salt: str) -> str:
+    parts = []
+    for j in range(depth):
+        h = _md5int(f"'{salt}:{j}:' || tok")
+        parts.append(f"SELECT {j} AS r, {h} % {width} AS c FROM tk")
+    per_row = " UNION ALL ".join(parts)
+    return f"""{_TOK},
+ tk AS (SELECT unnest(t) AS tok FROM tok),
+ cellrows AS ({per_row}),
+ cells AS (SELECT r, CAST(c AS INT) AS c, count(*) AS cnt
+           FROM cellrows GROUP BY r, c)"""
+
+
+def cms_cells_sql(depth: int = 4, width: int = 64, salt: str = "cms") -> str:
+    """Twin of operators/cms.py::cms_sketch — the sketch matrix as sparse
+    integer cell rows (bit-exact across engines)."""
+    return f"""WITH {_cms_cells_ctes(depth, width, salt)}
+SELECT CAST(r AS INT) AS r, c, CAST(cnt AS BIGINT) AS cnt FROM cells"""
+
+
+def cms_probe_sql(k: int = 10, depth: int = 4, width: int = 64,
+                  salt: str = "cms") -> str:
+    """Twin of the cms_probe gate: top-k exact tokens (count desc, token
+    asc) with their CMS point estimates; est >= exact always."""
+    parts = []
+    for j in range(depth):
+        h = _md5int(f"'{salt}:{j}:' || token")
+        parts.append(
+            f"SELECT token, {j} AS r, CAST({h} % {width} AS INT) AS c FROM probes"
+        )
+    probe_rows = " UNION ALL ".join(parts)
+    return f"""WITH {_cms_cells_ctes(depth, width, salt)},
+ exact AS (SELECT tok AS token, count(*) AS exact_cnt FROM tk GROUP BY tok
+           ORDER BY exact_cnt DESC, token ASC LIMIT {k}),
+ probes AS (SELECT token FROM exact),
+ pr AS ({probe_rows}),
+ est AS (SELECT pr.token, min(coalesce(cells.cnt, 0)) AS est
+         FROM pr LEFT JOIN cells ON pr.r = cells.r AND pr.c = cells.c
+         GROUP BY pr.token)
+SELECT e.token, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est.est AS BIGINT) AS est
+FROM exact e JOIN est ON e.token = est.token"""
