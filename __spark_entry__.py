@@ -1692,6 +1692,20 @@ def _q_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "token").select("token", "exact_cnt", "est")
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC plumbing gate: documents → valid WARC/1.0 segments (column-
+    expression writer, one segment shuffle) → Arrow-batched distributed
+    parse → byte-identical payloads (md5 + octet count vs the source)."""
+    from graphina_spark.sources.warc import parse_warc, warc_segments
+
+    parsed = parse_warc(warc_segments(_docs(spark, sf_dir), n_segments=8))
+    return parsed.select(
+        F.regexp_replace("target_uri", "^doc://", "").cast("long").alias("id"),
+        F.md5("payload").alias("text_md5"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphina_spark.operators.sampling import split_contamination
 
@@ -2262,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "cms_cells": _q_cms_cells,
         "cms_probe": _q_cms_probe,
+        "warc_roundtrip": _q_warc_roundtrip,
         "split_contamination": _q_split_contamination,
         "tfidf_terms": _q_tfidf_terms,
         "reciprocity_web": _q_reciprocity_web,
@@ -2597,6 +2612,7 @@ def _text_oracles() -> dict[str, str]:
         "classifier_scores": T.classifier_scores_sql(bias=-0.05),
         "cms_cells": T.cms_cells_sql(),
         "cms_probe": T.cms_probe_sql(k=10),
+        "warc_roundtrip": T.warc_roundtrip_sql(),
         "split_contamination": T.split_contamination_sql(k=3),
         "tfidf_terms": T.tfidf_top_terms_sql(k=3),
         "kmeans_emb": T.kmeans_sql(k=KMEANS_K, iters=KMEANS_ITERS),

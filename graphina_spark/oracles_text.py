@@ -1679,3 +1679,12 @@ def cms_probe_sql(k: int = 10, depth: int = 4, width: int = 64,
 SELECT e.token, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
        CAST(est.est AS BIGINT) AS est
 FROM exact e JOIN est ON e.token = est.token"""
+
+
+def warc_roundtrip_sql() -> str:
+    """Identity twin of the WARC round-trip gate: the Spark side writes
+    documents into WARC/1.0 segments and parses them back; byte-identical
+    payloads mean (id, md5(text), octet count) must equal the source."""
+    return f"""SELECT doc_id AS id, md5(text) AS text_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents"""
