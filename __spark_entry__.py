@@ -2121,6 +2121,12 @@ def _q_percolation_sizes_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolation_summary(_web(spark, sf_dir))
 
 
+def _q_fastrp_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.fastrp import fastrp_embedding
+
+    return fastrp_embedding(_web(spark, sf_dir))
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2367,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_web": _q_percolation_web,
         "percolation_sizes_web": _q_percolation_sizes_web,
         "sampled_tri_web": _q_sampled_tri_web,
+        "fastrp_web": _q_fastrp_web,
     }
 
 
@@ -2554,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         "percolation_web": O.percolation_web_sql(),
         "percolation_sizes_web": O.percolation_sizes_web_sql(),
         "sampled_tri_web": O.sampled_triangles_sql(frac=0.5),
+        "fastrp_web": O.fastrp_web_sql(),
         **_text_oracles(),
     }
 

@@ -4414,3 +4414,57 @@ SELECT (SELECT count(*) FROM kept) AS sampled_edges,
        (SELECT count(*) FROM ktris) AS sample_triangles,
        round((SELECT count(*) FROM ktris) / ({frac} * {frac} * {frac}), {ROUND})
          AS est_triangles"""
+
+
+def fastrp_web_sql(
+    dims: int = 8,
+    iters: int = 3,
+    weights: tuple[float, ...] = (0.5, 1.0, 2.0),
+    sparsity: int = 3,
+    salt: str = "fastrp",
+) -> str:
+    """Twin of operators/fastrp.py::fastrp_embedding over the web graph:
+    identical md5 projection cells (dense zeros included — adding 0.0 never
+    changes a double sum), unrolled D^-1 A propagation + per-iterate L2
+    normalization, weighted accumulation, 6-dp rounding."""
+    from graphina_spark.oracles_text import _md5int
+
+    root = repr(float(sparsity) ** 0.5)
+    cell = (
+        _md5int(f"'{salt}:' || CAST(v.id AS VARCHAR) || ':' || CAST(d.pos AS VARCHAR)")
+        + f" % {2 * sparsity}"
+    )
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "sym AS (SELECT src, dst FROM edges"
+        " UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+        "deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)",
+        f"dims AS (SELECT CAST(unnest(range(0, {dims})) AS INT) AS pos)",
+        f"x0 AS (SELECT v.id, d.pos, CASE ({cell})"
+        f" WHEN 0 THEN {root} WHEN 1 THEN -{root} ELSE 0.0 END AS x"
+        f" FROM v CROSS JOIN dims d)",
+    ]
+    terms = []
+    for k in range(1, iters + 1):
+        p = f"x{k - 1}"
+        ctes.append(
+            f"x{k} AS (SELECT s.src AS id, r.pos, sum(r.x) / any_value(g.deg) AS x"
+            f" FROM sym s JOIN {p} r ON s.dst = r.id JOIN deg g ON s.src = g.id"
+            f" GROUP BY s.src, r.pos)"
+        )
+        ctes.append(
+            f"n{k} AS (SELECT id, sqrt(sum(x * x)) AS nrm FROM x{k} GROUP BY id)"
+        )
+        terms.append(
+            f"SELECT x.id, x.pos, {weights[k - 1]} * x.x / n.nrm AS t"
+            f" FROM x{k} x JOIN n{k} n ON x.id = n.id WHERE n.nrm > 0"
+        )
+    ctes.append("acc AS (SELECT id, pos, sum(t) AS v FROM ("
+                + " UNION ALL ".join(terms) + ") u GROUP BY id, pos)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v.id, d.pos, round(coalesce(a.v, 0.0), {ROUND}) AS v
+FROM v CROSS JOIN dims d
+LEFT JOIN acc a ON v.id = a.id AND d.pos = a.pos"""
+    )
