@@ -2127,6 +2127,12 @@ def _q_fastrp_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fastrp_embedding(_web(spark, sf_dir))
 
 
+def _q_onion_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.kcore import onion_decomposition
+
+    return onion_decomposition(_web(spark, sf_dir), fixed_rounds=18)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2374,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_sizes_web": _q_percolation_sizes_web,
         "sampled_tri_web": _q_sampled_tri_web,
         "fastrp_web": _q_fastrp_web,
+        "onion_web": _q_onion_web,
     }
 
 
@@ -2562,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "percolation_sizes_web": O.percolation_sizes_web_sql(),
         "sampled_tri_web": O.sampled_triangles_sql(frac=0.5),
         "fastrp_web": O.fastrp_web_sql(),
+        "onion_web": O.onion_web_sql(rounds=18),
         **_text_oracles(),
     }
 

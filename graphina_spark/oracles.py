@@ -4468,3 +4468,40 @@ SELECT v.id, d.pos, round(coalesce(a.v, 0.0), {ROUND}) AS v
 FROM v CROSS JOIN dims d
 LEFT JOIN acc a ON v.id = a.id AND d.pos = a.pos"""
     )
+
+
+def onion_web_sql(rounds: int = 18) -> str:
+    """Twin of operators/kcore.py::onion_decomposition with
+    fixed_rounds=rounds (Hébert-Dufresne 2016): per round the running core
+    threshold k rises to max(k, min alive degree) and every alive vertex
+    with degree ≤ k peels with (core=k, layer=round).  k threads through the
+    rounds as a one-row scalar CTE; an exhausted graph yields empty peel
+    sets (min degree NULL → k unchanged)."""
+    ctes = _kcore_base_ctes() + [
+        "a0 AS MATERIALIZED (SELECT id FROM v)",
+        "k0 AS (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    peels = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT a.id, CAST(coalesce(g.c, 0) AS BIGINT) AS c"
+            f" FROM a{p} a LEFT JOIN (SELECT s.u AS id, count(*) AS c FROM sym s"
+            f" JOIN a{p} x ON s.u = x.id JOIN a{p} y ON s.v = y.id GROUP BY s.u) g"
+            f" ON a.id = g.id)"
+        )
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT greatest((SELECT k FROM k{p}),"
+            f" coalesce((SELECT min(c) FROM d{r}), (SELECT k FROM k{p}))) AS k)"
+        )
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT id, (SELECT k FROM k{r}) AS core,"
+            f" CAST({r} AS BIGINT) AS layer FROM d{r}"
+            f" WHERE c <= (SELECT k FROM k{r}))"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT id FROM d{r}"
+            f" WHERE c > (SELECT k FROM k{r}))"
+        )
+        peels.append(f"SELECT id, core, layer FROM p{r}")
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(peels)

@@ -282,3 +282,59 @@ def test_stratified_sample_keep_all_and_drop(spark):
     a = sorted(r["doc_id"] for r in half.collect())
     b = sorted(r["doc_id"] for r in half.collect())
     assert a == b and set(a) <= {r["doc_id"] for r in got} and 0 < len(a) < 100
+
+
+def _brute_onion(n, edges):
+    """Sequential reference of the onion decomposition (Hébert-Dufresne 2016)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    alive = set(range(n))
+    out, k, layer = {}, 0, 0
+    while alive:
+        layer += 1
+        deg = {v: len(adj[v] & alive) for v in alive}
+        k = max(k, min(deg.values()))
+        peel = {v for v in alive if deg[v] <= k}
+        for v in peel:
+            out[v] = (k, layer)
+        alive -= peel
+    return out
+
+
+def test_onion_matches_bruteforce(spark):
+    from graphina_spark.operators.kcore import onion_decomposition
+
+    g = make_graph(spark, _EDGES, n=10, directed=False)
+    got = {r["id"]: (r["core"], r["layer"]) for r in onion_decomposition(g).collect()}
+    assert got == _brute_onion(10, _EDGES)
+
+
+def test_onion_core_equals_coreness(spark):
+    import random
+
+    from graphina_spark.operators.kcore import core_number, onion_decomposition
+
+    rng = random.Random(7)
+    n = 40
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n) if rng.random() < 0.12]
+    g = make_graph(spark, edges, n=n, directed=False)
+    onion = {r["id"]: r["core"] for r in onion_decomposition(g).collect()}
+    core = {r["id"]: r["core"] for r in core_number(g).collect()}
+    assert onion == core
+
+
+def test_onion_fixed_rounds_prefix(spark):
+    from graphina_spark.operators.kcore import onion_decomposition
+
+    g = make_graph(spark, _EDGES, n=10, directed=False)
+    full = {(r["id"], r["core"], r["layer"])
+            for r in onion_decomposition(g).collect()}
+    part = {(r["id"], r["core"], r["layer"])
+            for r in onion_decomposition(g, fixed_rounds=2).collect()}
+    assert part <= full
+    assert {t[2] for t in part} <= {1, 2}
