@@ -2133,6 +2133,12 @@ def _q_onion_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return onion_decomposition(_web(spark, sf_dir), fixed_rounds=18)
 
 
+def _q_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.sources.snapshots import events_snapshot_report
+
+    return events_snapshot_report(spark, sf_dir)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2381,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_tri_web": _q_sampled_tri_web,
         "fastrp_web": _q_fastrp_web,
         "onion_web": _q_onion_web,
+        "snapshot_events": _q_snapshot_events,
     }
 
 
@@ -2570,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_tri_web": O.sampled_triangles_sql(frac=0.5),
         "fastrp_web": O.fastrp_web_sql(),
         "onion_web": O.onion_web_sql(rounds=18),
+        "snapshot_events": O.snapshot_events_sql(),
         **_text_oracles(),
     }
 

@@ -4505,3 +4505,25 @@ def onion_web_sql(rounds: int = 18) -> str:
         )
         peels.append(f"SELECT id, core, layer FROM p{r}")
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(peels)
+
+
+def snapshot_events_sql() -> str:
+    """Twin of sources/snapshots.py::events_snapshot_report — every row
+    recomputed from chunk membership (chunk = event_id % 3; snapshot k
+    sees chunks < k)."""
+    rows = []
+    for k in (1, 2, 3):
+        rows.append(
+            f"SELECT 'asof' AS kind, CAST({k} AS BIGINT) AS snap,"
+            f" count(*) AS n_rows, count(DISTINCT user_id) AS n_users"
+            f" FROM events WHERE event_id % 3 < {k}"
+        )
+    rows.append(
+        "SELECT 'incr', 3, count(*), count(DISTINCT user_id)"
+        " FROM events WHERE event_id % 3 IN (1, 2)"
+    )
+    rows.append(
+        "SELECT 'prune', 3, count(*), count(DISTINCT user_id)"
+        " FROM events WHERE event_id <= 50"
+    )
+    return " UNION ALL ".join(rows)

@@ -1,0 +1,77 @@
+"""Iceberg-style snapshot table (sources/snapshots.py)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphina_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable(str(tmp_path / "t"), stats_cols=("k",))
+
+
+def frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_and_time_travel(spark, table):
+    table.append(frame(spark, 0, 10))
+    table.append(frame(spark, 10, 30))
+    table.append(frame(spark, 30, 35))
+    assert table.current_snapshot() == 3
+    # time travel: historical snapshots are unchanged by later appends
+    assert table.read(spark, snapshot_id=1).count() == 10
+    assert table.read(spark, snapshot_id=2).count() == 30
+    assert table.read(spark).count() == 35
+    sums = {s["snapshot_id"]: s["n_rows"] for s in table.snapshots()}
+    assert sums == {1: 10, 2: 30, 3: 35}
+
+
+def test_incremental_scan(spark, table):
+    table.append(frame(spark, 0, 10))
+    table.append(frame(spark, 10, 30))
+    table.append(frame(spark, 30, 35))
+    inc = table.incremental(spark, 1, 3)
+    got = sorted(r["k"] for r in inc.collect())
+    assert got == list(range(10, 35))
+    assert table.incremental(spark, 3, 3).count() == 0
+
+
+def test_prune_is_superset_and_exact_after_filter(spark, table):
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        table.append(frame(spark, lo, hi))
+    pruned = table.read(spark, prune=("k", 120, 180))
+    # pruning drops at least the files that cannot overlap
+    assert pruned.count() <= 200
+    exact = pruned.where((F.col("k") >= 120) & (F.col("k") <= 180))
+    assert exact.count() == 61
+
+
+def test_orphan_data_files_are_invisible(spark, table):
+    """A crashed append (data written, metadata not committed) must not leak."""
+    table.append(frame(spark, 0, 10))
+    orphan = os.path.join(table.path, "data", "snap-99999-deadbeef.parquet")
+    frame(spark, 500, 600).toPandas().to_parquet(orphan)
+    assert table.read(spark).count() == 10
+    assert table.current_snapshot() == 1
+
+
+def test_metadata_commit_is_atomic(spark, table):
+    """A *.tmp metadata file (mid-crash state) is never read as current."""
+    table.append(frame(spark, 0, 10))
+    bogus = table._meta_path(2) + ".tmp"
+    with open(bogus, "w") as f:
+        json.dump({"snapshot_id": 2, "files": [], "schema": None}, f)
+    assert table.current_snapshot() == 1
+    assert table.read(spark).count() == 10
+
+
+def test_empty_table_reads_empty(spark, table):
+    assert table.current_snapshot() == 0
+    assert table.read(spark, snapshot_id=0).count() == 0
