@@ -2139,6 +2139,13 @@ def _q_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_snapshot_report(spark, sf_dir)
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.substrings import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2388,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_web": _q_fastrp_web,
         "onion_web": _q_onion_web,
         "snapshot_events": _q_snapshot_events,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -2587,6 +2595,7 @@ def _text_oracles() -> dict[str, str]:
 
     return {
         "text_stats": T.text_stats_sql(),
+        "span_dedup": T.span_dedup_sql(),
         "pii_scrub": T.pii_scrub_sql(),
         "line_dedup": T.line_dedup_sql(),
         "len_deciles": T.len_deciles_sql(),

@@ -141,3 +141,71 @@ def chunk_documents(
         F.col("c.n_tokens").cast("int").alias("n_tokens"),
         F.col("c.chunk_hash").alias("chunk_hash"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_K
+) -> DataFrame:
+    """(id, n_tokens, n_kept, clean_md5) — span-level dedup SURGERY, the
+    second half of the Lee et al. ACL 2022 criterion: every token covered by
+    ANY corpus-duplicated k-token window (count >= 2 across the corpus,
+    including twice within one document) is dropped, and the surviving
+    tokens reassemble in order.  Overlapping duplicated windows merge into
+    maximal removed spans automatically (covered-position union).  The
+    output pins md5(space-joined kept tokens) — the repo's scrubbed-text
+    convention (linededup.py, pii.py) so the gate carries 32-byte digests,
+    never document bodies.
+
+    Scale shape: gram table = one row per token position (fixed-width md5
+    keys); ONE groupBy(gram) count + ONE semi-join back = two shuffles on
+    32-byte keys, map-side combined, no pair set.  Coverage explodes each
+    duplicated position into its k covered token indices — O(dup_positions
+    × k) rows, bounded by k × corpus positions, distinct()-folded — then
+    one anti-join and one per-doc ordered reassembly (doc-bounded lists,
+    the chunk_documents posture).  A boilerplate gram repeated 10^9 times
+    is one skewed reduce cell (AQE), never a candidate pair set.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1),"
+                    f" i -> struct(i AS pos, md5(array_join(slice(t, i, {k}), ' ')) AS g))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<pos:int,g:string>>)"))
+        ).alias("pg"),
+    ).select("id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    dup_grams = grams.groupBy("g").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    dup_pos = grams.join(dup_grams.select("g"), "g", "left_semi")
+    covered = dup_pos.select(
+        "id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tpos")
+    ).distinct()
+    tpos = toks.select(
+        "id", F.posexplode("t").alias("i", "tok")
+    ).select("id", (F.col("i") + 1).alias("tpos"), "tok")
+    kept = tpos.join(covered, ["id", "tpos"], "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(tpos, tok))), s -> s.tok)"),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
+    return (
+        toks.select("id", F.size("t").alias("n_tokens"))
+        .join(kept_agg, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("clean_md5", F.lit(empty_md5)).alias("clean_md5"),
+        )
+    )

@@ -1688,3 +1688,29 @@ def warc_roundtrip_sql() -> str:
     return f"""SELECT doc_id AS id, md5(text) AS text_md5,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents"""
+
+
+def span_dedup_sql(k: int = 8) -> str:
+    """Mirror of operators/substrings.py::remove_duplicate_spans — same
+    frozen tokenizer, same md5 k-token windows, corpus count >= 2 rule,
+    covered-position union, ordered reassembly digest."""
+    return f"""WITH {_TOK},
+ grams AS (SELECT doc_id, i AS pos,
+     md5(array_to_string(list_slice(t, i, i + {k} - 1), ' ')) AS g
+   FROM tok, unnest(generate_series(1, len(t) - {k} + 1)) AS u(i)),
+ cnt AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+ dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g)),
+ cov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+   FROM dup, unnest(generate_series(0, {k} - 1)) AS w(j)),
+ tp AS (SELECT doc_id, i AS tpos, t[i] AS tok
+   FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+ kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp
+   LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+   WHERE cov.doc_id IS NULL),
+ ka AS (SELECT doc_id, count(*) AS n_kept,
+     md5(string_agg(tok, ' ' ORDER BY tpos)) AS clean_md5
+   FROM kept GROUP BY doc_id)
+SELECT tok.doc_id AS id, CAST(len(tok.t) AS INT) AS n_tokens,
+  CAST(coalesce(ka.n_kept, 0) AS INT) AS n_kept,
+  coalesce(ka.clean_md5, md5('')) AS clean_md5
+FROM tok LEFT JOIN ka ON tok.doc_id = ka.doc_id"""

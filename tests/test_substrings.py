@@ -111,3 +111,56 @@ def test_chunk_documents_validation(spark):
     doc = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(doc, size=4, stride=5)
+
+
+def test_remove_duplicate_spans_planted(spark):
+    from graphina_spark.operators.substrings import remove_duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog every single day"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta epsilon zeta eta theta"),
+            (2, f"one two three {boiler} four five six seven eight nine"),
+            (3, "completely unique text with no repeated windows at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in remove_duplicate_spans(docs, k=6).collect()}
+    # the planted 12-token boilerplate is duplicated -> dropped from both docs
+    assert out[1]["n_kept"] < out[1]["n_tokens"]
+    assert out[2]["n_kept"] < out[2]["n_tokens"]
+    # doc 3 shares no 6-gram -> untouched
+    assert out[3]["n_kept"] == out[3]["n_tokens"]
+    # kept counts: every token covered by a duplicated window is gone; the
+    # unique prefix/suffix tokens survive
+    assert out[1]["n_kept"] >= 2  # at least "alpha beta" survive
+    import hashlib
+
+    kept1 = "alpha beta gamma delta epsilon zeta eta theta"
+    # windows extending into the unique tail are NOT duplicated, so only
+    # the exact boilerplate tokens drop iff every window covering them is
+    # duplicated; recompute with the brute-force rule instead of guessing
+    def brute(texts, k=6):
+        import re
+
+        tok = {i: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for i, t in texts}
+        from collections import Counter
+
+        cnt = Counter()
+        for i, ts in tok.items():
+            for p in range(len(ts) - k + 1):
+                cnt[" ".join(ts[p : p + k])] += 1
+        out = {}
+        for i, ts in tok.items():
+            covered = set()
+            for p in range(len(ts) - k + 1):
+                if cnt[" ".join(ts[p : p + k])] >= 2:
+                    covered.update(range(p, p + k))
+            kept = [t for j, t in enumerate(ts) if j not in covered]
+            out[i] = (len(ts), len(kept), hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return out
+
+    exp = brute([(1, docs.collect()[0]["text"]), (2, docs.collect()[1]["text"]),
+                 (3, docs.collect()[2]["text"])])
+    for i in (1, 2, 3):
+        assert (out[i]["n_tokens"], out[i]["n_kept"], out[i]["clean_md5"]) == exp[i]
