@@ -2146,6 +2146,17 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs)
 
 
+def _q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.classify import train_linear_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    return train_linear_classifier(docs, labels, iters=3, lr=4.0)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2396,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_web": _q_onion_web,
         "snapshot_events": _q_snapshot_events,
         "span_dedup": _q_span_dedup,
+        "train_classifier": _q_train_classifier,
     }
 
 
@@ -2596,6 +2608,7 @@ def _text_oracles() -> dict[str, str]:
     return {
         "text_stats": T.text_stats_sql(),
         "span_dedup": T.span_dedup_sql(),
+        "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
         "pii_scrub": T.pii_scrub_sql(),
         "line_dedup": T.line_dedup_sql(),
         "len_deciles": T.len_deciles_sql(),

@@ -120,3 +120,84 @@ def demo_weights(spark: SparkSession, salt: str = "clfw", scale: float = 4.0) ->
         h = int(hashlib.md5(f"{salt}:{b}".encode()).hexdigest()[:8], 16)
         rows.append((b, (h / 4294967296.0 - 0.5) * scale))
     return spark.createDataFrame(rows, "b string, w double")
+
+
+BIAS_BUCKET = "__bias__"
+
+
+def training_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, b, x) — mean-pooled feature values x = n/nf per doc (the
+    inference convention) plus a constant ``__bias__`` feature of 1.0, so
+    the bias trains as just another weight and the whole model stays one
+    (b, w) frame.  Documents with zero features emit only their bias row."""
+    counts = hashed_feature_counts(df, id_col, text_col)
+    nf = counts.groupBy("id").agg(F.sum("n").alias("nf"))
+    x = counts.join(nf, "id").select(
+        "id", "b", (F.col("n") / F.col("nf")).alias("x")
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return x.unionAll(
+        ids.select("id", F.lit(BIAS_BUCKET).alias("b"), F.lit(1.0).alias("x"))
+    )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    labels: DataFrame,
+    iters: int = 3,
+    lr: float = 4.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(b, w) — train the fastText-style linear head IN-ENGINE by full-batch
+    gradient descent on logistic loss: w ← w − lr·(1/n)·Σ_i (σ(w·x_i) −
+    y_i)·x_i, starting from w = 0 (σ = 0.5 everywhere — no random init, so
+    the trajectory is deterministic in any engine).  ``labels`` is (id, y)
+    with y ∈ {0,1}; docs absent from ``labels`` are ignored.  The returned
+    table (6-dp rounded, bias under the ``__bias__`` bucket) feeds
+    :func:`classifier_scores` with bias=0 — this is the corpus-scale
+    model-refresh loop of a quality-filtering pipeline (teacher labels in,
+    model-as-data out), cf. CCNet / FineWeb-Edu model-based filtering.
+
+    Scale shape per iteration: TWO shuffles — dot products (join the
+    broadcast 257-row weight table, groupBy(id) with map-side partial
+    sums) and gradient (groupBy(b), 257 cells, map-side combined) — plus
+    one broadcast-sized weight update.  n (a scalar) is computed ONCE
+    before the loop.  Nothing grows with iterations (weights re-materialize
+    each round); nothing is per-pair; a 100 TB corpus streams through each
+    epoch exactly twice.
+    """
+    from graphina_spark.plans.materialize import local_materialize as _mat
+
+    spark = df.sparkSession
+    x = training_features(df, id_col, text_col)
+    y = labels.select("id", F.col("y").cast("double").alias("y"))
+    xy = x.join(y, "id", "left_semi").transform(_mat)
+    n = xy.select("id").distinct().count()
+    if n == 0:
+        raise ValueError("train_linear_classifier: no labeled documents")
+    buckets = [format(i, "02x") for i in range(N_BUCKETS)] + [BIAS_BUCKET]
+    w = spark.createDataFrame([(b, 0.0) for b in buckets], "b string, w double")
+    for _ in range(iters):
+        z = (
+            xy.join(F.broadcast(w), "b")
+            .groupBy("id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+        )
+        err = z.join(y, "id").select(
+            "id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias("e"),
+        )
+        grad = (
+            xy.join(err, "id")
+            .groupBy("b")
+            .agg((F.sum(F.col("x") * F.col("e")) / F.lit(float(n))).alias("g"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .select("b", (F.col("w") - F.lit(lr) * F.coalesce("g", F.lit(0.0))).alias("w"))
+            .transform(_mat)
+        )
+    return w.select("b", F.round("w", 6).alias("w"))

@@ -1714,3 +1714,58 @@ SELECT tok.doc_id AS id, CAST(len(tok.t) AS INT) AS n_tokens,
   CAST(coalesce(ka.n_kept, 0) AS INT) AS n_kept,
   coalesce(ka.clean_md5, md5('')) AS clean_md5
 FROM tok LEFT JOIN ka ON tok.doc_id = ka.doc_id"""
+
+
+def train_classifier_sql(iters: int = 3, lr: float = 4.0) -> str:
+    """Twin of operators/classify.py::train_linear_classifier with the
+    lang='en' teacher labels: identical hashed features (mean-pooled +
+    __bias__ constant), w=0 init, unrolled full-batch logistic GD.
+    Every per-round CTE MATERIALIZED (each is referenced twice)."""
+    buckets = ", ".join(
+        [f"('{format(i, '02x')}')" for i in range(256)] + ["('__bias__')"]
+    )
+    ctes = [
+        _TOK,
+        "uni AS (SELECT doc_id AS id, substr(md5('u:' || t[i]), 1, 2) AS b"
+        " FROM tok, UNNEST(generate_series(1, len(t))) AS u(i))",
+        "bi AS (SELECT doc_id AS id, substr(md5('b:' || t[i] || ' ' || t[i+1]), 1, 2) AS b"
+        " FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i))",
+        "cnt AS (SELECT id, b, count(*) AS n"
+        " FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) f GROUP BY id, b)",
+        "nf AS (SELECT id, sum(n) AS nf FROM cnt GROUP BY id)",
+        "xr AS MATERIALIZED ("
+        "SELECT cnt.id, cnt.b, cnt.n / CAST(nf.nf AS DOUBLE) AS x"
+        " FROM cnt JOIN nf ON cnt.id = nf.id"
+        " UNION ALL SELECT DISTINCT doc_id AS id, '__bias__' AS b, 1.0 AS x"
+        " FROM documents)",
+        "lab AS (SELECT doc_id AS id,"
+        " CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents)",
+        "nn AS (SELECT count(DISTINCT id) AS n FROM xr)",
+        f"bkt (b) AS (VALUES {buckets})",
+        "w0 AS (SELECT b, 0.0 AS w FROM bkt)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"z{t} AS MATERIALIZED (SELECT x.id, sum(x.x * w.w) AS z"
+            f" FROM xr x JOIN w{p} w ON x.b = w.b GROUP BY x.id)"
+        )
+        ctes.append(
+            f"e{t} AS MATERIALIZED (SELECT z.id,"
+            f" 1.0 / (1.0 + exp(-z.z)) - lab.y AS e"
+            f" FROM z{t} z JOIN lab ON z.id = lab.id)"
+        )
+        ctes.append(
+            f"g{t} AS MATERIALIZED (SELECT x.b,"
+            f" sum(x.x * e.e) / (SELECT CAST(n AS DOUBLE) FROM nn) AS g"
+            f" FROM xr x JOIN e{t} e ON x.id = e.id GROUP BY x.b)"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT w.b,"
+            f" w.w - {lr!r} * coalesce(g.g, 0.0) AS w"
+            f" FROM w{p} w LEFT JOIN g{t} g ON w.b = g.b)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT b, round(w, {ROUND}) AS w FROM w{iters}"
+    )

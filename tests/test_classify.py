@@ -70,3 +70,47 @@ class TestClassifierScores:
         # doc 2's single unigram may or may not collide with b; almost surely not
         if _bucket("u", "unrelatedword") != b:
             assert rows[2]["logit"] == pytest.approx(0.0)
+
+
+def test_train_linear_classifier_learns_separation(spark):
+    from pyspark.sql import functions as F
+
+    from graphina_spark.operators.classify import (
+        classifier_scores,
+        train_linear_classifier,
+    )
+
+    # two lexically distinct classes
+    pos = [(i, "the quick brown fox jumps over the lazy dog again " * 3) for i in range(10)]
+    neg = [(i + 10, "zebra xylophone quartz vortex jumble klaxon wizard " * 3) for i in range(10)]
+    docs = spark.createDataFrame(pos + neg, "doc_id long, text string")
+    labels = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") < 10).cast("double").alias("y")
+    )
+    w = train_linear_classifier(docs, labels, iters=8, lr=8.0)
+    bias = [r["w"] for r in w.where(F.col("b") == "__bias__").collect()][0]
+    feats = w.where(F.col("b") != "__bias__")
+    scored = classifier_scores(docs, feats, bias=bias)
+    got = {r["id"]: r["label"] for r in scored.collect()}
+    acc = sum(got[i] == (i < 10) for i in range(20)) / 20
+    assert acc == 1.0
+
+
+def test_train_classifier_deterministic_across_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from graphina_spark.operators.classify import train_linear_classifier
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 5} alpha beta gamma word{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 2 == 0).cast("double").alias("y")
+    )
+    w1 = {r["b"]: r["w"] for r in train_linear_classifier(docs, labels, iters=3).collect()}
+    w2 = {
+        r["b"]: r["w"]
+        for r in train_linear_classifier(docs.repartition(7), labels, iters=3).collect()
+    }
+    assert w1 == w2
