@@ -160,6 +160,9 @@ def main() -> None:
     run("multilevel_part", lambda: gated["multilevel_part_web"](spark, SF_DIR))
     run("k_center_6", lambda: gated["k_center_embs"](spark, SF_DIR))
     run("copurchase_pr", lambda: gated["pagerank_parts"](spark, SF_DIR))
+    run("fastrp_3it", lambda: gated["fastrp_web"](spark, SF_DIR))
+    run("span_dedup", lambda: gated["span_dedup"](spark, SF_DIR))
+    run("train_classifier_3ep", lambda: gated["train_classifier"](spark, SF_DIR))
 
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS
