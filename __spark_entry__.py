@@ -2157,6 +2157,28 @@ def _q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_linear_classifier(docs, labels, iters=3, lr=4.0)
 
 
+def _q_blocklist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.curation import url_blocklist_filter
+
+    g = _web(spark, sf_dir)
+    pages = g.vertices.select(
+        "id",
+        F.format_string(
+            "https://h%d.example.com/p/%d", F.col("id") % HOST_MOD, F.col("id")
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [
+            ("host", "h7.example.com"),
+            ("host_suffix", "h9.example.com"),
+            ("host_suffix", "example.org"),
+            ("path_prefix", "h3.example.com/p/1"),
+        ],
+        "kind string, pattern string",
+    )
+    return url_blocklist_filter(pages, bl)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2408,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_events": _q_snapshot_events,
         "span_dedup": _q_span_dedup,
         "train_classifier": _q_train_classifier,
+        "blocklist_web": _q_blocklist_web,
     }
 
 
@@ -2598,6 +2621,7 @@ def oracle_sql() -> dict[str, str]:
         "fastrp_web": O.fastrp_web_sql(),
         "onion_web": O.onion_web_sql(rounds=18),
         "snapshot_events": O.snapshot_events_sql(),
+        "blocklist_web": O.blocklist_web_sql(host_mod=HOST_MOD),
         **_text_oracles(),
     }
 

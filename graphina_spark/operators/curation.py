@@ -90,3 +90,91 @@ def curation_pipeline(
             F.round("quality", 6).alias("quality"),
         )
     )
+
+
+BLOCK_KIND_PRIORITY = {"host": 0, "host_suffix": 1, "path_prefix": 2}
+
+
+def url_blocklist_filter(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(url, blocked, reason) — UT1/production-style URL blocklist pass.
+
+    ``blocklist`` is model-as-data (the classifier-weights posture): rows
+    ``(kind, pattern)`` with kind ∈ {'host', 'host_suffix', 'path_prefix'}:
+
+    - ``host``: exact host match;
+    - ``host_suffix``: host equals the pattern or ends with '.'+pattern
+      (blocks a domain and all its subdomains — the UT1 domain-list rule);
+    - ``path_prefix``: pattern 'host/path-prefix' — exact host AND the path
+      startswith '/path-prefix' (the UT1 urls-list rule, host-scoped so the
+      match is an equi-join + a per-row startswith, never pattern×corpus).
+
+    ``reason`` = '<kind>:<pattern>' of the highest-priority match (host >
+    host_suffix > path_prefix, ties by min pattern — deterministic under
+    any partitioning); NULL when unblocked.
+
+    Scale shape: every rule family is a BROADCAST equi-join against the
+    (small, ~MB) blocklist — host exact on host, suffix on the exploded
+    dot-suffix chain (≤ label-count rows per url, bounded), path on the
+    pattern's host component.  No nested-loop join, no regex scan of the
+    corpus; one final min-struct groupBy per matched url.
+    """
+    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    u = pages.select(
+        F.col(url_col).alias("url"), host.alias("h"), path.alias("p")
+    ).where(F.col("h").isNotNull())
+
+    bl_host = blocklist.where(F.col("kind") == "host").select(
+        F.col("pattern").alias("h"), F.lit("host").alias("kind"), "pattern"
+    )
+    m_host = u.join(F.broadcast(bl_host), "h").select("url", "kind", "pattern")
+
+    suffixes = F.expr(
+        "transform(sequence(1, size(split(h, '\\\\.'))),"
+        " i -> array_join(slice(split(h, '\\\\.'), i, size(split(h, '\\\\.')) - i + 1), '.'))"
+    )
+    bl_suf = blocklist.where(F.col("kind") == "host_suffix").select(
+        F.col("pattern").alias("sfx"), F.lit("host_suffix").alias("kind"), "pattern"
+    )
+    m_suf = (
+        u.select("url", F.explode(suffixes).alias("sfx"))
+        .join(F.broadcast(bl_suf), "sfx")
+        .select("url", "kind", "pattern")
+    )
+
+    bl_path = blocklist.where(F.col("kind") == "path_prefix").select(
+        F.substring_index(F.col("pattern"), "/", 1).alias("h"),
+        F.concat(
+            F.lit("/"),
+            F.expr("substring(pattern, instr(pattern, '/') + 1)"),
+        ).alias("pfx"),
+        F.lit("path_prefix").alias("kind"),
+        "pattern",
+    )
+    m_path = (
+        u.join(F.broadcast(bl_path), "h")
+        .where(F.col("p").startswith(F.col("pfx")))
+        .select("url", "kind", "pattern")
+    )
+
+    pri = F.when(F.col("kind") == "host", 0).when(
+        F.col("kind") == "host_suffix", 1
+    ).otherwise(2)
+    best = (
+        m_host.unionAll(m_suf)
+        .unionAll(m_path)
+        .select("url", F.struct(pri.alias("pri"), "kind", "pattern").alias("m"))
+        .groupBy("url")
+        .agg(F.min("m").alias("m"))
+        .select(
+            "url",
+            F.concat(F.col("m.kind"), F.lit(":"), F.col("m.pattern")).alias("reason"),
+        )
+    )
+    return (
+        pages.select(F.col(url_col).alias("url"))
+        .join(best, "url", "left")
+        .select("url", F.col("reason").isNotNull().alias("blocked"), "reason")
+    )

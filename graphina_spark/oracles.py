@@ -4527,3 +4527,31 @@ def snapshot_events_sql() -> str:
         " FROM events WHERE event_id <= 50"
     )
     return " UNION ALL ".join(rows)
+
+
+def blocklist_web_sql(host_mod: int = 64) -> str:
+    """Twin of operators/curation.py::url_blocklist_filter over the
+    synthetic web urls with the gate's fixture blocklist: exact host
+    h7, suffix h9 (equality case of the suffix rule), dead suffix
+    example.org, path prefix h3/p/1.  Reason priority host > host_suffix >
+    path_prefix mirrored as CASE order."""
+    return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+ u AS (SELECT 'https://h' || CAST(id % {host_mod} AS VARCHAR)
+          || '.example.com/p/' || CAST(id AS VARCHAR) AS url,
+        'h' || CAST(id % {host_mod} AS VARCHAR) || '.example.com' AS h,
+        '/p/' || CAST(id AS VARCHAR) AS p
+   FROM v)
+SELECT url,
+  (h = 'h7.example.com' OR h = 'h9.example.com'
+    OR h LIKE '%.h9.example.com' OR h = 'example.org'
+    OR h LIKE '%.example.org'
+    OR (h = 'h3.example.com' AND p LIKE '/p/1%')) AS blocked,
+  CASE WHEN h = 'h7.example.com' THEN 'host:h7.example.com'
+       WHEN h = 'h9.example.com' OR h LIKE '%.h9.example.com'
+         THEN 'host_suffix:h9.example.com'
+       WHEN h = 'example.org' OR h LIKE '%.example.org'
+         THEN 'host_suffix:example.org'
+       WHEN h = 'h3.example.com' AND p LIKE '/p/1%'
+         THEN 'path_prefix:h3.example.com/p/1'
+       ELSE NULL END AS reason
+FROM u"""
