@@ -2179,6 +2179,22 @@ def _q_blocklist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_blocklist_filter(pages, bl)
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.ann import cosine_topk
+    from graphina_spark.operators.retrieval import rrf_fuse
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pref = base.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    qf = base.where(F.col("vec_id") % 25 == 0)
+    qp = pref.where(F.col("vec_id") % 25 == 0)
+    full_k = cosine_topk(base, k=5, queries=qf)
+    pref_k = cosine_topk(pref, k=5, queries=qp)
+    return rrf_fuse([full_k, pref_k], k=60)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2431,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "train_classifier": _q_train_classifier,
         "blocklist_web": _q_blocklist_web,
+        "hybrid_rrf": _q_hybrid_rrf,
     }
 
 
@@ -2633,6 +2650,7 @@ def _text_oracles() -> dict[str, str]:
         "text_stats": T.text_stats_sql(),
         "span_dedup": T.span_dedup_sql(),
         "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
+        "hybrid_rrf": T.hybrid_rrf_sql(k=5, dims=16, query_mod=25, rrf_k=60),
         "pii_scrub": T.pii_scrub_sql(),
         "line_dedup": T.line_dedup_sql(),
         "len_deciles": T.len_deciles_sql(),

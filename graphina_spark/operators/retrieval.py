@@ -25,7 +25,7 @@ Scale shape (100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BM25_K1 = 1.2
@@ -117,4 +117,50 @@ def bm25_topk(
     return (
         s.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query_id, doc_id, rrf, rank) — Reciprocal Rank Fusion (Cormack,
+    Clarke & Büttcher SIGIR 2009) of N per-query rankings:
+    rrf(d) = Σ_lists 1/(k + rank_list(d)), summed over the lists that
+    contain d.  The standard hybrid-retrieval combiner (lexical BM25 +
+    dense ANN) because it needs no score calibration — only ranks.
+
+    Determinism (the cosine_topk convention): rrf is rounded to 6 dp
+    BEFORE re-ranking — float tie-groups must be engine-identical — and
+    ties break by doc id ascending.
+
+    Scale shape: one union of the (already top-k-bounded) ranking frames,
+    one map-side-combinable groupBy((query, doc)) sum, then a per-query
+    window over ≤ N·topk candidate rows — the window input is bounded by
+    the fused lists, never the corpus.
+    """
+    parts = [
+        r.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("part"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    fused = (
+        allp.groupBy("q", "d")
+        .agg(F.round(F.sum("part"), 6).alias("rrf"))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("rrf"), F.asc("d"))
+    return fused.withColumn("rank", F.row_number().over(w)).select(
+        F.col("q").alias("query_id"),
+        F.col("d").alias("doc_id"),
+        "rrf",
+        F.col("rank").cast("int").alias("rank"),
     )

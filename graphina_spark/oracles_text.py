@@ -1769,3 +1769,47 @@ def train_classifier_sql(iters: int = 3, lr: float = 4.0) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT b, round(w, {ROUND}) AS w FROM w{iters}"
     )
+
+
+def hybrid_rrf_sql(k: int = 5, dims: int = 16, query_mod: int = 25,
+                   rrf_k: int = 60) -> str:
+    """Twin of the hybrid_rrf gate: RRF fusion (Cormack 2009) of the full-
+    dimension and prefix-dimension cosine top-k lists (the matryoshka pair),
+    6-dp-rounded rrf before re-ranking, doc-asc ties."""
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " t -> t[1] * t[2]), 'sum')"
+    )
+    cos = (
+        f"CASE WHEN sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')}) > 0 THEN"
+        f" {dot.format(a='q.v', b='b.v')} /"
+        f" (sqrt({dot.format(a='q.v', b='q.v')}) *"
+        f" sqrt({dot.format(a='b.v', b='b.v')})) END"
+    )
+    topk = (
+        "SELECT qid, nid, rnk FROM ("
+        "  SELECT q.id AS qid, b.id AS nid,"
+        f"        round({cos}, 9) AS c,"
+        "         row_number() OVER (PARTITION BY q.id"
+        f"          ORDER BY round({cos}, 9) DESC, b.id ASC) AS rnk"
+        "   FROM {src} q JOIN {src} b ON q.id % {qm} = 0 AND q.id <> b.id"
+        f"   WHERE {cos} IS NOT NULL)"
+        " t WHERE rnk <= {k}"
+    )
+    return f"""WITH base AS MATERIALIZED (
+   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+ ex AS (SELECT id, x AS v FROM base),
+ pr AS (SELECT id, x[1:{dims}] AS v FROM base),
+ te AS MATERIALIZED ({topk.format(src='ex', qm=query_mod, k=k)}),
+ tp AS MATERIALIZED ({topk.format(src='pr', qm=query_mod, k=k)}),
+ fused AS (
+   SELECT q, d, round(sum(part), {ROUND}) AS rrf FROM (
+     SELECT qid AS q, nid AS d, 1.0 / ({rrf_k} + rnk) AS part FROM te
+     UNION ALL
+     SELECT qid AS q, nid AS d, 1.0 / ({rrf_k} + rnk) AS part FROM tp) u
+   GROUP BY q, d)
+SELECT q AS query_id, d AS doc_id, rrf,
+       CAST(row_number() OVER (PARTITION BY q ORDER BY rrf DESC, d ASC) AS INT)
+         AS rank
+FROM fused"""

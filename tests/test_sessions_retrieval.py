@@ -147,3 +147,45 @@ class TestBM25:
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
         scores = [r["score"] for r in sorted(a, key=lambda r: r["rnk"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fuse_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from graphina_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {r["doc_id"]: (r["rrf"], r["rank"])
+           for r in rrf_fuse([a, b], k=60).collect()}
+    exp = {
+        10: 1 / 61 + 1 / 63,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    for d, v in exp.items():
+        assert abs(got[d][0] - round(v, 6)) < 1e-9
+    # doc 11 (ranks 2+1) outranks doc 10 (ranks 1+3); 13 beats 12
+    order = sorted(got, key=lambda d: got[d][1])
+    assert order == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_deterministic_ties(spark):
+    from graphina_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 21, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 21, 1), (1, 20, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    got = {r["doc_id"]: r["rank"] for r in rrf_fuse([a, b], k=60).collect()}
+    # equal rrf -> min doc id first
+    assert got == {20: 1, 21: 2}
