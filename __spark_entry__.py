@@ -2195,6 +2195,13 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([full_k, pref_k], k=60)
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.substrings import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cdc_chunks(docs)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2448,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_classifier": _q_train_classifier,
         "blocklist_web": _q_blocklist_web,
         "hybrid_rrf": _q_hybrid_rrf,
+        "cdc_chunks": _q_cdc_chunks,
     }
 
 
@@ -2651,6 +2659,7 @@ def _text_oracles() -> dict[str, str]:
         "span_dedup": T.span_dedup_sql(),
         "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
         "hybrid_rrf": T.hybrid_rrf_sql(k=5, dims=16, query_mod=25, rrf_k=60),
+        "cdc_chunks": T.cdc_chunks_sql(),
         "pii_scrub": T.pii_scrub_sql(),
         "line_dedup": T.line_dedup_sql(),
         "len_deciles": T.len_deciles_sql(),

@@ -33,7 +33,7 @@ oracles_text.py::substring_dup_sql.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphina_spark.functions.textstats import tokens_col
@@ -207,5 +207,90 @@ def remove_duplicate_spans(
             F.col("n_tokens").cast("int").alias("n_tokens"),
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
             F.coalesce("clean_md5", F.lit(empty_md5)).alias("clean_md5"),
+        )
+    )
+
+
+CDC_K = 2          # tokens per boundary-test window
+CDC_DIV = 8        # boundary iff hash % CDC_DIV == 0 -> E[chunk] ~ 8 tokens
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = CDC_K,
+    div: int = CDC_DIV,
+    salt: str = "cdc",
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_md5) — CONTENT-DEFINED chunking
+    (Muthitacharoen et al. LBFS SOSP 2001 / FastCDC family, token
+    granularity): a new chunk starts wherever the rolling window hash
+    satisfies ``hash % div == 0``, so boundaries are a function of LOCAL
+    content only.  Insert or delete text anywhere and every chunk beyond
+    the next surviving boundary keeps its exact hash — the property that
+    makes cross-snapshot storage/transfer dedup work, and which the
+    fixed-window chunker (:func:`chunk_documents`) structurally lacks
+    (pinned by a shift-resynchronization pytest).
+
+    Determinism: the boundary hash is the repo's portable md5 integer over
+    the k-token window (same digest arithmetic as the k-gram inventory), so
+    chunk ids and hashes are identical across runs, partitionings, and
+    engines (DuckDB twin: oracles_text.py::cdc_chunks_sql).
+
+    Scale shape: per-position rows with a precomputed boundary flag (a
+    projection off the token array — no shuffle), ONE per-doc ordered
+    running-sum window (doc-bounded, the packing/quantiles posture), one
+    (id, chunk) reassembly groupBy.  Chunk size is data-dependent with
+    mean ≈ div tokens; a pathological boundary-free document yields one
+    doc-sized chunk — bounded by the document, never the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    # struct rows (pos 1-based, tok, boundary flag); a boundary can only
+    # fire while a full k-window exists (positions 2 .. n-k+1 — position 1
+    # always starts chunk 0, the LBFS convention)
+    hexint = (
+        "CAST(conv(substring(md5(concat('" + salt + ":',"
+        " array_join(slice(t, i, " + str(k) + "), ' '))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    rows = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)), i -> struct("
+                "i AS pos, t[i-1] AS tok,"
+                f" CASE WHEN i >= 2 AND i <= size(t) - {k} + 1"
+                f" AND {hexint} % {div} = 0 THEN 1 ELSE 0 END AS bnd))"
+            )
+        ).alias("r"),
+    ).select("id", F.col("r.pos").alias("pos"), F.col("r.tok").alias("tok"),
+             F.col("r.bnd").alias("bnd"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = rows.withColumn("chunk_id", F.sum("bnd").over(w))
+    return (
+        chunked.groupBy("id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, tok))),"
+                        " s -> s.tok)"
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "chunk_md5",
         )
     )

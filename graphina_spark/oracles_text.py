@@ -1813,3 +1813,25 @@ SELECT q AS query_id, d AS doc_id, rrf,
        CAST(row_number() OVER (PARTITION BY q ORDER BY rrf DESC, d ASC) AS INT)
          AS rank
 FROM fused"""
+
+
+def cdc_chunks_sql(k: int = 2, div: int = 8, salt: str = "cdc") -> str:
+    """Twin of operators/substrings.py::cdc_chunks — same md5 window
+    boundary rule, per-doc running boundary sum, ordered reassembly."""
+    h = _md5int(
+        f"'{salt}:' || array_to_string(list_slice(t, i, i + {k} - 1), ' ')"
+    )
+    return f"""WITH {_TOK},
+ pos AS (SELECT doc_id, i AS pos, t[i] AS tok,
+     CASE WHEN i >= 2 AND i <= len(t) - {k} + 1
+          AND {h} % {div} = 0 THEN 1 ELSE 0 END AS bnd
+   FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+   WHERE len(t) > 0),
+ ch AS (SELECT doc_id, pos, tok,
+     sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS chunk_id
+   FROM pos)
+SELECT doc_id AS id, CAST(chunk_id AS INT) AS chunk_id,
+  CAST(count(*) AS INT) AS n_tokens,
+  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM ch GROUP BY doc_id, chunk_id"""

@@ -164,3 +164,40 @@ def test_remove_duplicate_spans_planted(spark):
                  (3, docs.collect()[2]["text"])])
     for i in (1, 2, 3):
         assert (out[i]["n_tokens"], out[i]["n_kept"], out[i]["clean_md5"]) == exp[i]
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The CDC property fixed windows lack: prepending text leaves every
+    chunk after the first post-edit boundary hash-identical."""
+    from graphina_spark.operators.substrings import cdc_chunks, chunk_documents
+
+    base = " ".join(f"w{i * 37}" for i in range(160))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "intruder tokens inserted here " + base)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(docs).collect()
+    h1 = [r["chunk_md5"] for r in out if r["id"] == 1]
+    h2 = [r["chunk_md5"] for r in out if r["id"] == 2]
+    shared = set(h1) & set(h2)
+    # nearly all of doc 1's chunks survive the prepend (all but the first)
+    assert len(shared) >= len(h1) - 2
+    # fixed-size windows share (almost) nothing after a 5-token shift
+    fx = chunk_documents(docs, size=8, stride=8).collect()
+    f1 = {r["chunk_hash"] for r in fx if r["id"] == 1}
+    f2 = {r["chunk_hash"] for r in fx if r["id"] == 2}
+    assert len(f1 & f2) <= 1
+
+
+def test_cdc_chunks_partition_and_cover(spark):
+    from graphina_spark.operators.substrings import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    # chunks partition the token sequence: sizes sum to the token count
+    assert sum(r["n_tokens"] for r in rows) == 40
+    ids = sorted(r["chunk_id"] for r in rows)
+    assert ids == list(range(len(rows)))
