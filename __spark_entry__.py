@@ -2202,6 +2202,17 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs)
 
 
+def _q_temporal_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.paths import temporal_earliest_arrival
+
+    g = _web(spark, sf_dir)
+    tedges = g.edges.select(
+        "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 97).alias("t")
+    )
+    sources = g.vertices.where(F.col("id") % 199 == 0)
+    return temporal_earliest_arrival(tedges, sources, fixed_rounds=12)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2456,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_web": _q_blocklist_web,
         "hybrid_rrf": _q_hybrid_rrf,
         "cdc_chunks": _q_cdc_chunks,
+        "temporal_web": _q_temporal_web,
     }
 
 
@@ -2647,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "onion_web": O.onion_web_sql(rounds=18),
         "snapshot_events": O.snapshot_events_sql(),
         "blocklist_web": O.blocklist_web_sql(host_mod=HOST_MOD),
+        "temporal_web": O.temporal_web_sql(rounds=12),
         **_text_oracles(),
     }
 

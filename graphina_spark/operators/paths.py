@@ -209,3 +209,77 @@ def bidirectional_distance(
         meet.join(p, ["s", "t"], "left_semi")
         .select("s", "t", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def temporal_earliest_arrival(
+    tedges: DataFrame,
+    sources: DataFrame,
+    start_t: int = 0,
+    fixed_rounds: int | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(source, id, arrive) — earliest-arrival TIME-RESPECTING reachability
+    (Wu et al., *Path Problems in Temporal Graphs*, VLDB 2014): a path is
+    valid iff successive edge times are non-decreasing, an edge (u, v, t)
+    is traversable from u iff t ≥ arrival(u), and arrival via that edge is
+    t itself.  Answers the crawl-provenance question "given the observed
+    crawl timestamps, could content have propagated from A to B?" — plain
+    reachability over-counts by ignoring time order.
+
+    ``tedges`` = (src, dst, t) with integer times (all arithmetic integer
+    ⇒ bit-exact across engines); sources start at ``start_t`` (their own
+    ``arrive`` in the output).  Earliest arrival is optimal to propagate
+    (any later-arriving copy can use a subset of the departures), so the
+    delta-frontier min-relaxation schedule of :func:`sssp_distances`
+    transfers unchanged: one frontier×edges join + two min-aggs per round,
+    frontier = improved rows only, O(rounds) shuffles, nothing quadratic.
+    ``fixed_rounds=R`` is the unrolled-oracle contract."""
+    e = tedges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"),
+        F.col("t").cast("long"),
+    ).cache()
+    arr = (
+        sources.select(F.col("id").cast("long").alias("source"))
+        .distinct()
+        .select(
+            "source", F.col("source").alias("id"),
+            F.lit(start_t).cast("long").alias("arrive"),
+        )
+        .transform(_mat)
+    )
+    frontier = arr
+    rounds = fixed_rounds if fixed_rounds is not None else max_iter
+    for r in range(rounds):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .where(F.col("t") >= F.col("arrive"))
+            .select("source", F.col("dst").alias("id"), F.col("t").alias("arrive"))
+            .groupBy("source", "id")
+            .agg(F.min("arrive").alias("arrive"))
+        )
+        merged = (
+            arr.select("source", "id", "arrive", F.lit(0).alias("new"))
+            .unionAll(cand.select("source", "id", "arrive", F.lit(1).alias("new")))
+            .groupBy("source", "id")
+            .agg(
+                F.min_by(
+                    F.struct("arrive", "new"), F.struct("arrive", "new")
+                ).alias("m")
+            )
+            .select(
+                "source", "id", F.col("m.arrive").alias("arrive"),
+                F.col("m.new").alias("new"),
+            )
+            .transform(_mat)
+        )
+        frontier = merged.where(F.col("new") == 1).select("source", "id", "arrive")
+        arr = merged.select("source", "id", "arrive")
+        if fixed_rounds is None and frontier.isEmpty():
+            break
+    else:
+        if fixed_rounds is None:
+            raise RuntimeError(
+                f"temporal_earliest_arrival did not converge in {max_iter} rounds"
+            )
+    e.unpersist()
+    return arr

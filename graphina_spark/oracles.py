@@ -4555,3 +4555,33 @@ SELECT url,
          THEN 'path_prefix:h3.example.com/p/1'
        ELSE NULL END AS reason
 FROM u"""
+
+
+def temporal_web_sql(rounds: int = 12, src_mod: int = 199, tmod: int = 97) -> str:
+    """Twin of operators/paths.py::temporal_earliest_arrival over the web
+    graph with synthetic integer edge times t = (src*7 + dst*13) % tmod and
+    sources {id % src_mod == 0}: unrolled min-relaxation, all-integer."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        f"te AS MATERIALIZED (SELECT src, dst,"
+        f" (src * 7 + dst * 13) % {tmod} AS t FROM edges)",
+        f"a0 AS MATERIALIZED (SELECT id AS source, id, CAST(0 AS BIGINT) AS arrive"
+        f" FROM v WHERE id % {src_mod} = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT a.source, e.dst AS id,"
+            f" min(e.t) AS arrive FROM a{p} a JOIN te e ON a.id = e.src"
+            f" AND e.t >= a.arrive GROUP BY a.source, e.dst)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT source, id, min(arrive) AS arrive FROM ("
+            f"SELECT source, id, arrive FROM a{p}"
+            f" UNION ALL SELECT source, id, arrive FROM c{r}) u"
+            f" GROUP BY source, id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT source, id, arrive FROM a{rounds}"
+    )

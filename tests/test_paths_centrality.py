@@ -178,3 +178,40 @@ def test_edge_betweenness_directed_cycle(spark):
     # each edge lies on 3 of the 6 ordered shortest paths; norm 1/2
     assert len(got) == 3
     assert all(v == pytest.approx(3.0 / 2.0) for v in got.values())
+
+
+def test_temporal_earliest_arrival_respects_time_order(spark):
+    from graphina_spark.operators.paths import temporal_earliest_arrival
+
+    # 0 -(t=5)-> 1 -(t=3)-> 2 : time-DECREASING, so 2 unreachable from 0
+    # 0 -(t=1)-> 3 -(t=4)-> 2 : valid, arrival at 2 = 4
+    # 2 -(t=0)-> 4            : 0 < 4, so 4 unreachable from 0
+    te = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 3), (0, 3, 1), (3, 2, 4), (2, 4, 0)],
+        "src long, dst long, t long",
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {
+        (r["source"], r["id"]): r["arrive"]
+        for r in temporal_earliest_arrival(te, src).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 5, (0, 3): 1, (0, 2): 4}
+
+
+def test_temporal_arrival_improvement_reexpands(spark):
+    from graphina_spark.operators.paths import temporal_earliest_arrival
+
+    # first discovery of node 2 arrives late (t=9, via hub 1); a longer path
+    # arrives earlier (t=3) and only the EARLY arrival can continue over the
+    # t=4 edge — the re-expansion case a naive visited-set BFS gets wrong
+    te = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 9), (0, 3, 1), (3, 4, 2), (4, 2, 3), (2, 5, 4)],
+        "src long, dst long, t long",
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["arrive"]
+        for r in temporal_earliest_arrival(te, src).collect()
+    }
+    assert got[2] == 3
+    assert got[5] == 4
