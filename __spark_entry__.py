@@ -2213,6 +2213,12 @@ def _q_temporal_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_earliest_arrival(tedges, sources, fixed_rounds=12)
 
 
+def _q_jdd_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import joint_degree_distribution
+
+    return joint_degree_distribution(_web(spark, sf_dir))
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2468,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "cdc_chunks": _q_cdc_chunks,
         "temporal_web": _q_temporal_web,
+        "jdd_web": _q_jdd_web,
     }
 
 
@@ -2660,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_events": O.snapshot_events_sql(),
         "blocklist_web": O.blocklist_web_sql(host_mod=HOST_MOD),
         "temporal_web": O.temporal_web_sql(rounds=12),
+        "jdd_web": O.jdd_web_sql(),
         **_text_oracles(),
     }
 

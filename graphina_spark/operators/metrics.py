@@ -312,3 +312,31 @@ def square_count(g: LinkGraph, max_middle_degree: int | None = None):
     return stats.agg(
         (F.coalesce(pair_diags, F.lit(0)) / F.lit(2)).cast("long").alias("squares")
     )
+
+
+def joint_degree_distribution(g: LinkGraph) -> DataFrame:
+    """(k1, k2, n_edges) — the joint degree matrix J(k1, k2): how many
+    simple undirected edges connect a degree-k1 vertex to a degree-k2
+    vertex, keyed canonically k1 ≤ k2 (each edge counted once).  The full
+    degree-correlation object behind the scalar assortativity and the
+    k_nn curve (Newman 2002's mixing matrix) — the standard fingerprint
+    for comparing a crawl against its null model at the structure level.
+
+    All-integer: one symmetrize, one degree agg, two broadcast-sized maps
+    of degree onto endpoints (id-keyed joins), one groupBy((k1, k2)) with
+    map-side combine — output rows bounded by distinct degree pairs
+    (O(d_max²) worst case, tiny on power-law graphs)."""
+    ce = g.canonical_undirected_edges(dedup=True)
+    sym = ce.unionAll(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    return (
+        ce.join(deg.select(F.col("id").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dv")), "dst")
+        .select(
+            F.least("du", "dv").alias("k1"), F.greatest("du", "dv").alias("k2")
+        )
+        .groupBy("k1", "k2")
+        .agg(F.count("*").alias("n_edges"))
+    )

@@ -4585,3 +4585,17 @@ def temporal_web_sql(rounds: int = 12, src_mod: int = 199, tmod: int = 97) -> st
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT source, id, arrive FROM a{rounds}"
     )
+
+
+def jdd_web_sql() -> str:
+    """Twin of operators/metrics.py::joint_degree_distribution over the
+    web graph's simple undirected projection."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+ sym AS (SELECT a AS u, b AS v FROM ce UNION ALL SELECT b, a FROM ce),
+ deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u)
+SELECT least(da.d, db.d) AS k1, greatest(da.d, db.d) AS k2,
+       count(*) AS n_edges
+FROM ce JOIN deg da ON ce.a = da.id JOIN deg db ON ce.b = db.id
+GROUP BY 1, 2"""
