@@ -2219,6 +2219,39 @@ def _q_jdd_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joint_degree_distribution(_web(spark, sf_dir))
 
 
+def _q_robots_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.crawl import parse_robots, robots_allowed
+
+    g = _web(spark, sf_dir)
+    pages = g.vertices.select(
+        "id",
+        F.format_string(
+            "https://h%d.example.com/p/%d", F.col("id") % HOST_MOD, F.col("id")
+        ).alias("url"),
+    )
+    k = F.col("k")
+    robots = (
+        spark.range(HOST_MOD)
+        .select(F.col("id").alias("k"))
+        .where(k % 3 < 2)
+        .select(
+            F.format_string("h%d.example.com", k).alias("host"),
+            F.when(
+                k % 3 == 0,
+                F.lit("User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"),
+            )
+            .otherwise(
+                F.lit(
+                    "User-agent: graphina\nDisallow: /\n\n"
+                    "User-agent: *\nAllow: /\n"
+                )
+            )
+            .alias("body"),
+        )
+    )
+    return robots_allowed(pages, parse_robots(robots), agent="graphina")
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2475,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "temporal_web": _q_temporal_web,
         "jdd_web": _q_jdd_web,
+        "robots_web": _q_robots_web,
     }
 
 
@@ -2668,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_web": O.blocklist_web_sql(host_mod=HOST_MOD),
         "temporal_web": O.temporal_web_sql(rounds=12),
         "jdd_web": O.jdd_web_sql(),
+        "robots_web": O.robots_web_sql(host_mod=HOST_MOD),
         **_text_oracles(),
     }
 

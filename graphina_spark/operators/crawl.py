@@ -74,3 +74,113 @@ def crawl_schedule(
         .where(F.col("slot") <= per_host)
     )
     return capped.orderBy(F.desc("priority"), F.asc("id")).limit(budget)
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, agent, rule, path) — robots.txt parsed to rule rows.
+
+    Implements the REP subset production crawlers rely on (RFC 9309):
+    ``User-agent`` group headers (CONSECUTIVE user-agent lines share the
+    following rule block), ``Allow`` / ``Disallow`` path rules, case-
+    insensitive directives, ``#`` comments and blank lines ignored,
+    empty-path ``Disallow:`` dropped (it means allow-all).  Everything is
+    column expressions over per-line rows — one posexplode projection, two
+    doc-bounded windows (group id = running count of group starts; agent
+    membership via a within-group self-join), no Python in the loop.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))).alias("dir"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("val"),
+    ).where(F.col("dir").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.withColumn(
+        "is_agent", (F.col("dir") == "user-agent").cast("int")
+    ).withColumn(
+        # a user-agent line STARTS a new group unless the previous directive
+        # line was also user-agent (stacked agents share one group)
+        "starts",
+        (
+            (F.col("is_agent") == 1)
+            & (F.coalesce(F.lag("dir").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("starts").over(w))
+    agents = grouped.where(F.col("is_agent") == 1).select(
+        "host", "grp", F.lower(F.col("val")).alias("agent")
+    )
+    rules = grouped.where(
+        (F.col("is_agent") == 0) & (F.col("val") != "")
+    ).select("host", "grp", F.col("dir").alias("rule"), F.col("val").alias("path"))
+    return agents.join(rules, ["host", "grp"]).select("host", "agent", "rule", "path")
+
+
+def robots_allowed(
+    urls: DataFrame, rules: DataFrame, agent: str = "*", url_col: str = "url"
+) -> DataFrame:
+    """(url, allowed, rule_path) — RFC 9309 evaluation of each url against
+    parsed rules: per host the single MOST-SPECIFIC matching agent group
+    applies (our agent's rules if that host defines any, else '*'); within
+    it the LONGEST-path matching rule wins, allow beating disallow on
+    equal length; no matching rule (or no robots at all) ⇒ allowed.
+    Rule paths are literal prefixes (the pre-RFC subset every crawler
+    accepts); '*'/'$' wildcards are out of scope and treated literally.
+
+    Scale shape: urls join rules keyed by host (per-host rule sets are
+    file-bounded), one per-url max-struct aggregation — the links/argmax
+    posture, nothing corpus-quadratic."""
+    a = agent.lower()
+    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    u = urls.select(F.col(url_col).alias("url"), host.alias("host"),
+                    path.alias("p")).where(F.col("host").isNotNull())
+    # per host: does a specific group for our agent exist?
+    specific = rules.where(F.col("agent") == a).select("host").distinct()
+    eff = (
+        rules.where(F.col("agent").isin(a, "*"))
+        .join(specific.select(F.col("host"), F.lit(1).alias("has_spec")),
+              "host", "left")
+        .where(
+            ((F.col("has_spec") == 1) & (F.col("agent") == a))
+            | (F.col("has_spec").isNull() & (F.col("agent") == "*"))
+        )
+        .select("host", "rule", "path")
+    )
+    verdict = (
+        u.join(eff, "host")
+        .where(F.col("p").startswith(F.col("path")))
+        .select(
+            "url",
+            F.struct(
+                F.length("path").alias("l"),
+                # allow outranks disallow at equal length: allow=1 > 0
+                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("path").alias("path"),
+            ).alias("m"),
+        )
+        .groupBy("url")
+        .agg(F.max("m").alias("m"))
+        .select(
+            "url",
+            (F.col("m.a") == 1).alias("allowed"),
+            F.col("m.path").alias("rule_path"),
+        )
+    )
+    return (
+        urls.select(F.col(url_col).alias("url"))
+        .join(verdict, "url", "left")
+        .select(
+            "url",
+            F.coalesce("allowed", F.lit(True)).alias("allowed"),
+            "rule_path",
+        )
+    )

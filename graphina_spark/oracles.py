@@ -4599,3 +4599,25 @@ SELECT least(da.d, db.d) AS k1, greatest(da.d, db.d) AS k2,
        count(*) AS n_edges
 FROM ce JOIN deg da ON ce.a = da.id JOIN deg db ON ce.b = db.id
 GROUP BY 1, 2"""
+
+
+def robots_web_sql(host_mod: int = 64) -> str:
+    """Twin of the robots_web gate: decision arithmetic for the synthetic
+    per-host robots fixture (k = id % host_mod; k%3==0 → '*' group with
+    Disallow /p/1 + Allow /p/12; k%3==1 → specific 'graphina' group
+    Disallow /; k%3==2 → no robots) evaluated for agent 'graphina' with
+    longest-prefix-wins, allow-beats-disallow-on-ties."""
+    return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+ u AS (SELECT 'https://h' || CAST(id % {host_mod} AS VARCHAR)
+          || '.example.com/p/' || CAST(id AS VARCHAR) AS url,
+        id % {host_mod} AS k, '/p/' || CAST(id AS VARCHAR) AS p
+   FROM v)
+SELECT url,
+  CASE WHEN k % 3 = 1 THEN FALSE
+       WHEN k % 3 = 0 AND p LIKE '/p/1%' AND p NOT LIKE '/p/12%' THEN FALSE
+       ELSE TRUE END AS allowed,
+  CASE WHEN k % 3 = 1 THEN '/'
+       WHEN k % 3 = 0 AND p LIKE '/p/12%' THEN '/p/12'
+       WHEN k % 3 = 0 AND p LIKE '/p/1%' THEN '/p/1'
+       ELSE NULL END AS rule_path
+FROM u"""

@@ -1,0 +1,66 @@
+"""robots.txt parsing + RFC 9309 longest-match evaluation
+(operators/crawl.py::parse_robots / robots_allowed)."""
+
+from graphina_spark.operators.crawl import parse_robots, robots_allowed
+
+BODY = """# comment line
+User-agent: googlebot
+User-agent: graphina
+Disallow: /private
+Allow: /private/ok
+
+User-agent: *
+Disallow: /tmp
+Disallow:
+"""
+
+
+def _rules(spark, body=BODY, host="ex.com"):
+    robots = spark.createDataFrame([(host, body)], "host string, body string")
+    return parse_robots(robots)
+
+
+def test_parse_groups_and_stacked_agents(spark):
+    got = {
+        (r["agent"], r["rule"], r["path"])
+        for r in _rules(spark).collect()
+    }
+    assert got == {
+        ("googlebot", "disallow", "/private"),
+        ("googlebot", "allow", "/private/ok"),
+        ("graphina", "disallow", "/private"),
+        ("graphina", "allow", "/private/ok"),
+        ("*", "disallow", "/tmp"),
+    }  # comments dropped, empty Disallow dropped, stacked agents share rules
+
+
+def test_longest_match_and_agent_selection(spark):
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            ("https://ex.com/private/secret",),
+            ("https://ex.com/private/ok/page",),
+            ("https://ex.com/tmp/x",),
+            ("https://ex.com/public",),
+        ],
+        "url string",
+    )
+    # specific group exists for graphina -> '*' group ignored (so /tmp allowed)
+    got = {r["url"]: (r["allowed"], r["rule_path"])
+           for r in robots_allowed(urls, rules, agent="graphina").collect()}
+    assert got["https://ex.com/private/secret"] == (False, "/private")
+    assert got["https://ex.com/private/ok/page"] == (True, "/private/ok")
+    assert got["https://ex.com/tmp/x"] == (True, None)
+    assert got["https://ex.com/public"] == (True, None)
+    # unknown agent falls back to '*'
+    got2 = {r["url"]: r["allowed"]
+            for r in robots_allowed(urls, rules, agent="otherbot").collect()}
+    assert got2["https://ex.com/tmp/x"] is False
+    assert got2["https://ex.com/private/secret"] is True
+
+
+def test_no_robots_host_is_allowed(spark):
+    rules = _rules(spark, host="other.com")
+    urls = spark.createDataFrame([("https://ex.com/anything",)], "url string")
+    got = robots_allowed(urls, rules).collect()[0]
+    assert got["allowed"] is True and got["rule_path"] is None
