@@ -2252,6 +2252,12 @@ def _q_robots_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_allowed(pages, parse_robots(robots), agent="graphina")
 
 
+def _q_refex_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.refex import refex_features
+
+    return refex_features(_web(spark, sf_dir), rounds=2)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2509,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_web": _q_temporal_web,
         "jdd_web": _q_jdd_web,
         "robots_web": _q_robots_web,
+        "refex_web": _q_refex_web,
     }
 
 
@@ -2703,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_web": O.temporal_web_sql(rounds=12),
         "jdd_web": O.jdd_web_sql(),
         "robots_web": O.robots_web_sql(host_mod=HOST_MOD),
+        "refex_web": O.refex_web_sql(rounds=2),
         **_text_oracles(),
     }
 

@@ -4621,3 +4621,50 @@ SELECT url,
        WHEN k % 3 = 0 AND p LIKE '/p/1%' THEN '/p/1'
        ELSE NULL END AS rule_path
 FROM u"""
+
+
+def refex_web_sql(rounds: int = 2) -> str:
+    """Twin of operators/refex.py::refex_features over the web graph:
+    identical block recursion, feature-index arithmetic, and
+    empty-neighborhood zero conventions."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges"
+        " UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+        "dg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)",
+        "ig AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst)",
+        "og AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src)",
+        "b0 AS MATERIALIZED ("
+        "SELECT v.id, 0 AS fi, CAST(coalesce(dg.d, 0) AS DOUBLE) AS v"
+        " FROM v LEFT JOIN dg ON v.id = dg.id"
+        " UNION ALL SELECT v.id, 1, CAST(coalesce(ig.d, 0) AS DOUBLE)"
+        " FROM v LEFT JOIN ig ON v.id = ig.id"
+        " UNION ALL SELECT v.id, 2, CAST(coalesce(og.d, 0) AS DOUBLE)"
+        " FROM v LEFT JOIN og ON v.id = og.id)",
+    ]
+    lo, n = 0, 3
+    outs = ["SELECT id, fi, v FROM b0"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT s.src AS id, f.fi,"
+            f" sum(f.v) AS s, count(*) AS c"
+            f" FROM sym s JOIN b{p} f ON s.dst = f.id GROUP BY s.src, f.fi)"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED ("
+            f"SELECT g.id, {n} + 2 * (g.fi - {lo}) AS fi,"
+            f" coalesce(a.s, 0.0) AS v"
+            f" FROM b{p} g LEFT JOIN a{r} a ON g.id = a.id AND g.fi = a.fi"
+            f" UNION ALL "
+            f"SELECT g.id, {n} + 2 * (g.fi - {lo}) + 1 AS fi,"
+            f" CASE WHEN coalesce(a.c, 0) > 0 THEN a.s / a.c ELSE 0.0 END"
+            f" FROM b{p} g LEFT JOIN a{r} a ON g.id = a.id AND g.fi = a.fi)"
+        )
+        outs.append(f"SELECT id, fi, v FROM b{r}")
+        lo, n = n, n + 2 * (n - lo)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT id, CAST(fi AS INT) AS fi, round(v, 6) AS v FROM ("
+        + " UNION ALL ".join(outs) + ") u"
+    )
