@@ -2258,6 +2258,70 @@ def _q_refex_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refex_features(_web(spark, sf_dir), rounds=2)
 
 
+def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.crawl import (
+        parse_robots,
+        parse_sitemaps,
+        sitemap_frontier,
+    )
+
+    g = _web(spark, sf_dir)
+    pages = g.vertices.select(
+        "id",
+        F.format_string("h%d.example.com", F.col("id") % HOST_MOD).alias("host"),
+        F.format_string(
+            "https://h%d.example.com/p/%d", F.col("id") % HOST_MOD, F.col("id")
+        ).alias("url"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.col("url"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    bodies = (
+        pages.where(F.col("id") % 5 < 2)
+        .select("host", F.struct("id", entry.alias("e")).alias("s"))
+        .groupBy("host")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(s)), x -> x.e)"), ""
+            ).alias("body")
+        )
+    )
+    robots = (
+        spark.range(HOST_MOD)
+        .select(F.col("id").alias("k"))
+        .where(F.col("k") % 3 < 2)
+        .select(
+            F.format_string("h%d.example.com", F.col("k")).alias("host"),
+            F.when(
+                F.col("k") % 3 == 0,
+                F.lit("User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"),
+            )
+            .otherwise(
+                F.lit(
+                    "User-agent: graphina\nDisallow: /\n\n"
+                    "User-agent: *\nAllow: /\n"
+                )
+            )
+            .alias("body"),
+        )
+    )
+    seen = pages.where(F.col("id") % 2 == 0).select("url")
+    return sitemap_frontier(
+        parse_sitemaps(bodies), seen, rules=parse_robots(robots), agent="graphina"
+    )
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2516,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdd_web": _q_jdd_web,
         "robots_web": _q_robots_web,
         "refex_web": _q_refex_web,
+        "sitemap_frontier": _q_sitemap_frontier,
     }
 
 
@@ -2711,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
         "jdd_web": O.jdd_web_sql(),
         "robots_web": O.robots_web_sql(host_mod=HOST_MOD),
         "refex_web": O.refex_web_sql(rounds=2),
+        "sitemap_frontier": O.sitemap_frontier_sql(host_mod=HOST_MOD),
         **_text_oracles(),
     }
 

@@ -184,3 +184,53 @@ def robots_allowed(
             "rule_path",
         )
     )
+
+
+def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
+                   body_col: str = "body") -> DataFrame:
+    """(host, url, lastmod) — sitemap XML parsed to URL rows (sitemaps.org
+    protocol subset: ``<url><loc>…</loc><lastmod>…</lastmod></url>``
+    entries; lastmod optional → NULL; whitespace-tolerant).  Pure column
+    expressions: one regexp_extract_all per document + one posexplode —
+    no XML library, no Python row loop (the protocol's fixed element names
+    make regex extraction exact for well-formed feeds, and a malformed
+    entry yields no row rather than an error).
+    """
+    urls = F.expr(
+        f"regexp_extract_all({body_col}, '<url>(.*?)</url>', 1)"
+    )
+    entries = sitemaps.select(
+        F.col(host_col).alias("host"), F.posexplode(urls).alias("i", "entry")
+    )
+    loc = F.trim(F.regexp_extract("entry", "<loc>\\s*(.*?)\\s*</loc>", 1))
+    lastmod = F.regexp_extract("entry", "<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+    return (
+        entries.select(
+            "host",
+            loc.alias("url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .where(F.col("url") != "")
+    )
+
+
+def sitemap_frontier(
+    sitemap_urls: DataFrame,
+    seen: DataFrame,
+    rules: DataFrame | None = None,
+    agent: str = "*",
+) -> DataFrame:
+    """(url, host, lastmod) — crawl frontier candidates: sitemap-announced
+    urls not yet fetched (anti-join on the seen set) and, when robots
+    ``rules`` are given, allowed for ``agent`` (the robots_allowed
+    verdict).  The discovery half of the crawl loop — crawl_schedule ranks
+    what this feeds.  Scale shape: one anti-join + the robots host-keyed
+    join; nothing beyond the gated pieces."""
+    cand = sitemap_urls.select("url", "host", "lastmod")
+    fresh = cand.join(seen.select("url").distinct(), "url", "left_anti")
+    if rules is None:
+        return fresh
+    verdict = robots_allowed(fresh.select("url"), rules, agent=agent)
+    return fresh.join(
+        verdict.where(F.col("allowed")).select("url"), "url", "left_semi"
+    )

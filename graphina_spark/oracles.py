@@ -4668,3 +4668,24 @@ def refex_web_sql(rounds: int = 2) -> str:
         + "\nSELECT id, CAST(fi AS INT) AS fi, round(v, 6) AS v FROM ("
         + " UNION ALL ".join(outs) + ") u"
     )
+
+
+def sitemap_frontier_sql(host_mod: int = 64) -> str:
+    """Twin of the sitemap_frontier gate: sitemap membership id%5<2 with
+    lastmod on id%3==0, seen = even ids, robots verdict per the robots_web
+    fixture for agent 'graphina'."""
+    return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+ u AS (SELECT id, id % {host_mod} AS k,
+        'h' || CAST(id % {host_mod} AS VARCHAR) || '.example.com' AS host,
+        'https://h' || CAST(id % {host_mod} AS VARCHAR)
+          || '.example.com/p/' || CAST(id AS VARCHAR) AS url,
+        '/p/' || CAST(id AS VARCHAR) AS p
+   FROM v)
+SELECT url, host,
+  CASE WHEN id % 3 = 0
+       THEN '2024-01-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
+       END AS lastmod
+FROM u
+WHERE id % 5 < 2 AND id % 2 = 1
+  AND NOT (k % 3 = 1)
+  AND NOT (k % 3 = 0 AND p LIKE '/p/1%' AND p NOT LIKE '/p/12%')"""

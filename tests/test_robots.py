@@ -64,3 +64,31 @@ def test_no_robots_host_is_allowed(spark):
     urls = spark.createDataFrame([("https://ex.com/anything",)], "url string")
     got = robots_allowed(urls, rules).collect()[0]
     assert got["allowed"] is True and got["rule_path"] is None
+
+
+SITEMAP = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://ex.com/a </loc><lastmod>2024-01-02</lastmod></url>
+  <url><loc>https://ex.com/private/secret</loc></url>
+  <url><loc>https://ex.com/b</loc><lastmod>2024-02-03</lastmod></url>
+  <url><badtag>nope</badtag></url>
+</urlset>
+"""
+
+
+def test_parse_sitemaps_and_frontier(spark):
+    from graphina_spark.operators.crawl import parse_sitemaps, sitemap_frontier
+
+    sm = spark.createDataFrame([("ex.com", SITEMAP)], "host string, body string")
+    rows = {r["url"]: r["lastmod"] for r in parse_sitemaps(sm).collect()}
+    assert rows == {
+        "https://ex.com/a": "2024-01-02",
+        "https://ex.com/private/secret": None,
+        "https://ex.com/b": "2024-02-03",
+    }
+    seen = spark.createDataFrame([("https://ex.com/b",)], "url string")
+    fresh = sitemap_frontier(parse_sitemaps(sm), seen, rules=_rules(spark),
+                             agent="graphina")
+    got = {r["url"] for r in fresh.collect()}
+    # b is seen; /private/secret robots-blocked for graphina; only /a remains
+    assert got == {"https://ex.com/a"}
