@@ -2322,6 +2322,12 @@ def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_attack_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import attack_robustness
+
+    return attack_robustness(_web(spark, sf_dir), remove_counts=(0, 10, 50))
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2581,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_web": _q_robots_web,
         "refex_web": _q_refex_web,
         "sitemap_frontier": _q_sitemap_frontier,
+        "attack_web": _q_attack_web,
     }
 
 
@@ -2777,6 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_web": O.robots_web_sql(host_mod=HOST_MOD),
         "refex_web": O.refex_web_sql(rounds=2),
         "sitemap_frontier": O.sitemap_frontier_sql(host_mod=HOST_MOD),
+        "attack_web": O.attack_robustness_sql(remove_counts=(0, 10, 50)),
         **_text_oracles(),
     }
 

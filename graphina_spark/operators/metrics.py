@@ -340,3 +340,58 @@ def joint_degree_distribution(g: LinkGraph) -> DataFrame:
         .groupBy("k1", "k2")
         .agg(F.count("*").alias("n_edges"))
     )
+
+
+def attack_robustness(
+    g: LinkGraph, remove_counts: tuple[int, ...] = (0, 10, 50)
+) -> DataFrame:
+    """(removed, n_left, giant_size, n_components) — targeted-attack
+    percolation readout (Albert, Jeong & Barabási, Nature 2000): remove the
+    ``k`` highest-degree hubs (ties by min id — deterministic) and measure
+    what remains of the undirected graph.  Scale-free crawl graphs are
+    famously robust to random failure and fragile to exactly this attack;
+    the curve is the standard resilience summary for a web snapshot.
+
+    Composition of gated kernels: hub selection = one global top-k over the
+    degree frame (TakeOrderedAndProject); per k, two broadcast anti-joins
+    restrict the edge set and the gated hash-min components kernel runs on
+    the survivor graph.  Cost: |remove_counts| component runs — each
+    O(log d) rounds — over monotonically smaller graphs; nothing here adds
+    a new shuffle shape."""
+    from graphina_spark.graph import LinkGraph as _LG
+    from graphina_spark.operators.components import connected_components
+
+    spark = g.vertices.sparkSession
+    ce = g.canonical_undirected_edges(dedup=True)
+    sym = ce.unionAll(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    out_rows = []
+    n_total = g.vertices.count()
+    for k in remove_counts:
+        if k > 0:
+            hubs = deg.orderBy(F.desc("d"), F.asc("id")).limit(k).select("id")
+            verts = g.vertices.select("id").join(hubs, "id", "left_anti")
+            edges = (
+                ce.join(F.broadcast(hubs.withColumnRenamed("id", "src")), "src",
+                        "left_anti")
+                .join(F.broadcast(hubs.withColumnRenamed("id", "dst")), "dst",
+                      "left_anti")
+            )
+        else:
+            verts, edges = g.vertices.select("id"), ce
+        sub = _LG.from_edges(
+            edges.select("src", "dst"), directed=False, vertices=verts
+        )
+        comp = connected_components(sub)
+        sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
+        row = sizes.agg(
+            F.max("n").alias("giant"), F.count("*").alias("nc")
+        ).collect()[0]
+        out_rows.append(
+            (k, n_total - k, int(row["giant"] or 0), int(row["nc"] or 0))
+        )
+    return spark.createDataFrame(
+        out_rows, "removed int, n_left long, giant_size long, n_components long"
+    )

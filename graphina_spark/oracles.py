@@ -4689,3 +4689,58 @@ FROM u
 WHERE id % 5 < 2 AND id % 2 = 1
   AND NOT (k % 3 = 1)
   AND NOT (k % 3 = 0 AND p LIKE '/p/1%' AND p NOT LIKE '/p/12%')"""
+
+
+def attack_robustness_sql(remove_counts: tuple[int, ...] = (0, 10, 50)) -> str:
+    """Twin of operators/metrics.py::attack_robustness over the web graph:
+    per k — top-k hubs by (degree desc, id asc) on the simple undirected
+    projection, survivor subgraph, min-id closure, giant/component counts."""
+    base = [
+        WEB_EDGES_CTE.strip(),
+        "ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b"
+        " FROM edges WHERE src <> dst)",
+        "symd AS (SELECT a AS u, b AS w FROM ce UNION ALL SELECT b, a FROM ce)",
+        "dg AS (SELECT u AS id, count(*) AS d FROM symd GROUP BY u)",
+        "nt AS (SELECT count(*) AS n FROM v)",
+    ]
+    outs = []
+    for k in remove_counts:
+        if k > 0:
+            base.append(
+                f"rbh{k} AS MATERIALIZED (SELECT id FROM dg"
+                f" ORDER BY d DESC, id ASC LIMIT {k})"
+            )
+            vk = (f"rbv{k} AS (SELECT id FROM v WHERE id NOT IN"
+                  f" (SELECT id FROM rbh{k}))")
+            ek = (
+                f"rbe{k} AS MATERIALIZED (SELECT a, b FROM ce"
+                f" WHERE a NOT IN (SELECT id FROM rbh{k})"
+                f" AND b NOT IN (SELECT id FROM rbh{k}))"
+            )
+        else:
+            vk = f"rbv{k} AS (SELECT id FROM v)"
+            ek = f"rbe{k} AS MATERIALIZED (SELECT a, b FROM ce)"
+        base.extend([vk, ek])
+        base.append(
+            f"rbs{k} AS (SELECT a AS u, b AS w FROM rbe{k}"
+            f" UNION ALL SELECT b, a FROM rbe{k})"
+        )
+        base.append(
+            f"reach{k}(id, r) AS ("
+            f"SELECT id, id AS r FROM rbv{k}"
+            f" UNION SELECT s.w AS id, reach{k}.r"
+            f" FROM reach{k} JOIN rbs{k} s ON reach{k}.id = s.u)"
+        )
+        base.append(
+            f"comp{k} AS (SELECT id, min(r) AS c FROM reach{k} GROUP BY id)"
+        )
+        base.append(
+            f"rbsz{k} AS (SELECT c, count(*) AS n FROM comp{k} GROUP BY c)"
+        )
+        outs.append(
+            f"SELECT CAST({k} AS INT) AS removed,"
+            f" (SELECT n FROM nt) - {k} AS n_left,"
+            f" CAST(coalesce(max(n), 0) AS BIGINT) AS giant_size,"
+            f" CAST(count(*) AS BIGINT) AS n_components FROM rbsz{k}"
+        )
+    return "WITH RECURSIVE " + ",\n".join(base) + "\n" + " UNION ALL ".join(outs)

@@ -177,3 +177,34 @@ def test_clustering_by_degree_curve(spark):
     rows = {r["degree"]: (r["n_nodes"], r["avg_cc"]) for r in
             clustering_by_degree(g).collect()}
     assert rows == {3: (5, 0.8)}
+
+
+def test_attack_robustness_fragments_hub_tree(spark):
+    from conftest import make_graph
+
+    from graphina_spark.operators.metrics import attack_robustness
+
+    # hub 0 connects five 3-node chains: removing the hub shatters the graph
+    edges = [(0, i * 10) for i in range(1, 6)]
+    for i in range(1, 6):
+        edges += [(i * 10, i * 10 + 1), (i * 10 + 1, i * 10 + 2)]
+    g = make_graph(spark, edges, n=None, directed=False)
+    rows = {r["removed"]: r for r in
+            attack_robustness(g, remove_counts=(0, 1)).collect()}
+    assert rows[0]["giant_size"] == 16 and rows[0]["n_components"] == 1
+    after = rows[1]
+    assert after["n_left"] == 15
+    assert after["giant_size"] == 3
+    assert after["n_components"] == 5
+
+
+def test_jdd_counts_each_edge_once(spark):
+    from conftest import make_graph
+
+    from graphina_spark.operators.metrics import joint_degree_distribution
+
+    # triangle + pendant: degrees 3,2,2,1
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2), (0, 3)], n=4, directed=False)
+    got = {(r["k1"], r["k2"]): r["n_edges"]
+           for r in joint_degree_distribution(g).collect()}
+    assert got == {(2, 3): 2, (2, 2): 1, (1, 3): 1}
