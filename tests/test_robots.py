@@ -92,3 +92,26 @@ def test_parse_sitemaps_and_frontier(spark):
     got = {r["url"] for r in fresh.collect()}
     # b is seen; /private/secret robots-blocked for graphina; only /a remains
     assert got == {"https://ex.com/a"}
+
+
+def test_run_crawl_cycle_job(spark, tmp_path):
+    """The spark-submit crawl-cycle entrypoint runs end to end (in-process:
+    same code path minus the subprocess)."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "cycle")
+    r = subprocess.run(
+        [_sys.executable, "jobs/run_crawl_cycle.py",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["frontier_urls"] > 0
+    assert summary["recrawl_batch"] > 0
+    import os as _os
+
+    assert _os.path.isdir(out + "/frontier") and _os.path.isdir(out + "/recrawl")
