@@ -2176,7 +2176,11 @@ def _q_blocklist_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "kind string, pattern string",
     )
-    return url_blocklist_filter(pages, bl)
+    out = url_blocklist_filter(pages, bl)
+    # '' sentinel for unblocked reason (NULL-vs-str crashes the driver sort)
+    return out.select(
+        "url", "blocked", F.coalesce("reason", F.lit("")).alias("reason")
+    )
 
 
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2249,7 +2253,12 @@ def _q_robots_web(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("body"),
         )
     )
-    return robots_allowed(pages, parse_robots(robots), agent="graphina")
+    out = robots_allowed(pages, parse_robots(robots), agent="graphina")
+    # the driver's row-normalization sorts tuples column-name-first;
+    # NULL-vs-str comparisons crash it, so the gate pins '' for "no rule"
+    return out.select(
+        "url", "allowed", F.coalesce("rule_path", F.lit("")).alias("rule_path")
+    )
 
 
 def _q_refex_web(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2317,8 +2326,12 @@ def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     seen = pages.where(F.col("id") % 2 == 0).select("url")
-    return sitemap_frontier(
+    out = sitemap_frontier(
         parse_sitemaps(bodies), seen, rules=parse_robots(robots), agent="graphina"
+    )
+    # '' sentinel for absent lastmod (NULL-vs-str crashes the driver sort)
+    return out.select(
+        "url", "host", F.coalesce("lastmod", F.lit("")).alias("lastmod")
     )
 
 

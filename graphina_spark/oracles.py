@@ -4553,7 +4553,7 @@ SELECT url,
          THEN 'host_suffix:example.org'
        WHEN h = 'h3.example.com' AND p LIKE '/p/1%'
          THEN 'path_prefix:h3.example.com/p/1'
-       ELSE NULL END AS reason
+       ELSE '' END AS reason
 FROM u"""
 
 
@@ -4619,7 +4619,7 @@ SELECT url,
   CASE WHEN k % 3 = 1 THEN '/'
        WHEN k % 3 = 0 AND p LIKE '/p/12%' THEN '/p/12'
        WHEN k % 3 = 0 AND p LIKE '/p/1%' THEN '/p/1'
-       ELSE NULL END AS rule_path
+       ELSE '' END AS rule_path
 FROM u"""
 
 
@@ -4682,9 +4682,9 @@ def sitemap_frontier_sql(host_mod: int = 64) -> str:
         '/p/' || CAST(id AS VARCHAR) AS p
    FROM v)
 SELECT url, host,
-  CASE WHEN id % 3 = 0
+  coalesce(CASE WHEN id % 3 = 0
        THEN '2024-01-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
-       END AS lastmod
+       END, '') AS lastmod
 FROM u
 WHERE id % 5 < 2 AND id % 2 = 1
   AND NOT (k % 3 = 1)
