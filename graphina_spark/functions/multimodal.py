@@ -145,3 +145,85 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
         payload = bytes(((i * 131 + j * 17 + seed) % 256) for j in range(plen))
         rows.append((i, pack_media(kind, w, h, frames, payload)))
     return spark.createDataFrame(rows, "media_id long, blob binary")
+
+
+def real_image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    resize_to: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(id, format, height, width, channels, mean_r/g/b, std_r/g/b, ok,
+    err) — REAL image decoding for PPM/BMP blobs (functions/codecs.py pure-
+    numpy decoders; deterministic byte→pixel arithmetic, no libraries),
+    optional nearest-neighbor resize before stats.  Compressed formats
+    (JPEG/PNG) land as ok=false with the actionable error string instead
+    of failing the batch — a 100 TB corpus always carries some of both."""
+    from graphina_spark.functions.codecs import (
+        decode_image,
+        image_stats,
+        resize_nearest,
+        sniff_format,
+    )
+
+    schema = (
+        f"{id_col} long, format string, height int, width int, channels int,"
+        " mean_r double, mean_g double, mean_b double,"
+        " std_r double, std_g double, std_b double, ok boolean, err string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                fmt = sniff_format(blob)
+                try:
+                    img = decode_image(blob)
+                    if resize_to is not None:
+                        img = resize_nearest(img, *resize_to)
+                    h, w, c, means, stds = image_stats(img)
+                    rows.append((mid, fmt, h, w, c, *means[:3], *stds[:3], True, ""))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append(
+                        (mid, fmt, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                         False, str(e))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "height", "width", "channels",
+                         "mean_r", "mean_g", "mean_b", "std_r", "std_g",
+                         "std_b", "ok", "err"],
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def real_audio_features(
+    df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """(id, n_samples, channels, sample_rate, duration_s, rms, peak, ok,
+    err) — REAL audio decoding for RIFF PCM-16 WAV blobs (pure-struct +
+    numpy; functions/codecs.py)."""
+    from graphina_spark.functions.codecs import audio_stats, decode_wav
+
+    schema = (
+        f"{id_col} long, n_samples long, channels int, sample_rate int,"
+        " duration_s double, rms double, peak double, ok boolean, err string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    samples, rate = decode_wav(blob)
+                    rows.append((mid, *audio_stats(samples, rate), True, ""))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((mid, 0, 0, 0, 0.0, 0.0, 0.0, False, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "channels", "sample_rate",
+                         "duration_s", "rms", "peak", "ok", "err"],
+            )
+
+    return df.mapInPandas(run, schema)
