@@ -2341,6 +2341,13 @@ def _q_attack_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_robustness(_web(spark, sf_dir), remove_counts=(0, 10, 50))
 
 
+def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.textrank import textrank_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_terms(docs, iters=5)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2601,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refex_web": _q_refex_web,
         "sitemap_frontier": _q_sitemap_frontier,
         "attack_web": _q_attack_web,
+        "textrank_docs": _q_textrank_docs,
     }
 
 
@@ -2808,6 +2816,7 @@ def _text_oracles() -> dict[str, str]:
     return {
         "text_stats": T.text_stats_sql(),
         "span_dedup": T.span_dedup_sql(),
+        "textrank_docs": T.textrank_sql(iters=5),
         "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
         "hybrid_rrf": T.hybrid_rrf_sql(k=5, dims=16, query_mod=25, rrf_k=60),
         "cdc_chunks": T.cdc_chunks_sql(),

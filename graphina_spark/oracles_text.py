@@ -1835,3 +1835,45 @@ SELECT doc_id AS id, CAST(chunk_id AS INT) AS chunk_id,
   CAST(count(*) AS INT) AS n_tokens,
   md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
 FROM ch GROUP BY doc_id, chunk_id"""
+
+
+def _term_graph_ctes() -> str:
+    """Shared derivation: filtered token sequence → adjacent-pair weighted
+    term graph with portable md5 integer vertex ids (twin of
+    operators/textrank.py::term_cooccurrence_graph)."""
+    tid = _md5int("term")
+    return f"""{_TOK},
+ tf AS (SELECT doc_id, u.i AS rawpos, t[u.i] AS term
+        FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+        WHERE length(t[u.i]) >= 3),
+ sq AS (SELECT doc_id, term,
+        row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS i
+        FROM tf),
+ cp AS (SELECT least(a.term, b.term) AS ta, greatest(a.term, b.term) AS tb,
+        CAST(count(*) AS DOUBLE) AS w
+        FROM sq a JOIN sq b ON a.doc_id = b.doc_id AND b.i = a.i - 1
+        WHERE a.term <> b.term GROUP BY 1, 2),
+ tmap AS (SELECT term, {tid} AS id FROM (SELECT DISTINCT term FROM sq)),
+ v AS (SELECT DISTINCT id FROM tmap),
+ e1 AS (SELECT m1.id AS src, m2.id AS dst, cp.w AS weight
+        FROM cp JOIN tmap m1 ON cp.ta = m1.term
+                JOIN tmap m2 ON cp.tb = m2.term),
+ edges AS (SELECT src, dst, weight FROM e1
+           UNION ALL SELECT dst AS src, src AS dst, weight FROM e1)"""
+
+
+def textrank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Twin of operators/textrank.py::textrank_terms — the unrolled weighted
+    PageRank builder (oracles.pagerank_web_sql) over the term graph, mapped
+    back to term strings."""
+    from graphina_spark.oracles import pagerank_web_sql
+
+    inner = pagerank_web_sql(iters=iters, d=d, edges_cte=_term_graph_ctes())
+    tid = _md5int("term")
+    return f"""WITH {_TOK},
+ tf AS (SELECT doc_id, u.i AS rawpos, t[u.i] AS term
+        FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+        WHERE length(t[u.i]) >= 3),
+ tmap AS (SELECT term, {tid} AS id FROM (SELECT DISTINCT term FROM tf))
+SELECT m.term, pr.pr AS score
+FROM ({inner}) pr JOIN tmap m ON pr.id = m.id"""
