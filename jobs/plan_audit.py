@@ -60,6 +60,10 @@ WHITELIST = {
     "mixture_docs": {"BroadcastNestedLoopJoin"},
     "motif4_web": {"BroadcastNestedLoopJoin"},
     "source_kl": {"BroadcastNestedLoopJoin"},
+    "spectral_clique": {"BroadcastNestedLoopJoin"},  # PIC per-round norm (1 row)
+    "sweep_cut_block": {"BroadcastNestedLoopJoin"},  # global volume scalar
+    "sweep_cut_web": {"BroadcastNestedLoopJoin"},    # global volume scalar
+    "tfidf_terms": {"BroadcastNestedLoopJoin"},      # corpus doc-count (idf N)
 }
 
 #: flags every query may carry: scalar/1-row results and driver-bounded
