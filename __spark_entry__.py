@@ -2348,6 +2348,18 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_terms(docs, iters=5)
 
 
+def _q_inequality_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import degree_inequality
+
+    return degree_inequality(_web(spark, sf_dir))
+
+
+def _q_failure_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.metrics import random_failure_robustness
+
+    return random_failure_robustness(_web(spark, sf_dir))
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2609,6 +2621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": _q_sitemap_frontier,
         "attack_web": _q_attack_web,
         "textrank_docs": _q_textrank_docs,
+        "inequality_web": _q_inequality_web,
+        "failure_web": _q_failure_web,
     }
 
 
@@ -2806,6 +2820,8 @@ def oracle_sql() -> dict[str, str]:
         "refex_web": O.refex_web_sql(rounds=2),
         "sitemap_frontier": O.sitemap_frontier_sql(host_mod=HOST_MOD),
         "attack_web": O.attack_robustness_sql(remove_counts=(0, 10, 50)),
+        "inequality_web": O.degree_inequality_sql(),
+        "failure_web": O.random_failure_sql(),
         **_text_oracles(),
     }
 

@@ -395,3 +395,113 @@ def attack_robustness(
     return spark.createDataFrame(
         out_rows, "removed int, n_left long, giant_size long, n_components long"
     )
+
+
+def degree_inequality(g: LinkGraph) -> DataFrame:
+    """One row (gini, hhi, top1_share, top10_share, n) — concentration
+    readouts of the IN-degree distribution, the crawl-monitoring numbers
+    for "how hub-dominated is this snapshot":
+
+    - Gini via the rank formula G = (2·Σ i·d_i)/(n·Σ d_i) − (n+1)/n over
+      degrees sorted ascending (i = 1-based rank) — computed with ONE
+      global-ordering two-pass prefix rank (the packing/quantiles posture:
+      per-partition ranks + broadcast offsets, no single-task window);
+      here degrees are small-cardinality so ranks come from a value-keyed
+      prefix sum over the degree HISTOGRAM (shuffle carries distinct
+      degree values, never vertices);
+    - HHI = Σ (d_i / Σd)² (Herfindahl–Hirschman market concentration);
+    - top-k share via the same histogram suffix sums (k = 1% / 10% of n).
+
+    All from one in-degree aggregation + one histogram groupBy; exact
+    integer arithmetic until the final divisions.
+    """
+    indeg = g.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    deg = (
+        g.vertices.select("id")
+        .join(indeg, "id", "left")
+        .select(F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+    rows = sorted((r["d"], r["c"]) for r in hist.collect())  # distinct degrees
+    n = sum(c for _, c in rows)
+    total = sum(d * c for d, c in rows)
+    spark = g.vertices.sparkSession
+    if n == 0 or total == 0:
+        return spark.createDataFrame(
+            [(0.0, 0.0, 0.0, 0.0, n)],
+            "gini double, hhi double, top1_share double, top10_share double, n long",
+        )
+    # ascending ranks: a degree-d block of c vertices occupies ranks
+    # (start+1 .. start+c); sum of i*d over the block = d*(c*start + c(c+1)/2)
+    s_id, start = 0, 0
+    for d, c in rows:
+        s_id += d * (c * start + c * (c + 1) // 2)
+        start += c
+    gini = (2.0 * s_id) / (n * total) - (n + 1) / n
+    hhi = sum(c * (d / total) ** 2 for d, c in rows)
+    def top_share(k: int) -> float:
+        left, acc = k, 0
+        for d, c in reversed(rows):
+            take = min(left, c)
+            acc += take * d
+            left -= take
+            if left == 0:
+                break
+        return acc / total
+    return spark.createDataFrame(
+        [(
+            round(gini, 6), round(hhi, 6),
+            round(top_share(max(1, n // 100)), 6),
+            round(top_share(max(1, n // 10)), 6), n,
+        )],
+        "gini double, hhi double, top1_share double, top10_share double, n long",
+    )
+
+
+def random_failure_robustness(
+    g: LinkGraph,
+    fractions: tuple[float, ...] = (0.0, 0.25, 0.5),
+    salt: str = "fail",
+) -> DataFrame:
+    """(frac, n_left, giant_size, n_components) — RANDOM-failure
+    percolation, the control curve for :func:`attack_robustness` (the
+    Albert-Jeong-Barabási contrast: scale-free graphs barely notice random
+    loss at fractions that targeted attack turns to dust).  "Random" is the
+    repo's deterministic md5-bucket vertex sample (sampling.py convention),
+    so both engines drop the identical vertex sets.  Same composition:
+    per fraction, two anti-joins + the gated hash-min components kernel."""
+    from graphina_spark.graph import LinkGraph as _LG
+    from graphina_spark.operators.components import connected_components
+    from graphina_spark.operators.sampling import _hex_threshold, split_bucket
+
+    spark = g.vertices.sparkSession
+    ce = g.canonical_undirected_edges(dedup=True)
+    out_rows = []
+    for frac in fractions:
+        thr = _hex_threshold(frac)
+        dropped = F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))), 1, 8
+        ) < F.lit(thr)
+        verts = g.vertices.select("id").where(~dropped)
+        keep_src = verts.withColumnRenamed("id", "src")
+        keep_dst = verts.withColumnRenamed("id", "dst")
+        edges = ce.join(keep_src, "src", "left_semi").join(
+            keep_dst, "dst", "left_semi"
+        )
+        sub = _LG.from_edges(
+            edges.select("src", "dst"), directed=False, vertices=verts
+        )
+        n_left = verts.count()
+        if n_left == 0:
+            out_rows.append((float(frac), 0, 0, 0))
+            continue
+        sizes = connected_components(sub).groupBy("component").agg(
+            F.count("*").alias("n")
+        )
+        row = sizes.agg(F.max("n").alias("g"), F.count("*").alias("nc")).collect()[0]
+        out_rows.append((float(frac), n_left, int(row["g"] or 0), int(row["nc"] or 0)))
+    return spark.createDataFrame(
+        out_rows, "frac double, n_left long, giant_size long, n_components long"
+    )

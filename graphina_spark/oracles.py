@@ -4744,3 +4744,88 @@ def attack_robustness_sql(remove_counts: tuple[int, ...] = (0, 10, 50)) -> str:
             f" CAST(count(*) AS BIGINT) AS n_components FROM rbsz{k}"
         )
     return "WITH RECURSIVE " + ",\n".join(base) + "\n" + " UNION ALL ".join(outs)
+
+
+def degree_inequality_sql() -> str:
+    """Twin of operators/metrics.py::degree_inequality over the web graph's
+    in-degree distribution — identical integer rank-block arithmetic."""
+    return f"""WITH {WEB_EDGES_CTE.strip()},
+ indeg AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst),
+ dg AS (SELECT CAST(coalesce(indeg.d, 0) AS BIGINT) AS d
+        FROM v LEFT JOIN indeg ON v.id = indeg.id),
+ hist AS (SELECT d, count(*) AS c FROM dg GROUP BY d),
+ st AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(d * c) AS BIGINT) AS total
+        FROM hist),
+ rk AS (SELECT d, c, coalesce(sum(c) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM hist),
+ sid AS (SELECT CAST(sum(d * (c * start + (c * (c + 1)) // 2)) AS BIGINT) AS s
+         FROM rk),
+ sfx AS (SELECT d, c, coalesce(sum(c) OVER (ORDER BY d DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         FROM hist),
+ ks AS (SELECT greatest(1, n // 100) AS k1, greatest(1, n // 10) AS k10
+        FROM st),
+ shares AS (
+   SELECT sum(least(greatest(ks.k1 - sfx.above, 0), sfx.c) * sfx.d) AS s1,
+          sum(least(greatest(ks.k10 - sfx.above, 0), sfx.c) * sfx.d) AS s10
+   FROM sfx, ks)
+SELECT round((2.0 * sid.s) / (st.n * st.total) - (st.n + 1.0) / st.n, {ROUND})
+         AS gini,
+       round((SELECT sum(c * (CAST(d AS DOUBLE) / st.total)
+                        * (CAST(d AS DOUBLE) / st.total)) FROM hist), {ROUND})
+         AS hhi,
+       round(CAST(shares.s1 AS DOUBLE) / st.total, {ROUND}) AS top1_share,
+       round(CAST(shares.s10 AS DOUBLE) / st.total, {ROUND}) AS top10_share,
+       st.n AS n
+FROM st, sid, shares"""
+
+
+def random_failure_sql(
+    fractions: tuple[float, ...] = (0.0, 0.25, 0.5), salt: str = "fail"
+) -> str:
+    """Twin of operators/metrics.py::random_failure_robustness over the web
+    graph — identical md5-bucket drops, min-id closure per fraction."""
+    from graphina_spark.operators.sampling import _hex_threshold
+
+    base = [
+        WEB_EDGES_CTE.strip(),
+        "ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b"
+        " FROM edges WHERE src <> dst)",
+    ]
+    outs = []
+    for i, frac in enumerate(fractions):
+        thr = _hex_threshold(frac)
+        keep = (
+            f"substr(md5('{salt}:' || CAST({{c}} AS VARCHAR)), 1, 8) >= '{thr}'"
+        )
+        base.append(
+            f"fv{i} AS MATERIALIZED (SELECT id FROM v WHERE "
+            + keep.format(c="id") + ")"
+        )
+        base.append(
+            f"fe{i} AS MATERIALIZED (SELECT a, b FROM ce WHERE "
+            + keep.format(c="a") + " AND " + keep.format(c="b") + ")"
+        )
+        base.append(
+            f"fs{i} AS (SELECT a AS u, b AS w FROM fe{i}"
+            f" UNION ALL SELECT b, a FROM fe{i})"
+        )
+        base.append(
+            f"freach{i}(id, r) AS (SELECT id, id AS r FROM fv{i}"
+            f" UNION SELECT s.w AS id, freach{i}.r"
+            f" FROM freach{i} JOIN fs{i} s ON freach{i}.id = s.u)"
+        )
+        base.append(
+            f"fc{i} AS (SELECT id, min(r) AS c FROM freach{i} GROUP BY id)"
+        )
+        base.append(
+            f"fz{i} AS (SELECT c, count(*) AS n FROM fc{i} GROUP BY c)"
+        )
+        outs.append(
+            f"SELECT CAST({frac} AS DOUBLE) AS frac,"
+            f" (SELECT count(*) FROM fv{i}) AS n_left,"
+            f" CAST(coalesce(max(n), 0) AS BIGINT) AS giant_size,"
+            f" CAST(count(*) AS BIGINT) AS n_components FROM fz{i}"
+        )
+    return "WITH RECURSIVE " + ",\n".join(base) + "\n" + " UNION ALL ".join(outs)

@@ -208,3 +208,46 @@ def test_jdd_counts_each_edge_once(spark):
     got = {(r["k1"], r["k2"]): r["n_edges"]
            for r in joint_degree_distribution(g).collect()}
     assert got == {(2, 3): 2, (2, 2): 1, (1, 3): 1}
+
+
+def test_degree_inequality_known_values(spark):
+    from conftest import make_graph
+
+    from graphina_spark.operators.metrics import degree_inequality
+
+    # star 0<-1,2,3: in-degrees [3,0,0,0] (directed edges point at 0)
+    g = make_graph(spark, [(1, 0), (2, 0), (3, 0)], n=4, directed=True)
+    r = degree_inequality(g).collect()[0]
+    # ascending degrees [0,0,0,3]: G = 2*(4*3)/(4*3) - 5/4 = 0.75
+    assert r["gini"] == 0.75
+    assert r["hhi"] == 1.0  # all mass on one vertex
+    assert r["top10_share"] == 1.0 and r["n"] == 4
+    # uniform degrees -> gini 0
+    g2 = make_graph(spark, [(0, 1), (1, 2), (2, 3), (3, 0)], n=4, directed=True)
+    r2 = degree_inequality(g2).collect()[0]
+    assert r2["gini"] == 0.0
+    assert r2["hhi"] == 0.25
+
+
+def test_random_failure_keeps_more_than_attack(spark):
+    from conftest import make_graph
+
+    from graphina_spark.operators.metrics import (
+        attack_robustness,
+        random_failure_robustness,
+    )
+
+    # hub-and-spoke: targeted attack on 1 vertex shatters; random 25% mostly
+    # hits leaves and keeps a large star intact
+    edges = [(0, i) for i in range(1, 40)]
+    g = make_graph(spark, edges, n=None, directed=False)
+    att = {r["removed"]: r for r in attack_robustness(g, remove_counts=(1,)).collect()}
+    fail = {r["frac"]: r for r in
+            random_failure_robustness(g, fractions=(0.25,)).collect()}
+    assert att[1]["giant_size"] == 1  # hub gone -> isolated leaves
+    f = fail[0.25]
+    if f["n_left"] > 0:
+        # if the hub survived the md5 draw, the giant is the surviving star
+        survivors_with_hub = f["giant_size"] == f["n_left"]
+        hub_dropped = f["giant_size"] == 1
+        assert survivors_with_hub or hub_dropped
