@@ -2360,6 +2360,16 @@ def _q_failure_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_failure_robustness(_web(spark, sf_dir))
 
 
+def _q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.zorder import z_value
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        z_value(F.col("user_id"), F.col("event_id") % 65536).alias("z"),
+    )
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2623,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": _q_textrank_docs,
         "inequality_web": _q_inequality_web,
         "failure_web": _q_failure_web,
+        "zorder_events": _q_zorder_events,
     }
 
 
@@ -2822,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
         "attack_web": O.attack_robustness_sql(remove_counts=(0, 10, 50)),
         "inequality_web": O.degree_inequality_sql(),
         "failure_web": O.random_failure_sql(),
+        "zorder_events": O.zorder_events_sql(),
         **_text_oracles(),
     }
 

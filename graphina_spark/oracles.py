@@ -4829,3 +4829,20 @@ def random_failure_sql(
             f" CAST(count(*) AS BIGINT) AS n_components FROM fz{i}"
         )
     return "WITH RECURSIVE " + ",\n".join(base) + "\n" + " UNION ALL ".join(outs)
+
+
+def zorder_events_sql(bits: int = 16, tmod: int = 65536) -> str:
+    """Twin of the zorder_events gate: Morton codes of (user_id,
+    event_id % tmod) as closed-form bit-term sums."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((u >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"(((t >> {i}) & 1) * {1 << (2 * i + 1)})")
+    expr = " + ".join(terms)
+    cap = (1 << bits) - 1
+    return f"""WITH b AS (
+   SELECT event_id,
+          least(greatest(user_id, 0), {cap}) AS u,
+          least(greatest(event_id % {tmod}, 0), {cap}) AS t
+   FROM events)
+SELECT event_id, CAST({expr} AS BIGINT) AS z FROM b"""
