@@ -252,3 +252,40 @@ def events_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def streaming_append_sink(table: SnapshotTable):
+    """``foreachBatch`` function giving a Structured Streaming query
+    EXACTLY-ONCE appends into the snapshot table: each commit records its
+    ``batch_id`` in the metadata, and a replayed micro-batch (crash between
+    the sink commit and the engine's checkpoint advance — the at-least-once
+    window foreachBatch leaves open) is recognized and SKIPPED instead of
+    appended twice.  This is the Delta/Iceberg idempotent-sink txn pattern
+    (txnAppId/txnVersion) on the same metadata log that gives batch readers
+    snapshot isolation — so a streaming ingest and time-travel readers
+    compose with no extra coordination.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(streaming_append_sink(table))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = table.current_snapshot()
+        if cur > 0:
+            last = table._load_meta(cur).get("stream_batch_id")
+            if last is not None and batch_id <= last:
+                return  # replay of an already-committed micro-batch
+        snap = table.append(batch_df)
+        # stamp the batch id into the just-committed metadata (rewrite via
+        # tmp + rename keeps the commit atomic; the hint already points here)
+        meta = table._load_meta(snap)
+        meta["stream_batch_id"] = batch_id
+        tmp = table._meta_path(snap) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, table._meta_path(snap))
+
+    return _sink

@@ -75,3 +75,42 @@ def test_metadata_commit_is_atomic(spark, table):
 def test_empty_table_reads_empty(spark, table):
     assert table.current_snapshot() == 0
     assert table.read(spark, snapshot_id=0).count() == 0
+
+
+def test_streaming_append_sink_exactly_once(spark, tmp_path):
+    import time
+
+    from graphina_spark.sources.snapshots import streaming_append_sink
+
+    src_dir = str(tmp_path / "src")
+    for lo, hi in ((0, 10), (10, 25)):
+        frame(spark, lo, hi).coalesce(1).write.parquet(src_dir, mode="append")
+    t = SnapshotTable(str(tmp_path / "tbl"), stats_cols=("k",))
+    sink = streaming_append_sink(t)
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        time.sleep(2)
+        assert q.exception() is None, q.exception()
+        if t.current_snapshot() >= 2 and t.read(spark).count() == 25:
+            break
+    q.stop()
+    assert t.read(spark).count() == 25
+    # crash-replay simulation: re-deliver the last micro-batch -> skipped
+    last_meta = t._load_meta(t.current_snapshot())
+    sink(frame(spark, 10, 25), last_meta["stream_batch_id"])
+    assert t.read(spark).count() == 25
+    # a genuinely NEW batch id still commits
+    sink(frame(spark, 25, 30), last_meta["stream_batch_id"] + 1)
+    assert t.read(spark).count() == 30
+    # historical snapshots remain time-travel readable under the stream
+    assert t.read(spark, snapshot_id=1).count() == 10
