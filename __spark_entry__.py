@@ -2370,6 +2370,13 @@ def _q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_icws_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.icws import icws_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return icws_signatures(docs, k=8)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2634,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inequality_web": _q_inequality_web,
         "failure_web": _q_failure_web,
         "zorder_events": _q_zorder_events,
+        "icws_sig": _q_icws_sig,
     }
 
 
@@ -2845,6 +2853,7 @@ def _text_oracles() -> dict[str, str]:
         "text_stats": T.text_stats_sql(),
         "span_dedup": T.span_dedup_sql(),
         "textrank_docs": T.textrank_sql(iters=5),
+        "icws_sig": T.icws_sig_sql(k=8),
         "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
         "hybrid_rrf": T.hybrid_rrf_sql(k=5, dims=16, query_mod=25, rrf_k=60),
         "cdc_chunks": T.cdc_chunks_sql(),

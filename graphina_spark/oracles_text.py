@@ -1877,3 +1877,42 @@ def textrank_sql(iters: int = 5, d: float = 0.85) -> str:
  tmap AS (SELECT term, {tid} AS id FROM (SELECT DISTINCT term FROM tf))
 SELECT m.term, pr.pr AS score
 FROM ({inner}) pr JOIN tmap m ON pr.id = m.id"""
+
+
+def icws_sig_sql(k: int = 8, salt: str = "icws") -> str:
+    """Twin of operators/icws.py::icws_signatures — identical md5 uniforms,
+    ICWS constants, 9-dp-rounded argmin with token tie-break."""
+    den = float(2**32 + 1)
+
+    def u(kk: int, i: int) -> str:
+        h = _md5int(f"'{salt}:{kk}:{i}:' || tok")
+        return f"(({h} + 1) / {den})"
+
+    parts = []
+    for kk in range(k):
+        parts.append(
+            f"SELECT tok, {kk} AS r,"
+            f" -ln({u(kk, 1)} * {u(kk, 2)}) AS rr,"
+            f" -ln({u(kk, 3)} * {u(kk, 4)}) AS cc,"
+            f" {u(kk, 5)} AS beta FROM vocab"
+        )
+    consts = " UNION ALL ".join(parts)
+    return f"""WITH {_TOK},
+ tf AS (SELECT doc_id AS id, tok, CAST(count(*) AS DOUBLE) AS w
+        FROM (SELECT doc_id, unnest(t) AS tok FROM tok) u
+        GROUP BY doc_id, tok),
+ vocab AS (SELECT DISTINCT tok FROM tf),
+ kc AS MATERIALIZED ({consts}),
+ scored AS (
+   SELECT tf.id, kc.r, tf.tok,
+          floor(ln(tf.w) / kc.rr + kc.beta) AS tz,
+          kc.cc / (exp(kc.rr * (floor(ln(tf.w) / kc.rr + kc.beta) - kc.beta))
+                   * exp(kc.rr)) AS a
+   FROM tf JOIN kc ON tf.tok = kc.tok),
+ best AS (
+   SELECT id, r, tok, tz,
+          row_number() OVER (PARTITION BY id, r
+                             ORDER BY round(a, 9) ASC, tok ASC) AS rn
+   FROM scored)
+SELECT id, CAST(r AS INT) AS r, tok, CAST(tz AS BIGINT) AS tz
+FROM best WHERE rn = 1"""
