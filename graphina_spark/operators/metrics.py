@@ -362,11 +362,12 @@ def attack_robustness(
     from graphina_spark.operators.components import connected_components
 
     spark = g.vertices.sparkSession
-    ce = g.canonical_undirected_edges(dedup=True)
+    # cache once: every k re-reads the canonical edge set and the degrees
+    ce = g.canonical_undirected_edges(dedup=True).cache()
     sym = ce.unionAll(
         ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d")).cache()
     out_rows = []
     n_total = g.vertices.count()
     for k in remove_counts:
@@ -392,6 +393,8 @@ def attack_robustness(
         out_rows.append(
             (k, n_total - k, int(row["giant"] or 0), int(row["nc"] or 0))
         )
+    ce.unpersist()
+    deg.unpersist()
     return spark.createDataFrame(
         out_rows, "removed int, n_left long, giant_size long, n_components long"
     )
@@ -477,7 +480,7 @@ def random_failure_robustness(
     from graphina_spark.operators.sampling import _hex_threshold, split_bucket
 
     spark = g.vertices.sparkSession
-    ce = g.canonical_undirected_edges(dedup=True)
+    ce = g.canonical_undirected_edges(dedup=True).cache()
     out_rows = []
     for frac in fractions:
         thr = _hex_threshold(frac)
@@ -502,6 +505,7 @@ def random_failure_robustness(
         )
         row = sizes.agg(F.max("n").alias("g"), F.count("*").alias("nc")).collect()[0]
         out_rows.append((float(frac), n_left, int(row["g"] or 0), int(row["nc"] or 0)))
+    ce.unpersist()
     return spark.createDataFrame(
         out_rows, "frac double, n_left long, giant_size long, n_components long"
     )
