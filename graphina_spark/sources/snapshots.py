@@ -192,10 +192,17 @@ class SnapshotTable:
         self, spark: SparkSession, from_snapshot: int, to_snapshot: int | None = None
     ) -> DataFrame:
         """Rows appended in snapshots (from_snapshot, to_snapshot] — planned
-        from only the data files those commits added."""
+        from only the data files those commits added.  Commits whose
+        operation is 'replace' (compaction rewrites) are SKIPPED — they
+        carry no new rows (the Iceberg incremental-scan contract)."""
         to_snap = self.current_snapshot() if to_snapshot is None else to_snapshot
         m = self._load_meta(to_snap)
-        files = [f for f in m["files"] if from_snapshot < f["added_in"] <= to_snap]
+        appends = {
+            k
+            for k in range(from_snapshot + 1, to_snap + 1)
+            if _op_of(self._load_meta(k)) == "append"
+        }
+        files = [f for f in m["files"] if f["added_in"] in appends]
         return self._plan(spark, files, m["schema"])
 
 
@@ -289,3 +296,70 @@ def streaming_append_sink(table: SnapshotTable):
         os.replace(tmp, table._meta_path(snap))
 
     return _sink
+
+
+def _op_of(meta: dict) -> str:
+    return meta.get("operation", "append")
+
+
+class TableMaintenance:
+    """Iceberg-style maintenance over a :class:`SnapshotTable` — the two
+    jobs every long-lived 100 TB table needs:
+
+    - :meth:`compact` — an ``OPTIMIZE``-style rewrite: reads the current
+      snapshot, writes it back as ~``target_rows``-sized files, and commits
+      a snapshot whose file list is REPLACED (operation='replace').  Row
+      content is bit-identical (pinned in tests); old files stay on disk
+      because older snapshots still reference them (time travel across the
+      rewrite keeps working).  Incremental scans SKIP replace commits —
+      compaction is not new data (the Iceberg snapshot-operation contract)
+      — implemented by stamping the operation into each file entry's
+      commit and filtering in :meth:`SnapshotTable.incremental`.
+    - :meth:`expire_snapshots` — drops metadata files older than
+      ``keep_from`` and deletes data files no surviving snapshot
+      references (orphan + aged-out file GC).  Time travel below the
+      retention floor is gone after this, by design.
+    """
+
+    def __init__(self, table: SnapshotTable):
+        self.table = table
+
+    def compact(self, spark: SparkSession, target_rows: int = 1_000_000) -> int:
+        t = self.table
+        cur = t.current_snapshot()
+        meta = t._load_meta(cur)
+        df = t.read(spark)
+        n = sum(f["rows"] for f in meta["files"])
+        n_files = max(1, -(-n // target_rows)) if n else 1
+        snap = t.append(df.coalesce(n_files))
+        # rewrite the just-committed metadata: REPLACE semantics — only the
+        # new files are visible, and the commit is marked non-append
+        new_meta = t._load_meta(snap)
+        new_meta["files"] = [f for f in new_meta["files"] if f["added_in"] == snap]
+        new_meta["operation"] = "replace"
+        tmp = t._meta_path(snap) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+        os.replace(tmp, t._meta_path(snap))
+        return snap
+
+    def expire_snapshots(self, keep_from: int) -> list[str]:
+        t = self.table
+        cur = t.current_snapshot()
+        keep_from = max(1, min(keep_from, cur))
+        live = set()
+        for k in range(keep_from, cur + 1):
+            for f in t._load_meta(k)["files"]:
+                live.add(f["file"])
+        removed = []
+        data_dir = os.path.join(t.path, "data")
+        for fn in sorted(os.listdir(data_dir)):
+            rel = f"data/{fn}"
+            if rel not in live:
+                os.remove(os.path.join(data_dir, fn))
+                removed.append(rel)
+        for k in range(1, keep_from):
+            p = t._meta_path(k)
+            if os.path.exists(p):
+                os.remove(p)
+        return removed

@@ -114,3 +114,41 @@ def test_streaming_append_sink_exactly_once(spark, tmp_path):
     assert t.read(spark).count() == 30
     # historical snapshots remain time-travel readable under the stream
     assert t.read(spark, snapshot_id=1).count() == 10
+
+
+def test_compaction_replace_semantics(spark, table):
+    from graphina_spark.sources.snapshots import TableMaintenance
+
+    for lo, hi in ((0, 300), (300, 600), (600, 900)):
+        table.append(frame(spark, lo, hi).repartition(4))
+    pre = table.current_snapshot()
+    n_files_pre = len(table._load_meta(pre)["files"])
+    maint = TableMaintenance(table)
+    snap = maint.compact(spark, target_rows=1000)
+    # identical rows, fewer files
+    assert sorted(r["k"] for r in table.read(spark).collect()) == list(range(900))
+    assert len(table._load_meta(snap)["files"]) == 1 < n_files_pre
+    # time travel across the rewrite still works
+    assert table.read(spark, snapshot_id=2).count() == 600
+    # incremental scans skip the replace commit (no rows were "added")
+    assert table.incremental(spark, pre, snap).count() == 0
+    # appends after the rewrite show up incrementally as usual
+    table.append(frame(spark, 900, 950))
+    assert table.incremental(spark, pre).count() == 50
+
+
+def test_expire_snapshots_gc(spark, table):
+    import os
+
+    from graphina_spark.sources.snapshots import TableMaintenance
+
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        table.append(frame(spark, lo, hi))
+    maint = TableMaintenance(table)
+    maint.compact(spark, target_rows=10_000)  # snapshot 4, replaces all
+    removed = maint.expire_snapshots(keep_from=4)
+    assert removed, "pre-compaction data files should be GC'd"
+    # the current snapshot is intact after GC
+    assert table.read(spark).count() == 300
+    # expired snapshots are gone
+    assert not os.path.exists(table._meta_path(1))
