@@ -163,6 +163,8 @@ def main() -> None:
     run("fastrp_3it", lambda: gated["fastrp_web"](spark, SF_DIR))
     run("span_dedup", lambda: gated["span_dedup"](spark, SF_DIR))
     run("train_classifier_3ep", lambda: gated["train_classifier"](spark, SF_DIR))
+    run("textrank_5it", lambda: gated["textrank_docs"](spark, SF_DIR))
+    run("icws_sig_8", lambda: gated["icws_sig"](spark, SF_DIR))
 
     pr_sec = timings["pagerank_10it"]
     sec_per_iter = pr_sec / PR_ITERS
