@@ -2377,6 +2377,14 @@ def _q_icws_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return icws_signatures(docs, k=8)
 
 
+def _q_plsi_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.plsi import plsi_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, phi = plsi_fit(docs, n_topics=4, iters=3)
+    return phi
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2642,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failure_web": _q_failure_web,
         "zorder_events": _q_zorder_events,
         "icws_sig": _q_icws_sig,
+        "plsi_topics": _q_plsi_topics,
     }
 
 
@@ -2854,6 +2863,7 @@ def _text_oracles() -> dict[str, str]:
         "span_dedup": T.span_dedup_sql(),
         "textrank_docs": T.textrank_sql(iters=5),
         "icws_sig": T.icws_sig_sql(k=8),
+        "plsi_topics": T.plsi_topics_sql(n_topics=4, iters=3),
         "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
         "hybrid_rrf": T.hybrid_rrf_sql(k=5, dims=16, query_mod=25, rrf_k=60),
         "cdc_chunks": T.cdc_chunks_sql(),

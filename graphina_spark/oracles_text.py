@@ -1916,3 +1916,72 @@ def icws_sig_sql(k: int = 8, salt: str = "icws") -> str:
    FROM scored)
 SELECT id, CAST(r AS INT) AS r, tok, CAST(tz AS BIGINT) AS tz
 FROM best WHERE rn = 1"""
+
+
+def plsi_topics_sql(n_topics: int = 4, iters: int = 3, salt: str = "plsi") -> str:
+    """Twin of operators/plsi.py::plsi_fit (phi output) — identical md5
+    init, unrolled EM, per-topic normalization."""
+    den = float(2**32 + 1)
+
+    def u(tag: str, col: str) -> str:
+        h = _md5int(f"'{salt}:{tag}:' || CAST({col} AS VARCHAR)")
+        return f"(({h} + 1) / {den})"
+
+    th_parts = " UNION ALL ".join(
+        f"SELECT doc, {k} AS k, {u(f'theta:{k}', 'doc')} AS uu FROM docs"
+        for k in range(n_topics)
+    )
+    ph_parts = " UNION ALL ".join(
+        f"SELECT {k} AS k, tok, {u(f'phi:{k}', 'tok')} AS uu FROM vocab"
+        for k in range(n_topics)
+    )
+    ctes = [
+        _TOK,
+        "tf AS MATERIALIZED (SELECT doc_id AS doc, tok, CAST(count(*) AS DOUBLE) AS n"
+        " FROM (SELECT doc_id, unnest(t) AS tok FROM tok) u GROUP BY doc_id, tok)",
+        "docs AS (SELECT DISTINCT doc FROM tf)",
+        "vocab AS (SELECT DISTINCT tok FROM tf)",
+        "doc_tot AS (SELECT doc, sum(n) AS nd FROM tf GROUP BY doc)",
+        f"th0u AS ({th_parts})",
+        "th0 AS MATERIALIZED (SELECT a.doc, a.k, a.uu / z.z AS t FROM th0u a"
+        " JOIN (SELECT doc, sum(uu) AS z FROM th0u GROUP BY doc) z"
+        " ON a.doc = z.doc)",
+        f"ph0u AS ({ph_parts})",
+        "ph0 AS MATERIALIZED (SELECT a.k, a.tok, a.uu / z.z AS p FROM ph0u a"
+        " JOIN (SELECT k, sum(uu) AS z FROM ph0u GROUP BY k) z ON a.k = z.k)",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(
+            f"num{r} AS MATERIALIZED (SELECT tf.doc, tf.tok, th.k, tf.n,"
+            f" th.t * ph.p AS v"
+            f" FROM tf JOIN th{p} th ON tf.doc = th.doc"
+            f" JOIN ph{p} ph ON th.k = ph.k AND tf.tok = ph.tok)"
+        )
+        ctes.append(
+            f"den{r} AS MATERIALIZED (SELECT doc, tok, sum(v) AS z"
+            f" FROM num{r} GROUP BY doc, tok)"
+        )
+        ctes.append(
+            f"ct{r} AS MATERIALIZED (SELECT n.doc, n.tok, n.k,"
+            f" n.n * n.v / d.z AS c FROM num{r} n"
+            f" JOIN den{r} d ON n.doc = d.doc AND n.tok = d.tok)"
+        )
+        ctes.append(
+            f"th{r} AS MATERIALIZED (SELECT s.doc, s.k, s.s / dt.nd AS t"
+            f" FROM (SELECT doc, k, sum(c) AS s FROM ct{r} GROUP BY doc, k) s"
+            f" JOIN doc_tot dt ON s.doc = dt.doc)"
+        )
+        ctes.append(
+            f"pw{r} AS MATERIALIZED (SELECT k, tok, sum(c) AS s"
+            f" FROM ct{r} GROUP BY k, tok)"
+        )
+        ctes.append(
+            f"ph{r} AS MATERIALIZED (SELECT a.k, a.tok, a.s / z.z AS p"
+            f" FROM pw{r} a JOIN (SELECT k, sum(s) AS z FROM pw{r} GROUP BY k) z"
+            f" ON a.k = z.k)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(k AS INT) AS k, tok, round(p, {ROUND}) AS p FROM ph{iters}"
+    )
