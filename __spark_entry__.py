@@ -2385,6 +2385,14 @@ def _q_plsi_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phi
 
 
+def _q_plsi_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.plsi import plsi_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    theta, _ = plsi_fit(docs, n_topics=4, iters=3)
+    return theta
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2651,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _q_zorder_events,
         "icws_sig": _q_icws_sig,
         "plsi_topics": _q_plsi_topics,
+        "plsi_doc_topics": _q_plsi_doc_topics,
     }
 
 
@@ -2864,6 +2873,7 @@ def _text_oracles() -> dict[str, str]:
         "textrank_docs": T.textrank_sql(iters=5),
         "icws_sig": T.icws_sig_sql(k=8),
         "plsi_topics": T.plsi_topics_sql(n_topics=4, iters=3),
+        "plsi_doc_topics": T.plsi_doc_topics_sql(n_topics=4, iters=3),
         "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
         "hybrid_rrf": T.hybrid_rrf_sql(k=5, dims=16, query_mod=25, rrf_k=60),
         "cdc_chunks": T.cdc_chunks_sql(),

@@ -1985,3 +1985,15 @@ def plsi_topics_sql(n_topics: int = 4, iters: int = 3, salt: str = "plsi") -> st
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT CAST(k AS INT) AS k, tok, round(p, {ROUND}) AS p FROM ph{iters}"
     )
+
+
+def plsi_doc_topics_sql(n_topics: int = 4, iters: int = 3,
+                        salt: str = "plsi") -> str:
+    """Theta twin of plsi_topics_sql — same unrolled EM, doc-topic output."""
+    body = plsi_topics_sql(n_topics=n_topics, iters=iters, salt=salt)
+    head, _, _ = body.rpartition("\nSELECT")
+    return (
+        head
+        + f"\nSELECT doc, CAST(k AS INT) AS k, round(t, {ROUND}) AS t"
+        f" FROM th{iters}"
+    )
