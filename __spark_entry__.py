@@ -2393,6 +2393,32 @@ def _q_plsi_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta
 
 
+def _clf_scored_labels(spark: SparkSession, sf_dir: str):
+    from graphina_spark.operators.classify import classifier_scores, demo_weights
+
+    docs = _docs(spark, sf_dir)
+    scored = classifier_scores(docs, demo_weights(spark), bias=-0.05)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    return scored, labels
+
+
+def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.classify import classifier_calibration
+
+    scored, labels = _clf_scored_labels(spark, sf_dir)
+    return classifier_calibration(scored, labels)
+
+
+def _q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphina_spark.operators.classify import classifier_auc
+
+    scored, labels = _clf_scored_labels(spark, sf_dir)
+    return classifier_auc(scored, labels)
+
+
 def _q_sampled_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsified triangle estimate at frac=0.5 (deterministic
     md5 edge coin; exact oriented count on the sample; /frac^3 scale-up)."""
@@ -2660,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icws_sig": _q_icws_sig,
         "plsi_topics": _q_plsi_topics,
         "plsi_doc_topics": _q_plsi_doc_topics,
+        "classifier_calibration": _q_classifier_calibration,
+        "classifier_auc": _q_classifier_auc,
     }
 
 
@@ -2874,6 +2902,8 @@ def _text_oracles() -> dict[str, str]:
         "icws_sig": T.icws_sig_sql(k=8),
         "plsi_topics": T.plsi_topics_sql(n_topics=4, iters=3),
         "plsi_doc_topics": T.plsi_doc_topics_sql(n_topics=4, iters=3),
+        "classifier_calibration": T.classifier_calibration_sql(),
+        "classifier_auc": T.classifier_auc_sql(),
         "train_classifier": T.train_classifier_sql(iters=3, lr=4.0),
         "hybrid_rrf": T.hybrid_rrf_sql(k=5, dims=16, query_mod=25, rrf_k=60),
         "cdc_chunks": T.cdc_chunks_sql(),

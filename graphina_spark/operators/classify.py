@@ -201,3 +201,64 @@ def train_linear_classifier(
             .transform(_mat)
         )
     return w.select("b", F.round("w", 6).alias("w"))
+
+
+def classifier_calibration(
+    scored: DataFrame, labels: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """(bin, n, mean_prob, frac_pos) — reliability diagram of a scored
+    corpus against teacher labels (``scored`` = classifier_scores output,
+    ``labels`` = (id, y)): bin by floor(prob·n_bins), compare the mean
+    predicted probability with the empirical positive rate per bin — the
+    standard is-the-filter-honest readout before anyone thresholds on the
+    scores.  One join + one groupBy; integer bin keys."""
+    b = F.least(
+        F.floor(F.col("prob") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        scored.select("id", "prob")
+        .join(labels.select("id", F.col("y").cast("double").alias("y")), "id")
+        .select(b.alias("bin"), "prob", "y")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("prob"), 6).alias("mean_prob"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+    )
+
+
+def classifier_auc(scored: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row (auc, npos, nneg) — tie-aware Mann-Whitney AUC of the
+    classifier probabilities against teacher labels (the links-family AUC
+    tail on doc scores: probs are already 6-dp rounded, so tie groups are
+    engine-identical; grouped ranks via the two-pass global prefix sum —
+    no single-task window)."""
+    from graphina_spark.plans.ordered import global_cumsum
+
+    s = (
+        scored.select("id", F.col("prob").alias("score"))
+        .join(labels.select("id", F.col("y").cast("int").alias("label")), "id")
+    )
+    grp = s.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("label").alias("pos_c")
+    )
+    laid = global_cumsum(grp, order_cols=["score"], value_col="cnt", out_col="below")
+    agg = laid.agg(
+        F.sum("pos_c").alias("p"),
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("pos_c") * (F.col("below") + (F.col("cnt") + 1) / 2.0)).alias("rpos"),
+    )
+    return agg.select(
+        F.round(
+            F.when(
+                (F.col("p") == 0) | (F.col("t") - F.col("p") == 0), F.lit(0.5)
+            ).otherwise(
+                (F.col("rpos") - F.col("p") * (F.col("p") + 1) / 2.0)
+                / (F.col("p") * (F.col("t") - F.col("p")))
+            ),
+            6,
+        ).alias("auc"),
+        F.col("p").cast("long").alias("npos"),
+        (F.col("t") - F.col("p")).cast("long").alias("nneg"),
+    )

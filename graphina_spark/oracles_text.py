@@ -1997,3 +1997,50 @@ def plsi_doc_topics_sql(n_topics: int = 4, iters: int = 3,
         + f"\nSELECT doc, CAST(k AS INT) AS k, round(t, {ROUND}) AS t"
         f" FROM th{iters}"
     )
+
+
+def _classifier_prob_cte(salt: str = "clfw", scale: float = 4.0,
+                         bias: float = -0.05) -> str:
+    """The classifier_scores_sql body as a reusable CTE tail producing
+    probs (id, prob) — identical arithmetic, 6-dp rounding."""
+    inner = classifier_scores_sql(salt=salt, scale=scale, bias=bias)
+    return f"probs AS (SELECT id, prob, label FROM ({inner}))"
+
+
+def classifier_calibration_sql(n_bins: int = 10, salt: str = "clfw",
+                               scale: float = 4.0, bias: float = -0.05) -> str:
+    """Twin of operators/classify.py::classifier_calibration with the
+    demo-weight scorer and lang='en' teacher labels."""
+    return f"""WITH {_classifier_prob_cte(salt, scale, bias)},
+ lab AS (SELECT doc_id AS id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents)
+SELECT CAST(least(CAST(floor(p.prob * {n_bins}) AS INT), {n_bins - 1}) AS INT)
+         AS bin,
+       count(*) AS n,
+       round(avg(p.prob), {ROUND}) AS mean_prob,
+       round(avg(l.y), {ROUND}) AS frac_pos
+FROM probs p JOIN lab l ON p.id = l.id
+GROUP BY 1"""
+
+
+def classifier_auc_sql(salt: str = "clfw", scale: float = 4.0,
+                       bias: float = -0.05) -> str:
+    """Twin of operators/classify.py::classifier_auc — same grouped
+    tie-aware rank-sum over the 6-dp probs."""
+    return f"""WITH {_classifier_prob_cte(salt, scale, bias)},
+ lab AS (SELECT doc_id AS id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+ s AS (SELECT p.prob AS score, l.y AS label
+       FROM probs p JOIN lab l ON p.id = l.id),
+ grp AS (SELECT score, count(*) AS cnt, sum(label) AS pos_c
+         FROM s GROUP BY score),
+ laid AS (SELECT score, cnt, pos_c,
+          coalesce(sum(cnt) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM grp),
+ agg AS (SELECT sum(pos_c) AS p, sum(cnt) AS t,
+         sum(pos_c * (below + (cnt + 1) / 2.0)) AS rpos FROM laid)
+SELECT round(CASE WHEN p = 0 OR t - p = 0 THEN 0.5
+       ELSE (rpos - p * (p + 1) / 2.0) / (p * (t - p)) END, {ROUND}) AS auc,
+       CAST(p AS BIGINT) AS npos, CAST(t - p AS BIGINT) AS nneg
+FROM agg"""

@@ -114,3 +114,38 @@ def test_train_classifier_deterministic_across_partitioning(spark):
         for r in train_linear_classifier(docs.repartition(7), labels, iters=3).collect()
     }
     assert w1 == w2
+
+
+def test_classifier_auc_perfect_and_random(spark):
+    from pyspark.sql import functions as F
+
+    from graphina_spark.operators.classify import classifier_auc
+
+    # perfectly separating scores
+    scored = spark.createDataFrame(
+        [(i, 0.9 if i < 5 else 0.1) for i in range(10)], "id long, prob double"
+    )
+    labels = spark.createDataFrame(
+        [(i, 1.0 if i < 5 else 0.0) for i in range(10)], "id long, y double"
+    )
+    r = classifier_auc(scored, labels).collect()[0]
+    assert (r["auc"], r["npos"], r["nneg"]) == (1.0, 5, 5)
+    # constant scores -> tie-aware 0.5
+    const = scored.select("id", F.lit(0.5).alias("prob"))
+    assert classifier_auc(const, labels).collect()[0]["auc"] == 0.5
+
+
+def test_classifier_calibration_bins(spark):
+    from graphina_spark.operators.classify import classifier_calibration
+
+    scored = spark.createDataFrame(
+        [(1, 0.05), (2, 0.08), (3, 0.95), (4, 0.99), (5, 1.0)],
+        "id long, prob double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 1.0), (4, 1.0), (5, 1.0)], "id long, y double"
+    )
+    got = {r["bin"]: r for r in classifier_calibration(scored, labels).collect()}
+    assert set(got) == {0, 9}  # prob=1.0 clamps into the top bin
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert got[9]["n"] == 3 and got[9]["frac_pos"] == 1.0
