@@ -373,6 +373,10 @@ def attack_robustness(
     for k in remove_counts:
         if k > 0:
             hubs = deg.orderBy(F.desc("d"), F.asc("id")).limit(k).select("id")
+            # the degree frame only covers non-isolated vertices, so fewer
+            # than k hubs may exist; survivors = n_total - hubs ACTUALLY
+            # removed, not n_total - k
+            n_removed = hubs.count()
             verts = g.vertices.select("id").join(hubs, "id", "left_anti")
             edges = (
                 ce.join(F.broadcast(hubs.withColumnRenamed("id", "src")), "src",
@@ -381,6 +385,7 @@ def attack_robustness(
                       "left_anti")
             )
         else:
+            n_removed = 0
             verts, edges = g.vertices.select("id"), ce
         sub = _LG.from_edges(
             edges.select("src", "dst"), directed=False, vertices=verts
@@ -391,7 +396,7 @@ def attack_robustness(
             F.max("n").alias("giant"), F.count("*").alias("nc")
         ).collect()[0]
         out_rows.append(
-            (k, n_total - k, int(row["giant"] or 0), int(row["nc"] or 0))
+            (k, n_total - n_removed, int(row["giant"] or 0), int(row["nc"] or 0))
         )
     ce.unpersist()
     deg.unpersist()

@@ -74,7 +74,12 @@ def term_cooccurrence_graph(
     edges = e1.unionAll(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    g = LinkGraph.from_edges(edges, directed=True, vertices=terms.select("id"))
+    # dedup by the md5-prefix id, not the term string: on an id collision
+    # the vertex frame would otherwise carry duplicate ids, skewing the 1/n
+    # initialization vs the oracle's SELECT DISTINCT id vertex set
+    g = LinkGraph.from_edges(
+        edges, directed=True, vertices=terms.select("id").distinct()
+    )
     return g, terms
 
 

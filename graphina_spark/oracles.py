@@ -4737,9 +4737,12 @@ def attack_robustness_sql(remove_counts: tuple[int, ...] = (0, 10, 50)) -> str:
         base.append(
             f"rbsz{k} AS (SELECT c, count(*) AS n FROM comp{k} GROUP BY c)"
         )
+        # survivors = n_total minus hubs ACTUALLY selected (the degree CTE
+        # only covers non-isolated vertices, so LIMIT k may yield < k rows)
+        removed_expr = f"(SELECT count(*) FROM rbh{k})" if k > 0 else "0"
         outs.append(
             f"SELECT CAST({k} AS INT) AS removed,"
-            f" (SELECT n FROM nt) - {k} AS n_left,"
+            f" (SELECT n FROM nt) - {removed_expr} AS n_left,"
             f" CAST(coalesce(max(n), 0) AS BIGINT) AS giant_size,"
             f" CAST(count(*) AS BIGINT) AS n_components FROM rbsz{k}"
         )

@@ -92,11 +92,28 @@ class SnapshotTable:
         return out
 
     # -- write ------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        operation: str = "append",
+        replace_files: bool = False,
+        extra_meta: dict | None = None,
+    ) -> int:
         """Commit the frame as a new snapshot; returns its id.  Data files
         are written and fsynced into data/ first; the metadata file (full
         visible listing = parent files + new files with stats) commits last
-        via atomic rename, then the version hint flips."""
+        via atomic rename, then the version hint flips.
+
+        The commit is ONE atomic metadata write: ``operation`` (stamped for
+        incremental-scan classification), ``replace_files`` (True → the new
+        files REPLACE the parent listing instead of extending it — the
+        compaction/OPTIMIZE shape) and ``extra_meta`` (merged into the
+        metadata document, e.g. a streaming sink's ``stream_batch_id``
+        idempotence marker) all land in the same ``os.replace``.  No caller
+        ever rewrites committed metadata afterwards, so a reader can never
+        observe an intermediate listing and a crash can never publish a
+        half-stamped commit."""
         import pyarrow.parquet as pq
 
         parent = self.current_snapshot()
@@ -141,9 +158,16 @@ class SnapshotTable:
         meta_doc = {
             "snapshot_id": snap,
             "parent_id": parent,
+            "operation": operation,
             "schema": df.schema.jsonValue(),
-            "files": self._load_meta(parent)["files"] + new_files,
+            "files": (
+                new_files
+                if replace_files
+                else self._load_meta(parent)["files"] + new_files
+            ),
         }
+        if extra_meta:
+            meta_doc.update(extra_meta)
         tmp = self._meta_path(snap) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta_doc, f)
@@ -285,15 +309,10 @@ def streaming_append_sink(table: SnapshotTable):
             last = table._load_meta(cur).get("stream_batch_id")
             if last is not None and batch_id <= last:
                 return  # replay of an already-committed micro-batch
-        snap = table.append(batch_df)
-        # stamp the batch id into the just-committed metadata (rewrite via
-        # tmp + rename keeps the commit atomic; the hint already points here)
-        meta = table._load_meta(snap)
-        meta["stream_batch_id"] = batch_id
-        tmp = table._meta_path(snap) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, table._meta_path(snap))
+        # the idempotence marker rides inside append()'s single atomic
+        # metadata commit — a crash either commits data+marker together or
+        # commits nothing, so the replay window never re-opens
+        table.append(batch_df, extra_meta={"stream_batch_id": batch_id})
 
     return _sink
 
@@ -331,17 +350,12 @@ class TableMaintenance:
         df = t.read(spark)
         n = sum(f["rows"] for f in meta["files"])
         n_files = max(1, -(-n // target_rows)) if n else 1
-        snap = t.append(df.coalesce(n_files))
-        # rewrite the just-committed metadata: REPLACE semantics — only the
-        # new files are visible, and the commit is marked non-append
-        new_meta = t._load_meta(snap)
-        new_meta["files"] = [f for f in new_meta["files"] if f["added_in"] == snap]
-        new_meta["operation"] = "replace"
-        tmp = t._meta_path(snap) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_meta, f)
-        os.replace(tmp, t._meta_path(snap))
-        return snap
+        # REPLACE semantics in one atomic commit: only the rewritten files
+        # are ever published, marked non-append, so no reader can observe a
+        # doubled parent+new listing and a crash cannot leave one behind
+        return t.append(
+            df.coalesce(n_files), operation="replace", replace_files=True
+        )
 
     def expire_snapshots(self, keep_from: int) -> list[str]:
         t = self.table
