@@ -66,14 +66,14 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
     # (out-weight/vinfo builds, dangling count) so we measure sustained
     # superstep throughput, which is what scales with executors
     lo, hi = max(1, iters // 3), iters
-    pagerank(g, fixed_iters=1, tol=None, shards=adj).count()
+    pagerank(g, fixed_iters=1, tol=None, shards=adj, shards_min_edges=0).count()
     per_iter = []
     for _ in range(2):
         t0 = time.time()
-        pagerank(g, fixed_iters=lo, tol=None, shards=adj).count()
+        pagerank(g, fixed_iters=lo, tol=None, shards=adj, shards_min_edges=0).count()
         t_lo = time.time() - t0
         t0 = time.time()
-        pagerank(g, fixed_iters=hi, tol=None, shards=adj).count()
+        pagerank(g, fixed_iters=hi, tol=None, shards=adj, shards_min_edges=0).count()
         t_hi = time.time() - t0
         per_iter.append((t_hi - t_lo) / (hi - lo))
     sec = statistics.median(per_iter)

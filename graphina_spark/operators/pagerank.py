@@ -49,6 +49,11 @@ from graphina_spark.graph import LinkGraph
 from graphina_spark.plans.materialize import local_materialize as _mat
 from graphina_spark.plans.checkpoint import CheckpointManager
 
+# Symmetrized-edge count below which pagerank(shards=...) falls back to the
+# plain per-edge join (measured crossover region: shards lose at 57k edges,
+# win at 64.7M — see BENCH/BASELINE.md; 1M sits safely between).
+SHARDS_MIN_EDGES = 1_000_000
+
 
 def pagerank(
     g: LinkGraph,
@@ -61,6 +66,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     shards: "AdjShards | None" = None,
+    shards_min_edges: int | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Return ``(id: long, rank: double)``, Σ rank = 1.
@@ -82,6 +88,24 @@ def pagerank(
     if n == 0:
         return g.vertices.select(F.col("id"), F.lit(0.0).alias("rank"))
     n_iters = fixed_iters if fixed_iters is not None else max_iter
+
+    if shards is not None:
+        # Auto-select the superstep kernel by edge count: below the
+        # crossover the salted-CSR gather's fixed overhead (hub-salt
+        # replication join + explode) dominates and the plain per-edge join
+        # is faster (sf0.1 bench: 7.2 s sharded vs 4.3 s plain at 57k
+        # edges); above it the shard join moves ~|V| rows instead of ~|E|
+        # and wins (64.7M-edge scaling harness).  Values are identical
+        # either way (both paths are oracle-gated).  Pass
+        # ``shards_min_edges=0`` to force the shard kernel (tests,
+        # scaling harness at known scale).
+        threshold = (
+            SHARDS_MIN_EDGES if shards_min_edges is None else shards_min_edges
+        )
+        if threshold > 0:
+            n_edges = shards.wout.agg(F.sum("degree")).first()[0] or 0
+            if n_edges < threshold:
+                shards = None
 
     if shards is not None:
         # salted CSR adjacency path (plans/shards.py): the join moves one row

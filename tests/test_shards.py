@@ -48,9 +48,24 @@ def test_sharded_pagerank_matches_plain(spark, sf_dir):
     g = web_graph(spark, sf_dir)
     plain = _pr_map(pagerank(g, fixed_iters=5, tol=None))
     adj = build_adj_shards(g, salt_cap=3)  # force heavy salting
-    sharded = _pr_map(pagerank(g, fixed_iters=5, tol=None, shards=adj))
+    sharded = _pr_map(pagerank(g, fixed_iters=5, tol=None, shards=adj, shards_min_edges=0))
     assert plain.keys() == sharded.keys()
     assert all(abs(plain[k] - sharded[k]) < 1e-9 for k in plain)
+    adj.unpersist()
+
+
+def test_shards_auto_select_falls_back_below_threshold(spark, sf_dir):
+    # default shards_min_edges (1M) >> the sf0.001 edge count: pagerank
+    # silently takes the plain per-edge join and values are identical to
+    # the forced shard kernel (both paths are value-gated)
+    g = web_graph(spark, sf_dir)
+    adj = build_adj_shards(g, dangling_sink=True)
+    auto = _pr_map(pagerank(g, fixed_iters=5, tol=None, shards=adj))
+    forced = _pr_map(
+        pagerank(g, fixed_iters=5, tol=None, shards=adj, shards_min_edges=0)
+    )
+    assert auto.keys() == forced.keys()
+    assert all(abs(auto[k] - forced[k]) < 1e-9 for k in auto)
     adj.unpersist()
 
 
@@ -64,7 +79,7 @@ def test_sharded_pagerank_undirected_weighted(spark):
     )
     plain = _pr_map(pagerank(g, fixed_iters=8, tol=None))
     adj = build_adj_shards(g, salt_cap=2)
-    sharded = _pr_map(pagerank(g, fixed_iters=8, tol=None, shards=adj))
+    sharded = _pr_map(pagerank(g, fixed_iters=8, tol=None, shards=adj, shards_min_edges=0))
     assert all(abs(plain[k] - sharded[k]) < 1e-12 for k in plain)
     assert abs(sum(sharded.values()) - 1.0) < 1e-9
     adj.unpersist()
@@ -73,7 +88,7 @@ def test_sharded_pagerank_undirected_weighted(spark):
 def test_convergence_with_shards(spark, sf_dir):
     g = web_graph(spark, sf_dir)
     adj = build_adj_shards(g)
-    pr = pagerank(g, tol=1e-8, max_iter=200, shards=adj)
+    pr = pagerank(g, tol=1e-8, max_iter=200, shards=adj, shards_min_edges=0)
     total = pr.agg(F.sum("rank")).first()[0]
     assert total == pytest.approx(1.0, abs=1e-6)
     adj.unpersist()
@@ -85,8 +100,8 @@ def test_dangling_sink_shards_match_plain_and_semi_join(spark):
     plain = _pr_map(pagerank(g, fixed_iters=10, tol=None))
     sink = build_adj_shards(g, salt_cap=2, dangling_sink=True)
     nosink = build_adj_shards(g, salt_cap=2, dangling_sink=False)
-    pr_sink = _pr_map(pagerank(g, fixed_iters=10, tol=None, shards=sink))
-    pr_nosink = _pr_map(pagerank(g, fixed_iters=10, tol=None, shards=nosink))
+    pr_sink = _pr_map(pagerank(g, fixed_iters=10, tol=None, shards=sink, shards_min_edges=0))
+    pr_nosink = _pr_map(pagerank(g, fixed_iters=10, tol=None, shards=nosink, shards_min_edges=0))
     # sink id -1 never leaks into results
     assert set(pr_sink) == set(plain) and -1 not in pr_sink
     assert all(abs(plain[k] - pr_sink[k]) < 1e-12 for k in plain)
