@@ -390,6 +390,32 @@ def _q_sssp_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("source", "id", F.round("dist", ROUND).alias("dist"))
 
 
+def _q_sp_tree_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path TREE: distances plus the min-id predecessor
+    giving one reconstructible shortest path per reached vertex (the
+    reference's Dijkstra returns distance maps, its A* an actual path —
+    paths.rs:201-270, :465-532; this batch contract serves both)."""
+    from graphina_spark.operators.paths import shortest_path_tree
+
+    g = _web(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 199 == 0).select("id")
+    t = shortest_path_tree(g, srcs, weighted=True)
+    return t.select(
+        "source", "id", F.round("dist", ROUND).alias("dist"), "pred"
+    )
+
+
+def _q_sssp_path_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One actual shortest vertex chain: source 1 → its farthest reachable
+    vertex (max dist, max id tie-break), as ordered (step, id, dist) rows —
+    the "show me the chain of links from A to B" operator."""
+    from graphina_spark.operators.paths import shortest_path
+
+    g = _web(spark, sf_dir)
+    p = shortest_path(g, 1, None, weighted=True)
+    return p.select("step", "id", F.round("dist", ROUND).alias("dist"))
+
+
 def _q_closeness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Wasserman-Faust closeness, exact for a deterministic
     landmark subset (the honest web-scale contract: score the nodes you
@@ -2529,6 +2555,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_web": _q_condensation_web,
         "bfs_dist_web": _q_bfs_dist_web,
         "sssp_web": _q_sssp_web,
+        "sp_tree_web": _q_sp_tree_web,
+        "sssp_path_web": _q_sssp_path_web,
         "closeness_web": _q_closeness_web,
         "harmonic_web": _q_harmonic_web,
         "betweenness_web": _q_betweenness_web,
@@ -2778,6 +2806,8 @@ def oracle_sql() -> dict[str, str]:
         "condensation_web": O.condensation_web_sql(),
         "bfs_dist_web": O.bfs_dist_web_sql(max_depth=4),
         "sssp_web": O.sssp_web_sql(),
+        "sp_tree_web": O.sp_tree_web_sql(src_mod=199),
+        "sssp_path_web": O.sssp_path_web_sql(source=1),
         "closeness_web": O.closeness_web_sql(),
         "harmonic_web": O.harmonic_web_sql(),
         "betweenness_web": O.betweenness_web_sql(),

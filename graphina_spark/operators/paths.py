@@ -130,6 +130,116 @@ def sssp_distances(
     raise RuntimeError(f"sssp_distances did not converge in {max_iter} rounds")
 
 
+def shortest_path_tree(
+    g: LinkGraph,
+    sources: DataFrame,
+    weighted: bool = True,
+    max_depth: int | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(source, id, dist, pred) — shortest distances PLUS a predecessor
+    column giving one shortest path per reached vertex: ``pred`` is the
+    minimum vertex id u such that dist(u) + w(u, id) = dist(id) (hop +1 in
+    the unweighted case).  Source rows carry ``pred = -1``.
+
+    The reference's Dijkstra/Bellman-Ford return per-source distance maps
+    (paths.rs:201-270, :393-444) and its A* returns an actual path
+    (paths.rs:465-532); this is the batch contract that serves both — the
+    tree is the full "show me the chain of links" answer for every
+    destination at once, and :func:`shortest_path` extracts one chain.
+
+    Pred is computed POST-HOC from the converged distances (one equality
+    join, one min-agg — no per-round state), so it is deterministic under
+    any superstep schedule: the candidate set {u : dist(u)+w = dist(v)} is
+    a pure function of the final distances.  Following pred strictly
+    decreases dist (weights are validated > 0 in the weighted case), so
+    the chain always terminates at the source.  Integer-valued double
+    weights keep the equality join bit-exact across engines."""
+    if weighted:
+        nonpos = g.edges.where(F.col("weight") <= 0).limit(1).count()
+        if nonpos:
+            raise ValueError(
+                "shortest_path_tree(weighted=True) requires strictly "
+                "positive edge weights (pred chains must descend)"
+            )
+        dist = sssp_distances(g, sources, max_iter=max_iter)
+        adj = _adjacency(g, weighted=True)
+        step = F.col("u.dist") + F.col("e.weight")
+    else:
+        dist = bfs_distances(g, sources, max_depth=max_depth)
+        adj = _adjacency(g, weighted=False)
+        step = F.col("u.dist") + F.lit(1)
+    dist = dist.transform(_mat)
+    preds = (
+        dist.alias("u")
+        .join(adj.alias("e"), F.col("u.id") == F.col("e.src"))
+        .select(
+            F.col("u.source").alias("_s"),
+            F.col("e.dst").alias("_v"),
+            F.col("e.src").alias("cand"),
+            step.alias("reach"),
+        )
+        .join(
+            dist.alias("d"),
+            (F.col("_s") == F.col("d.source"))
+            & (F.col("_v") == F.col("d.id"))
+            & (F.col("reach") == F.col("d.dist")),
+        )
+        .groupBy(F.col("_s").alias("source"), F.col("_v").alias("id"))
+        .agg(F.min("cand").alias("pred"))
+    )
+    return (
+        dist.join(preds, ["source", "id"], "left")
+        .select(
+            "source", "id", "dist",
+            F.coalesce("pred", F.lit(-1)).cast("long").alias("pred"),
+        )
+    )
+
+
+def shortest_path(
+    g: LinkGraph,
+    source: int,
+    target: int | None = None,
+    weighted: bool = True,
+    max_depth: int | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(step, id, dist) — ONE shortest path source→target as an ordered
+    vertex chain (step 0 = source); empty frame when target is unreachable.
+    ``target=None`` picks the farthest reachable vertex (max dist, max id
+    tie-break) — a deterministic "longest interesting chain" probe.
+
+    The chain extraction is a metadata-sized backward walk over the
+    shortest-path tree (the connectivity.py:27 pattern): O(path length)
+    1-row lookups against the cached tree — the tree computation is the
+    distributed work, the walk touches ~diameter rows."""
+    spark = g.vertices.sparkSession
+    src_df = spark.createDataFrame([(int(source),)], "id long")
+    tree = shortest_path_tree(
+        g, src_df, weighted=weighted, max_depth=max_depth, max_iter=max_iter
+    ).transform(_mat)
+    if target is None:
+        far = tree.orderBy(F.desc("dist"), F.desc("id")).limit(1).first()
+        if far is None:
+            return spark.createDataFrame([], "step int, id long, dist double")
+        target = far["id"]
+    row = tree.where(F.col("id") == int(target)).first()
+    if row is None:
+        return spark.createDataFrame([], "step int, id long, dist double")
+    chain = [(int(row["id"]), float(row["dist"]))]
+    cur, pred = int(row["id"]), int(row["pred"])
+    while pred != -1:
+        r = tree.where(F.col("id") == pred).first()
+        cur, pred = int(r["id"]), int(r["pred"])
+        chain.append((cur, float(r["dist"])))
+    chain.reverse()
+    return spark.createDataFrame(
+        [(i, vid, d) for i, (vid, d) in enumerate(chain)],
+        "step int, id long, dist double",
+    )
+
+
 def all_pairs_bfs_lengths(g: LinkGraph, max_depth: int | None = None) -> DataFrame:
     """All-pairs hop distances (paths.rs:724-760).  State is O(V × reached):
     exact but quadratic — intended for subgraphs/samples; at web scale use

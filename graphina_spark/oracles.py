@@ -723,6 +723,59 @@ def sssp_web_sql(rounds: int = 30, src_mod: int = 199) -> str:
     )
 
 
+def _pred_ctes(rounds: int) -> list[str]:
+    """Predecessor CTEs over a converged d{rounds}(source, id, dist):
+    pred(v) = min u with dist(u) + w(u,v) = dist(v) (weights are integer-
+    valued doubles, so the equality is bit-exact across engines)."""
+    return [
+        f"predt AS (SELECT d.source, d.id, min(e.src) AS pred"
+        f" FROM d{rounds} d JOIN wadj e ON e.dst = d.id"
+        f" JOIN d{rounds} u ON u.source = d.source AND u.id = e.src"
+        f" AND u.dist + e.weight = d.dist GROUP BY d.source, d.id)",
+        f"ptab AS (SELECT d.source, d.id, d.dist,"
+        f" coalesce(p.pred, -1) AS pred FROM d{rounds} d"
+        f" LEFT JOIN predt p ON d.source = p.source AND d.id = p.id)",
+    ]
+
+
+def sp_tree_web_sql(rounds: int = 30, src_mod: int = 199) -> str:
+    """(source, id, dist, pred) weighted shortest-path tree — oracle twin of
+    operators/paths.py::shortest_path_tree (post-hoc min-id predecessor over
+    the Bellman-Ford fixpoint)."""
+    ctes = _bellman_ctes(f"id % {src_mod} = 0", rounds) + _pred_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source, id, round(dist, {ROUND}) AS dist,"
+        f" CAST(pred AS BIGINT) AS pred FROM ptab"
+    )
+
+
+def sssp_path_web_sql(rounds: int = 30, source: int = 1) -> str:
+    """(step, id, dist) — the actual shortest vertex chain from ``source``
+    to its farthest reachable vertex (max dist, max id tie-break) — oracle
+    twin of operators/paths.py::shortest_path: recursive backward walk over
+    the min-id predecessor table, re-indexed so step 0 = source."""
+    ctes = _bellman_ctes(f"id = {source}", rounds) + _pred_ctes(rounds)
+    ctes.append(
+        f"tgt AS (SELECT id, dist FROM d{rounds}"
+        f" ORDER BY dist DESC, id DESC LIMIT 1)"
+    )
+    ctes.append(
+        "walk(k, id, dist) AS ("
+        "SELECT 0, t.id, t.dist FROM tgt t"
+        " UNION ALL SELECT w.k + 1, p.pred, u.dist"
+        " FROM walk w JOIN ptab p ON p.id = w.id AND p.pred <> -1"
+        f" JOIN d{rounds} u ON u.id = p.pred)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST((SELECT max(k) FROM walk) - k AS INT) AS step,"
+        f" id, round(dist, {ROUND}) AS dist FROM walk"
+    )
+
+
 def closeness_web_sql(rounds: int = 30, src_mod: int = 29) -> str:
     """Wasserman-Faust closeness for the deterministic landmark subset —
     oracle twin of operators/closeness.py::closeness_centrality

@@ -215,3 +215,70 @@ def test_temporal_arrival_improvement_reexpands(spark):
     }
     assert got[2] == 3
     assert got[5] == 4
+
+
+def test_shortest_path_tree_pred_validity_weighted(spark):
+    """Every pred edge exists with exactly the dist gap; chains terminate
+    at the source; distances match the reference Dijkstra."""
+    from graphina_spark.operators.paths import shortest_path_tree
+
+    edges, weights = _rand(11, 12, 0.25, weighted=True, directed=True)
+    g = make_graph(spark, edges, n=12, directed=True, weights=weights)
+    srcs = spark.createDataFrame([(0,), (5,)], "id long")
+    tree = shortest_path_tree(g, srcs, weighted=True).collect()
+    w = {(u, v): float("inf") for u, v in edges}
+    for i, (u, v) in enumerate(edges):
+        w[(u, v)] = min(w[(u, v)], weights[i])
+    for s in (0, 5):
+        ref = ref_dijkstra(12, edges, weights, s, directed=True)
+        rows = {r["id"]: r for r in tree if r["source"] == s}
+        assert {v for v, d in enumerate(ref) if d is not None} == set(rows)
+        for v, r in rows.items():
+            assert r["dist"] == pytest.approx(ref[v])
+            if v == s:
+                assert r["pred"] == -1
+            else:
+                p = r["pred"]
+                assert (p, v) in w
+                assert rows[p]["dist"] + w[(p, v)] == pytest.approx(r["dist"])
+                assert rows[p]["dist"] < r["dist"]  # chain descends
+
+
+def test_shortest_path_tree_unweighted_min_pred(spark):
+    from graphina_spark.operators.paths import shortest_path_tree
+
+    # 0→1, 0→2, 1→3, 2→3: two shortest 2-hop paths to 3; pred must be the
+    # min-id candidate (1)
+    g = make_graph(spark, [(0, 1), (0, 2), (1, 3), (2, 3)], n=4, directed=True)
+    srcs = spark.createDataFrame([(0,)], "id long")
+    rows = {r["id"]: r for r in
+            shortest_path_tree(g, srcs, weighted=False).collect()}
+    assert rows[3]["dist"] == 2 and rows[3]["pred"] == 1
+    assert rows[0]["pred"] == -1
+
+
+def test_shortest_path_chain_and_unreachable(spark):
+    from graphina_spark.operators.paths import shortest_path
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    weights = [1.0, 1.0, 1.0, 5.0]
+    g = make_graph(spark, edges, n=6, directed=True, weights=weights)
+    p = shortest_path(g, 0, 3, weighted=True).collect()
+    assert [(r["step"], r["id"], r["dist"]) for r in p] == [
+        (0, 0, 0.0), (1, 1, 1.0), (2, 2, 2.0), (3, 3, 3.0)
+    ]
+    # unreachable target → empty frame with the contract schema
+    q = shortest_path(g, 0, 5, weighted=True)
+    assert q.count() == 0 and q.columns == ["step", "id", "dist"]
+    # target=None → farthest vertex
+    far = shortest_path(g, 0, None, weighted=True).collect()
+    assert far[-1]["id"] == 3 and far[-1]["dist"] == 3.0
+
+
+def test_shortest_path_tree_rejects_nonpositive_weights(spark):
+    from graphina_spark.operators.paths import shortest_path_tree
+
+    g = make_graph(spark, [(0, 1)], n=2, directed=True, weights=[0.0])
+    srcs = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError, match="positive"):
+        shortest_path_tree(g, srcs, weighted=True)
