@@ -416,6 +416,85 @@ def _q_sssp_path_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("step", "id", F.round("dist", ROUND).alias("dist"))
 
 
+def _sub60(spark: SparkSession, sf_dir: str):
+    """Induced subgraph on ids < 60 — the bounded-exact-lane fixture."""
+    from graphina_spark.operators.subgraphs import induced_subgraph
+
+    g = _web(spark, sf_dir)
+    return induced_subgraph(g, g.vertices.where(F.col("id") < 60))
+
+
+def _q_fw_local_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floyd–Warshall all-pairs on a bounded induced subgraph — the exact
+    driver-local lane for the reference's dense algorithms
+    (paths.rs:548-603); oracle = per-source Bellman-Ford unroll."""
+    from graphina_spark.operators.exact import floyd_warshall
+
+    fw = floyd_warshall(_sub60(spark, sf_dir))
+    return fw.select("src", "dst", F.round("dist", ROUND).alias("dist"))
+
+
+def _q_johnson_neg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson all-pairs with NEGATIVE weights on an induced DAG
+    (src < dst edges, weight − 3 ∈ {−2..2}; acyclic ⇒ no negative cycle)
+    — proves the h-potential reweighting exactly (paths.rs:617-698)."""
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.exact import johnson
+
+    g = _web(spark, sf_dir)
+    e = g.edges.where(
+        (F.col("src") < 60) & (F.col("dst") < 60)
+        & (F.col("src") < F.col("dst"))
+    ).select("src", "dst", (F.col("weight") - 3.0).alias("weight"))
+    sub = LinkGraph(
+        vertices=g.vertices.where(F.col("id") < 60),
+        edges=e, directed=True,
+    )
+    j = johnson(sub)
+    return j.select("src", "dst", F.round("dist", ROUND).alias("dist"))
+
+
+def _q_astar_local_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* cost parity: exact shortest cost 1→t for a fixed target set on
+    the bounded subgraph (paths.rs:465-532; h ≡ 0 here — admissibility
+    with a live heuristic is pinned in pytest)."""
+    from graphina_spark.operators.exact import astar_path
+
+    sub = _sub60(spark, sf_dir)
+    rows = []
+    for t in (2, 3, 5, 58):
+        p = astar_path(sub, 1, t)
+        tail = p.orderBy(F.desc("step")).limit(1).collect()
+        if tail and tail[0]["id"] == t:
+            rows.append((1, t, float(tail[0]["dist"])))
+    if not rows:
+        return spark.createDataFrame([], "s long, t long, dist double")
+    return spark.createDataFrame(rows, "s long, t long, dist double").select(
+        "s", "t", F.round("dist", ROUND).alias("dist")
+    )
+
+
+def _q_dfs_tree_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS preorder (traversal/algorithms.rs:119-161) over the min-pred
+    BFS tree of the bounded subgraph, children ascending — a total
+    visitation ORDER gated against the lexicographic root-path oracle."""
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.exact import dfs_preorder
+    from graphina_spark.operators.paths import shortest_path_tree
+
+    sub = _sub60(spark, sf_dir)
+    src = spark.createDataFrame([(1,)], "id long")
+    tree = shortest_path_tree(sub, src, weighted=False)
+    te = tree.where(F.col("pred") != -1).select(
+        F.col("pred").alias("src"), F.col("id").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    tg = LinkGraph(
+        vertices=tree.select("id"), edges=te, directed=True
+    )
+    return dfs_preorder(tg, 1)
+
+
 def _q_closeness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Wasserman-Faust closeness, exact for a deterministic
     landmark subset (the honest web-scale contract: score the nodes you
@@ -2557,6 +2636,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_web": _q_sssp_web,
         "sp_tree_web": _q_sp_tree_web,
         "sssp_path_web": _q_sssp_path_web,
+        "fw_local_web": _q_fw_local_web,
+        "johnson_neg_web": _q_johnson_neg_web,
+        "astar_local_web": _q_astar_local_web,
+        "dfs_tree_web": _q_dfs_tree_web,
         "closeness_web": _q_closeness_web,
         "harmonic_web": _q_harmonic_web,
         "betweenness_web": _q_betweenness_web,
@@ -2808,6 +2891,10 @@ def oracle_sql() -> dict[str, str]:
         "sssp_web": O.sssp_web_sql(),
         "sp_tree_web": O.sp_tree_web_sql(src_mod=199),
         "sssp_path_web": O.sssp_path_web_sql(source=1),
+        "fw_local_web": O.fw_local_web_sql(),
+        "johnson_neg_web": O.johnson_neg_web_sql(),
+        "astar_local_web": O.astar_local_web_sql(),
+        "dfs_tree_web": O.dfs_tree_web_sql(),
         "closeness_web": O.closeness_web_sql(),
         "harmonic_web": O.harmonic_web_sql(),
         "betweenness_web": O.betweenness_web_sql(),

@@ -738,6 +738,112 @@ def _pred_ctes(rounds: int) -> list[str]:
     ]
 
 
+def _induced_bellman_ctes(
+    below: int,
+    rounds: int,
+    src_pred: str = "TRUE",
+    extra_edge_pred: str = "TRUE",
+    weight_expr: str = "min(weight)",
+) -> list[str]:
+    """Unrolled synchronous Bellman-Ford over the induced subgraph on ids
+    < ``below`` (bounded rows: ≤ below² per round CTE, safely MATERIALIZED).
+    Sources = induced vertices matching ``src_pred``; final d{rounds}."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        f"iv AS (SELECT id FROM v WHERE id < {below})",
+        f"wadj AS (SELECT src, dst, {weight_expr} AS weight FROM edges"
+        f" WHERE src < {below} AND dst < {below} AND ({extra_edge_pred})"
+        f" GROUP BY src, dst)",
+        f"d0 AS (SELECT id AS source, id, 0.0 AS dist FROM iv"
+        f" WHERE {src_pred})",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT source, id, min(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM d{k - 1}"
+            f" UNION ALL SELECT p.source, e.dst AS id, p.dist + e.weight AS dist"
+            f" FROM d{k - 1} p JOIN wadj e ON p.id = e.src) GROUP BY source, id)"
+        )
+    return ctes
+
+
+def fw_local_web_sql(below: int = 60, rounds: int = 60) -> str:
+    """All-pairs exact distances on the induced subgraph (ids < below) —
+    oracle twin of operators/exact.py::floyd_warshall: per-source
+    Bellman-Ford unrolled past |V| rounds computes the same metric."""
+    ctes = _induced_bellman_ctes(below, rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source AS src, id AS dst, round(dist, {ROUND}) AS dist"
+        f" FROM d{rounds}"
+    )
+
+
+def johnson_neg_web_sql(below: int = 60, rounds: int = 60) -> str:
+    """All-pairs distances with NEGATIVE edge weights on an induced DAG
+    (ids < below, src < dst edges only — acyclic, so no negative cycles;
+    weight shifted by −3 into {−2..2}) — oracle twin of
+    operators/exact.py::johnson.  Bellman-Ford handles the negatives
+    natively, so cost parity here proves Johnson's reweighting is exact."""
+    ctes = _induced_bellman_ctes(
+        below, rounds, extra_edge_pred="src < dst",
+        weight_expr="min(weight) - 3",
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source AS src, id AS dst, round(dist, {ROUND}) AS dist"
+        f" FROM d{rounds}"
+    )
+
+
+def astar_local_web_sql(
+    below: int = 60, rounds: int = 60, source: int = 1,
+    targets: tuple[int, ...] = (2, 3, 5, 58),
+) -> str:
+    """(s, t, dist) — A* cost parity on the induced subgraph: with an
+    admissible heuristic A* returns the exact shortest cost, so the oracle
+    is the Bellman-Ford distance for each queried pair (unreachable pairs
+    absent on both sides)."""
+    ctes = _induced_bellman_ctes(below, rounds, src_pred=f"id = {source}")
+    tlist = ", ".join(str(t) for t in targets)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source AS s, id AS t, round(dist, {ROUND}) AS dist"
+        f" FROM d{rounds} WHERE id IN ({tlist})"
+    )
+
+
+def dfs_tree_web_sql(below: int = 60, rounds: int = 60, source: int = 1) -> str:
+    """(ord, id) — DFS preorder over the min-pred BFS tree of the induced
+    subgraph, children ascending — oracle twin of the dfs_tree_web gate:
+    preorder of a tree with sorted children = lexicographic order of the
+    zero-padded root-path strings (recursive CTE walk down pred edges)."""
+    ctes = _induced_bellman_ctes(
+        below, rounds, src_pred=f"id = {source}", weight_expr="1.0"
+    )
+    ctes.append(
+        f"predt AS (SELECT d.id, min(e.src) AS pred"
+        f" FROM d{rounds} d JOIN wadj e ON e.dst = d.id"
+        f" JOIN d{rounds} u ON u.id = e.src AND u.dist + 1.0 = d.dist"
+        f" GROUP BY d.id)"
+    )
+    ctes.append(
+        "paths(id, p) AS ("
+        f"SELECT {source}, lpad(CAST({source} AS VARCHAR), 6, '0')"
+        " UNION ALL SELECT c.id, w.p || lpad(CAST(c.id AS VARCHAR), 6, '0')"
+        " FROM paths w JOIN predt c ON c.pred = w.id)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(row_number() OVER (ORDER BY p) - 1 AS INT) AS ord,"
+        " id FROM paths"
+    )
+
+
 def sp_tree_web_sql(rounds: int = 30, src_mod: int = 199) -> str:
     """(source, id, dist, pred) weighted shortest-path tree — oracle twin of
     operators/paths.py::shortest_path_tree (post-hoc min-id predecessor over
