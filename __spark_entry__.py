@@ -495,6 +495,70 @@ def _q_dfs_tree_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs_preorder(tg, 1)
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode through the Arrow pipeline: per-id
+    deterministic pixels are encoded as spec-conformant PNG (zlib, filter
+    types cycling 0-4) and GIF (LZW, 64-entry palette) byte streams, then
+    decoded back via functions/codecs.py inside real_image_features
+    (mapInPandas).  The oracle recomputes the per-channel means from the
+    pixel arithmetic alone — parity proves decode correctness bit-exactly."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from graphina_spark.functions.multimodal import real_image_features
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .where(F.col("id") < 120)
+    )
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from graphina_spark.functions.codecs import encode_gif, encode_png
+
+        pal = np.stack(
+            [
+                4 * np.arange(64),
+                255 - 3 * np.arange(64),
+                (7 * np.arange(64)) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h, w = 6 + i % 5, 6 + i % 7
+                base = i + 13 * np.arange(h)[:, None] + 31 * np.arange(w)[None, :]
+                png = np.stack(
+                    [(base + 97 * k) % 256 for k in range(3)], axis=-1
+                ).astype(np.uint8)
+                gif = (base % 64).astype(np.uint8)
+                rows.append(
+                    (i, bytearray(encode_png(png)), bytearray(encode_gif(gif, pal)))
+                )
+            yield pd.DataFrame(rows, columns=["id", "png", "gif"])
+
+    blobs = ids.mapInPandas(build, "id long, png binary, gif binary")
+    outs = []
+    for col in ("png", "gif"):
+        f = real_image_features(
+            blobs.select("id", F.col(col).alias("blob")), id_col="id",
+            blob_col="blob",
+        )
+        outs.append(
+            f.select(
+                "id", "format", "height", "width",
+                F.round("mean_r", ROUND).alias("mean_r"),
+                F.round("mean_g", ROUND).alias("mean_g"),
+                F.round("mean_b", ROUND).alias("mean_b"),
+            )
+        )
+    return outs[0].unionAll(outs[1])
+
+
 def _q_closeness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Wasserman-Faust closeness, exact for a deterministic
     landmark subset (the honest web-scale contract: score the nodes you
@@ -2640,6 +2704,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "johnson_neg_web": _q_johnson_neg_web,
         "astar_local_web": _q_astar_local_web,
         "dfs_tree_web": _q_dfs_tree_web,
+        "media_features": _q_media_features,
         "closeness_web": _q_closeness_web,
         "harmonic_web": _q_harmonic_web,
         "betweenness_web": _q_betweenness_web,
@@ -2895,6 +2960,7 @@ def oracle_sql() -> dict[str, str]:
         "johnson_neg_web": O.johnson_neg_web_sql(),
         "astar_local_web": O.astar_local_web_sql(),
         "dfs_tree_web": O.dfs_tree_web_sql(),
+        "media_features": O.media_features_sql(),
         "closeness_web": O.closeness_web_sql(),
         "harmonic_web": O.harmonic_web_sql(),
         "betweenness_web": O.betweenness_web_sql(),

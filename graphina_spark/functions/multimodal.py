@@ -154,11 +154,12 @@ def real_image_features(
     resize_to: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id, format, height, width, channels, mean_r/g/b, std_r/g/b, ok,
-    err) — REAL image decoding for PPM/BMP blobs (functions/codecs.py pure-
-    numpy decoders; deterministic byte→pixel arithmetic, no libraries),
-    optional nearest-neighbor resize before stats.  Compressed formats
-    (JPEG/PNG) land as ok=false with the actionable error string instead
-    of failing the batch — a 100 TB corpus always carries some of both."""
+    err) — REAL image decoding for PPM/BMP/PNG/GIF blobs
+    (functions/codecs.py pure-numpy + stdlib-zlib/LZW decoders;
+    deterministic byte→pixel arithmetic, no external libraries), optional
+    nearest-neighbor resize before stats.  Library-bound formats (JPEG)
+    land as ok=false with the actionable error string instead of failing
+    the batch — a 100 TB corpus always carries some of both."""
     from graphina_spark.functions.codecs import (
         decode_image,
         image_stats,

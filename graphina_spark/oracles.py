@@ -844,6 +844,33 @@ def dfs_tree_web_sql(below: int = 60, rounds: int = 60, source: int = 1) -> str:
     )
 
 
+def media_features_sql(below: int = 120) -> str:
+    """Twin of the media_features gate: per-id deterministic pixel
+    arithmetic → per-channel means, computed WITHOUT any codec.  The Spark
+    side encodes the same pixels as real PNG (scanline filters cycling all
+    five types) and GIF (LZW, 64-entry palette) bytes and decodes them
+    through functions/codecs.py — parity proves the decoders exactly."""
+    return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+ ids AS (SELECT id FROM v WHERE id < {below}),
+ dims AS (SELECT id, 6 + id % 5 AS h, 6 + id % 7 AS w FROM ids),
+ px AS (SELECT d.id, d.h, d.w, rr.r AS r, cc.c AS c
+        FROM dims d, range(0, 10) rr(r), range(0, 12) cc(c)
+        WHERE rr.r < d.h AND cc.c < d.w),
+ png AS (SELECT id, 'png' AS format, CAST(h AS INT) AS height,
+         CAST(w AS INT) AS width,
+         round(avg((id + 13*r + 31*c) % 256), {ROUND}) AS mean_r,
+         round(avg((id + 13*r + 31*c + 97) % 256), {ROUND}) AS mean_g,
+         round(avg((id + 13*r + 31*c + 194) % 256), {ROUND}) AS mean_b
+         FROM px GROUP BY id, h, w),
+ gif AS (SELECT id, 'gif' AS format, CAST(h AS INT) AS height,
+         CAST(w AS INT) AS width,
+         round(avg(4 * ((id + 13*r + 31*c) % 64)), {ROUND}) AS mean_r,
+         round(avg(255 - 3 * ((id + 13*r + 31*c) % 64)), {ROUND}) AS mean_g,
+         round(avg((7 * ((id + 13*r + 31*c) % 64)) % 256), {ROUND}) AS mean_b
+         FROM px GROUP BY id, h, w)
+SELECT * FROM png UNION ALL SELECT * FROM gif"""
+
+
 def sp_tree_web_sql(rounds: int = 30, src_mod: int = 199) -> str:
     """(source, id, dist, pred) weighted shortest-path tree — oracle twin of
     operators/paths.py::shortest_path_tree (post-hoc min-id predecessor over

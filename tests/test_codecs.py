@@ -128,3 +128,103 @@ def test_real_audio_features_spark(spark):
     assert got[1]["ok"] and got[1]["n_samples"] == 4
     assert got[1]["duration_s"] == pytest.approx(4 / 8000)
     assert not got[2]["ok"]
+
+
+def test_png_roundtrip_all_channel_counts():
+    from graphina_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
+        img = rng.randint(0, 256, (11, 7, ch), dtype=np.uint8)
+        blob = encode_png(img)  # filter cycle: rows hit filters 0..4
+        assert sniff_format(blob) == "png"
+        out = decode_png(blob)
+        assert out.shape == (11, 7, ch) and (out == img).all()
+
+
+def test_png_palette_decode():
+    from graphina_spark.functions.codecs import decode_png
+
+    # hand-built color-type-3 PNG: 2x2 indices over a 3-entry palette,
+    # constructed with raw struct packing (independent of encode_png)
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00\x00\x01" + b"\x00\x02\x01"  # filter 0 rows: [0,1], [2,1]
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    out = decode_png(blob)
+    assert out.shape == (2, 2, 3)
+    assert (out[0, 0] == [255, 0, 0]).all() and (out[0, 1] == [0, 255, 0]).all()
+    assert (out[1, 0] == [0, 0, 255]).all() and (out[1, 1] == [0, 255, 0]).all()
+
+
+def test_png_rejects_out_of_contract():
+    from graphina_spark.functions.codecs import decode_png, encode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(encode_png(img))
+    # flip the IHDR depth byte (offset 8+8+8 = 24) to 16
+    blob[24] = 16
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(blob))
+    blob = bytearray(encode_png(img))
+    blob[28] = 1  # interlace flag on
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(blob))
+
+
+def test_gif_roundtrip_and_interlace():
+    from graphina_spark.functions.codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 16, (9, 13), dtype=np.uint8)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    blob = encode_gif(idx, pal)
+    assert sniff_format(blob) == "gif"
+    assert (decode_gif(blob) == pal[idx]).all()
+
+    # interlaced variant: store rows in Adam-style GIF pass order and set
+    # the descriptor interlace bit; decode must restore sequential order
+    passes = [r for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))
+              for r in range(s, 9, t)]
+    blob2 = bytearray(encode_gif(idx[passes], pal))
+    bits = max(2, int(np.ceil(np.log2(16))))
+    flag_off = 13 + (1 << bits) * 3 + 9  # header+palette+descriptor flags
+    blob2[flag_off] |= 0x40
+    assert (decode_gif(bytes(blob2)) == pal[idx]).all()
+
+
+def test_gif_truncated_raises():
+    from graphina_spark.functions.codecs import decode_gif, encode_gif
+
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    blob = encode_gif(idx, pal)
+    with pytest.raises(ValueError):
+        decode_gif(blob[:20])
+
+
+def test_real_image_features_decodes_png_and_gif(spark):
+    from graphina_spark.functions.codecs import encode_gif, encode_png
+    from graphina_spark.functions.multimodal import real_image_features
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (6, 4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, (5, 5), dtype=np.uint8)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img))), (2, bytearray(encode_gif(idx, pal)))],
+        "media_id long, blob binary",
+    )
+    got = {r["media_id"]: r for r in real_image_features(df).collect()}
+    assert got[1]["ok"] and got[1]["format"] == "png"
+    assert got[1]["mean_r"] == pytest.approx(img[:, :, 0].mean())
+    assert got[2]["ok"] and got[2]["format"] == "gif"
+    assert got[2]["mean_b"] == pytest.approx(pal[idx][:, :, 2].mean())
