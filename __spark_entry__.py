@@ -495,6 +495,58 @@ def _q_dfs_tree_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs_preorder(tg, 1)
 
 
+def _q_incremental_cc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental-CC kernel, driver-certified: the web
+    graph's edges arrive as 3 deterministic micro-batches ((src+dst)%3),
+    folded through streaming/graphkernels.py::merge_components
+    (component-graph contraction — exactly what the foreachBatch sink
+    runs); isolated vertices stay singletons.  Oracle = the batch
+    weakly-connected-components SQL over the FULL edge set, so parity
+    proves the incremental labels are identical to a full recompute."""
+    from graphina_spark.plans.materialize import local_materialize
+    from graphina_spark.streaming.graphkernels import merge_components
+
+    g = _web(spark, sf_dir)
+    labels = spark.createDataFrame([], "id long, component long")
+    for k in range(3):
+        batch = g.edges.where((F.col("src") + F.col("dst")) % 3 == k).select(
+            "src", "dst"
+        )
+        labels = merge_components(labels, batch).transform(local_materialize)
+    return (
+        g.vertices.select("id")
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
+def _q_pagerank_resume_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule RESUMABILITY contract, driver-certified: PageRank
+    runs 2 supersteps with per-iteration checkpoints (parquet state +
+    lineage manifest, plans/checkpoint.py), then a SECOND pagerank() call
+    resumes from the latest manifest and finishes supersteps 3-5.  The
+    oracle is the plain 5-iteration unrolled SQL — parity proves the
+    resumed trajectory is bit-identical to an uninterrupted run."""
+    import tempfile
+
+    from graphina_spark.operators.pagerank import pagerank
+    from graphina_spark.plans.checkpoint import CheckpointManager
+
+    g = _web(spark, sf_dir)
+    ck = CheckpointManager(
+        base=tempfile.mkdtemp(prefix="pr-resume-"),
+        run_id="gate",
+        params={"damping": 0.85, "iters": 5},
+    )
+    # phase 1: supersteps 0-1, checkpointed, result discarded (the "crash")
+    pagerank(g, damping=0.85, fixed_iters=2, tol=None, checkpoint=ck)
+    # phase 2: resume picks up iteration 1's manifest, runs 2-4
+    pr = pagerank(
+        g, damping=0.85, fixed_iters=5, tol=None, checkpoint=ck, resume=True
+    )
+    return pr.select("id", F.round("rank", ROUND).alias("pr"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode through the Arrow pipeline: per-id
     deterministic pixels are encoded as spec-conformant PNG (zlib, filter
@@ -2705,6 +2757,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "astar_local_web": _q_astar_local_web,
         "dfs_tree_web": _q_dfs_tree_web,
         "media_features": _q_media_features,
+        "pagerank_resume_web": _q_pagerank_resume_web,
+        "incremental_cc_web": _q_incremental_cc_web,
         "closeness_web": _q_closeness_web,
         "harmonic_web": _q_harmonic_web,
         "betweenness_web": _q_betweenness_web,
@@ -2961,6 +3015,8 @@ def oracle_sql() -> dict[str, str]:
         "astar_local_web": O.astar_local_web_sql(),
         "dfs_tree_web": O.dfs_tree_web_sql(),
         "media_features": O.media_features_sql(),
+        "pagerank_resume_web": pagerank_web_sql(),
+        "incremental_cc_web": wcc_web_sql(),
         "closeness_web": O.closeness_web_sql(),
         "harmonic_web": O.harmonic_web_sql(),
         "betweenness_web": O.betweenness_web_sql(),
