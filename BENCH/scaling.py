@@ -57,7 +57,7 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
     build_s = time.time() - t0
 
     t0 = time.time()
-    adj = build_adj_shards(g, dangling_sink=True)
+    adj = build_adj_shards(g, dangling_sink=True, compact=True)
     adj.shards.count()
     shard_s = time.time() - t0
 

@@ -187,6 +187,22 @@ def pagerank(
 
     d = damping
     check_tol = tol is not None and fixed_iters is None
+    # One-job supersteps (the default fixed-iteration shape): the dangling
+    # scalar is pulled to the driver by the SAME action that executes the
+    # gather (a 1-row first() — no separate broadcast-build job), and the
+    # per-superstep checkpoint is LAZY, so it materializes inside the next
+    # superstep's action instead of its own job.  Halves scheduled jobs per
+    # superstep; the arithmetic is bit-identical (the scalar is the same
+    # double either way).  Requires the rank frame to be single-use per
+    # superstep: true on the sink-edge dangling path (and when there are no
+    # dangling vertices), NOT on the semi-join fallback (ranks read twice)
+    # or when a delta/convergence join re-reads ranks.
+    one_job = (
+        checkpoint is None
+        and not check_tol
+        and (not has_dangling or sink_in_gather)
+    )
+    prev_gathered = None
     for it in range(start_iter, n_iters):
         if shards is not None:
             gathered = shards.gather(ranks, value="rank")
@@ -202,16 +218,28 @@ def pagerank(
                 .agg(F.sum("c").alias("gather"))
             )
         gathered_cached = None
+        dang_lit = None
         if has_dangling and sink_in_gather:
             # dangling mass came down the same shuffle as every other message:
-            # extract the sink group as a 1-row frame folded into the plan
-            # (broadcast to every task, no driver round-trip).  gathered is
-            # read twice (sink row + vertex join), so cache it for the step.
+            # the sink group is one aggregation row.  gathered is read twice
+            # (sink row + vertex join), so cache it for the step.
             gathered = gathered.cache()
             gathered_cached = gathered
-            dang_df = gathered.where(F.col("id") == -1).agg(
-                F.coalesce(F.sum("gather"), F.lit(0.0)).alias("dang")
-            )
+            if one_job:
+                # THE superstep action: runs the gather (and the previous
+                # iteration's deferred checkpoint), fills the cache, and
+                # returns the sink scalar to the driver
+                dang_lit = (
+                    gathered.where(F.col("id") == -1)
+                    .agg(F.coalesce(F.sum("gather"), F.lit(0.0)))
+                    .first()[0]
+                )
+                if prev_gathered is not None:
+                    prev_gathered.unpersist()
+            else:
+                dang_df = gathered.where(F.col("id") == -1).agg(
+                    F.coalesce(F.sum("gather"), F.lit(0.0)).alias("dang")
+                )
         elif has_dangling:
             # shards built without dangling_sink: per-superstep semi-join
             # against the dangling-id set (the pre-sink fallback shape)
@@ -221,7 +249,9 @@ def pagerank(
             )
         # the -1 sink row drops out of the left join below (vinfo has no -1)
         joined = vinfo.join(gathered, "id", "left")
-        if has_dangling:
+        if has_dangling and dang_lit is not None:
+            dang_col = F.lit(d) * F.lit(float(dang_lit)) * F.col("p")
+        elif has_dangling:
             joined = joined.crossJoin(F.broadcast(dang_df))
             dang_col = F.lit(d) * F.col("dang") * F.col("p")
         else:
@@ -235,10 +265,12 @@ def pagerank(
             ).alias("rank"),
         )
 
-        # Materialize every superstep: the rank frame is referenced twice next
-        # iteration (dangling agg + gather), so a lazy chain recomputes the
-        # whole history ~2^k times; eager materialization keeps work linear
-        # AND truncates lineage (plan depth stays O(1) across iterations).
+        # Materialize every superstep: eager when the rank frame is
+        # referenced twice next iteration (dangling semi-join or delta
+        # check — a lazy chain would recompute the history ~2^k times);
+        # LAZY on the one-job path, where the next superstep's first()
+        # action materializes it.  Either way lineage truncates and plan
+        # depth stays O(1) across iterations.
         delta = None
         if checkpoint is not None:
             if check_tol:
@@ -254,7 +286,7 @@ def pagerank(
             else:
                 new_ranks = checkpoint.save(spark, new_ranks, it)
         else:
-            new_ranks = new_ranks.transform(_mat)
+            new_ranks = _mat(new_ranks, eager=not one_job)
             if check_tol:
                 delta = (
                     new_ranks.alias("a")
@@ -263,7 +295,11 @@ def pagerank(
                     .first()[0]
                 )
 
-        if gathered_cached is not None:
+        if one_job:
+            # gathered cache is still needed by the deferred checkpoint;
+            # unpersist it when the NEXT superstep's action has run
+            prev_gathered = gathered_cached
+        elif gathered_cached is not None:
             gathered_cached.unpersist()
         ranks.unpersist()
         if it == n_iters - 1 and edges_norm is not None:
@@ -275,6 +311,10 @@ def pagerank(
         if delta is not None and delta < tol:
             break
 
+    if one_job and prev_gathered is not None:
+        # force the final deferred checkpoint, then drop the last cache
+        ranks.count()
+        prev_gathered.unpersist()
     return ranks.select("id", "rank")
 
 

@@ -65,9 +65,18 @@ def _rewrap_keep_partitioning(ck: DataFrame) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
-def local_materialize(df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` with flat lineage, non-inherited stats, and
+def local_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` with flat lineage, non-inherited stats, and
     preserved output partitioning.
+
+    ``eager=False`` defers the checkpoint's execution to the first action
+    that reads it — in a superstep loop whose NEXT iteration starts with its
+    own small job (e.g. the dangling-mass broadcast build), the deferred
+    checkpoint rides inside that job, cutting scheduled jobs per superstep
+    from two to one.  Correct ONLY when the frame is consumed exactly once
+    before the next checkpoint (a doubly-referenced lazy frame would
+    recompute); the PageRank sink-edge path satisfies this — ranks feed one
+    gather join per superstep.
 
     AQE is disabled around the checkpoint: physical planning happens inside
     ``localCheckpoint(eager=True)``, and under AQE the leaf comes back as
@@ -88,7 +97,7 @@ def local_materialize(df: DataFrame) -> DataFrame:
         _prev = "true"
     spark.conf.set(_key, "false")
     try:
-        ck = df.localCheckpoint(eager=True)
+        ck = df.localCheckpoint(eager=eager)
     finally:
         spark.conf.set(_key, _prev)
     try:

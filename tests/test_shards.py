@@ -115,3 +115,28 @@ def test_dangling_sink_shards_match_plain_and_semi_join(spark):
     assert sink.wout.where(F.col("src").isin(3, 4)).count() == 0
     sink.unpersist()
     nosink.unpersist()
+
+
+def test_compact_shards_match_f64_within_contract(spark, sf_dir):
+    # int32 dst / float32 w_norm layout: ids exact, ranks within the north
+    # rule's allclose 1e-6 of the float64 kernel (error bound 2^-23/(1-d))
+    g = web_graph(spark, sf_dir)
+    cp = build_adj_shards(g, salt_cap=3, dangling_sink=True, compact=True)
+    assert dict(cp.shards.dtypes)["dst_list"] == "array<int>"
+    assert dict(cp.shards.dtypes)["w_list"] == "array<float>"
+    plain = _pr_map(pagerank(g, fixed_iters=10, tol=None))
+    compact = _pr_map(
+        pagerank(g, fixed_iters=10, tol=None, shards=cp, shards_min_edges=0)
+    )
+    assert plain.keys() == compact.keys()
+    assert all(abs(plain[k] - compact[k]) < 1e-6 for k in plain)
+    cp.unpersist()
+
+
+def test_compact_shards_reject_wide_ids(spark):
+    g = make_graph(spark, [(0, 1)], n=2, directed=True)
+    g.vertices = spark.createDataFrame(
+        [(0,), (2**31 + 5,)], "id long"
+    )
+    with pytest.raises(ValueError, match="2\\^31"):
+        build_adj_shards(g, compact=True)
