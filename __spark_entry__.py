@@ -547,6 +547,40 @@ def _q_pagerank_resume_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", ROUND).alias("pr"))
 
 
+def _q_mst_exact_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal MSF (exact lane, mst/algorithms.rs:295-360) on the induced
+    id<150 subgraph — under the (weight, src, dst) total order the forest
+    is UNIQUE, so the Borůvka-unrolled oracle reproduces the edge set;
+    Prim equality is pinned in pytest."""
+    from graphina_spark.operators.exact import kruskal_msf
+    from graphina_spark.operators.subgraphs import induced_subgraph
+
+    g = _web(spark, sf_dir)
+    sub = induced_subgraph(g, g.vertices.where(F.col("id") < 150))
+    k = kruskal_msf(sub)
+    return k.select("src", "dst", F.round("weight", ROUND).alias("weight"))
+
+
+def _q_tsp_local_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy TSP tour (approximation/tsp.rs:10-92) on the bounded
+    subgraph: hop to the nearest unvisited vertex by shortest-path
+    distance; partial tours allowed on disconnected inductions."""
+    from graphina_spark.operators.exact import greedy_tsp
+
+    t = greedy_tsp(_sub60(spark, sf_dir), 1, partial=True)
+    return t.select("step", "id", F.round("leg_dist", ROUND).alias("leg_dist"))
+
+
+def _q_treewidth_local_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-degree treewidth elimination game (approximation/
+    treewidth.rs:33-160) on the bounded subgraph: full elimination order +
+    per-step fill-in degree (width = max deg_at_elim), gated against the
+    step-unrolled SQL elimination."""
+    from graphina_spark.operators.exact import treewidth_decomposition
+
+    return treewidth_decomposition(_sub60(spark, sf_dir), "min_degree")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode through the Arrow pipeline: per-id
     deterministic pixels are encoded as spec-conformant PNG (zlib, filter
@@ -2759,6 +2793,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "pagerank_resume_web": _q_pagerank_resume_web,
         "incremental_cc_web": _q_incremental_cc_web,
+        "mst_exact_web": _q_mst_exact_web,
+        "tsp_local_web": _q_tsp_local_web,
+        "treewidth_local_web": _q_treewidth_local_web,
         "closeness_web": _q_closeness_web,
         "harmonic_web": _q_harmonic_web,
         "betweenness_web": _q_betweenness_web,
@@ -3017,6 +3054,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features": O.media_features_sql(),
         "pagerank_resume_web": pagerank_web_sql(),
         "incremental_cc_web": wcc_web_sql(),
+        "mst_exact_web": O.mst_exact_web_sql(),
+        "tsp_local_web": O.tsp_local_web_sql(),
+        "treewidth_local_web": O.treewidth_local_web_sql(),
         "closeness_web": O.closeness_web_sql(),
         "harmonic_web": O.harmonic_web_sql(),
         "betweenness_web": O.betweenness_web_sql(),

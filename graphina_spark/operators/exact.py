@@ -346,3 +346,196 @@ def astar_path(
         [(i, u, float(dist[u])) for i, u in enumerate(chain)],
         "step int, id long, dist double",
     )
+
+
+def kruskal_msf(
+    g: LinkGraph, max_vertices: int = DEFAULT_MAX_VERTICES
+) -> DataFrame:
+    """(src, dst, weight) — minimum spanning forest by Kruskal
+    (mst/algorithms.rs:295-360) under the repo-wide (weight, src, dst)
+    total-order tie-break.  A total order makes the MSF UNIQUE, so Kruskal,
+    Prim and the distributed Borůvka (operators/mst.py) all return the
+    identical edge set (pinned in tests) — the exact-lane mirror of the
+    gated msf contract.  Canonical undirected projection: a < b pairs,
+    min weight per pair, self-loops dropped."""
+    ids, edges = _collect_graph(g, max_vertices, "kruskal_msf")
+    best: dict[tuple[int, int], float] = {}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        k = (min(u, v), max(u, v))
+        if k not in best or w < best[k]:
+            best[k] = w
+    parent = {u: u for u in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for (a, b), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            chosen.append((a, b, w))
+    return g.vertices.sparkSession.createDataFrame(
+        chosen, "src long, dst long, weight double"
+    )
+
+
+def prim_msf(
+    g: LinkGraph, max_vertices: int = DEFAULT_MAX_VERTICES
+) -> DataFrame:
+    """(src, dst, weight) — minimum spanning forest by Prim
+    (mst/algorithms.rs:367-440), heap keyed by the same (weight, src, dst)
+    total order, run from the min-id vertex of each component: returns the
+    same unique forest as :func:`kruskal_msf`."""
+    ids, edges = _collect_graph(g, max_vertices, "prim_msf")
+    adj: dict[int, list] = {u: [] for u in ids}
+    best: dict[tuple[int, int], float] = {}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        k = (min(u, v), max(u, v))
+        if k not in best or w < best[k]:
+            best[k] = w
+    for (a, b), w in best.items():
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    seen: set[int] = set()
+    chosen = []
+    for root in ids:
+        if root in seen:
+            continue
+        seen.add(root)
+        pq = [(w, min(root, v), max(root, v), v) for v, w in adj[root]]
+        heapq.heapify(pq)
+        while pq:
+            w, a, b, v = heapq.heappop(pq)
+            if v in seen:
+                continue
+            seen.add(v)
+            chosen.append((a, b, w))
+            for x, wx in adj[v]:
+                if x not in seen:
+                    heapq.heappush(pq, (wx, min(v, x), max(v, x), x))
+    chosen.sort(key=lambda t: (t[2], t[0], t[1]))
+    return g.vertices.sparkSession.createDataFrame(
+        chosen, "src long, dst long, weight double"
+    )
+
+
+def greedy_tsp(
+    g: LinkGraph,
+    start: int,
+    partial: bool = False,
+    max_vertices: int = DEFAULT_MAX_VERTICES,
+) -> DataFrame:
+    """(step, id, leg_dist) — greedy TSP tour (approximation/tsp.rs:10-92):
+    from the current vertex, hop to the NEAREST unvisited vertex by
+    shortest-path distance (Dijkstra metric, ties broken by min id), repeat.
+    ``leg_dist`` is that shortest-path distance (0 for the start row).
+
+    The reference errors when an unvisited vertex is unreachable or the
+    closing direct edge is missing; ``partial=True`` instead stops the tour
+    at the last reachable vertex (the gate contract on an arbitrary induced
+    subgraph).  The closing return-to-start leg is appended only when every
+    vertex was visited and the start is reachable from the last stop."""
+    ids, edges = _collect_graph(g, max_vertices, "greedy_tsp")
+    if any(w < 0 for _, _, w in edges):
+        raise ValueError("greedy_tsp requires non-negative edge weights")
+    adj = _adj_sorted(ids, edges, weighted=True)
+    spark = g.vertices.sparkSession
+    if int(start) not in adj:
+        raise ValueError(f"start vertex {start} not in graph")
+    if len(ids) < 2:
+        raise ValueError("greedy_tsp needs at least two vertices")
+
+    def dij(s: int) -> dict[int, float]:
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if du > dist.get(u, float("inf")):
+                continue
+            for v, w in adj[u]:
+                nd = du + w
+                if nd < dist.get(v, float("inf")) - 1e-15:
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    cur = int(start)
+    tour = [(0, cur, 0.0)]
+    unvisited = set(ids) - {cur}
+    while unvisited:
+        dist = dij(cur)
+        cand = [(dist[v], v) for v in unvisited if v in dist]
+        if not cand:
+            if partial:
+                break
+            raise ValueError("greedy_tsp: unreachable unvisited vertex")
+        dmin, nxt = min(cand)
+        tour.append((len(tour), nxt, float(dmin)))
+        unvisited.discard(nxt)
+        cur = nxt
+    if not unvisited:
+        dist = dij(cur)
+        if int(start) in dist:
+            tour.append((len(tour), int(start), float(dist[int(start)])))
+        elif not partial:
+            raise ValueError("greedy_tsp: cannot close the tour")
+    return spark.createDataFrame(tour, "step int, id long, leg_dist double")
+
+
+def treewidth_decomposition(
+    g: LinkGraph,
+    heuristic: str = "min_degree",
+    max_vertices: int = DEFAULT_MAX_VERTICES,
+) -> DataFrame:
+    """(step, id, deg_at_elim) — elimination order + per-step degree from
+    the treewidth elimination game (approximation/treewidth.rs:33-160
+    ``min_degree``, :199+ ``min_fill_in``): repeatedly eliminate the vertex
+    minimizing the heuristic key (ties by min id), turning its neighborhood
+    into a clique (fill-in edges).  The treewidth upper bound is
+    ``max(deg_at_elim)``.  Works on the simple undirected projection."""
+    if heuristic not in ("min_degree", "min_fill_in"):
+        raise ValueError(f"unknown heuristic {heuristic!r}")
+    ids, edges = _collect_graph(g, max_vertices, "treewidth_decomposition")
+    nbr: dict[int, set] = {u: set() for u in ids}
+    for u, v, _ in edges:
+        if u != v:
+            nbr[u].add(v)
+            nbr[v].add(u)
+
+    def fill_in(u: int) -> int:
+        ns = list(nbr[u])
+        return sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if ns[j] not in nbr[ns[i]]
+        )
+
+    out = []
+    step = 0
+    while nbr:
+        if heuristic == "min_degree":
+            u = min(nbr, key=lambda x: (len(nbr[x]), x))
+        else:
+            u = min(nbr, key=lambda x: (fill_in(x), x))
+        ns = sorted(nbr[u])
+        out.append((step, u, len(ns)))
+        step += 1
+        for i, a in enumerate(ns):
+            for b in ns[i + 1 :]:
+                nbr[a].add(b)
+                nbr[b].add(a)
+        for a in ns:
+            nbr[a].discard(u)
+        del nbr[u]
+    return g.vertices.sparkSession.createDataFrame(
+        out, "step int, id long, deg_at_elim int"
+    )

@@ -68,6 +68,7 @@ def pagerank(
     shards: "AdjShards | None" = None,
     shards_min_edges: int | None = None,
     stats: dict | None = None,
+    one_job_supersteps: bool | None = None,
 ) -> DataFrame:
     """Return ``(id: long, rank: double)``, Σ rank = 1.
 
@@ -201,6 +202,8 @@ def pagerank(
         checkpoint is None
         and not check_tol
         and (not has_dangling or sink_in_gather)
+        if one_job_supersteps is None
+        else one_job_supersteps
     )
     prev_gathered = None
     for it in range(start_iter, n_iters):

@@ -844,6 +844,166 @@ def dfs_tree_web_sql(below: int = 60, rounds: int = 60, source: int = 1) -> str:
     )
 
 
+def mst_exact_web_sql(below: int = 150, rounds: int = 8) -> str:
+    """Unique MSF edge set on the induced web subgraph — oracle twin of
+    operators/exact.py::kruskal_msf/prim_msf: under the (weight, src, dst)
+    total-order tie-break the forest is unique, so an unrolled Borůvka with
+    the same tie-break reproduces Kruskal's exact edge set."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        f"em AS MATERIALIZED (SELECT least(src, dst) AS src,"
+        f" greatest(src, dst) AS dst, min(weight) AS weight FROM edges"
+        f" WHERE src < {below} AND dst < {below} AND src <> dst"
+        f" GROUP BY 1, 2)",
+        f"l0 AS MATERIALIZED (SELECT id, id AS comp FROM v WHERE id < {below})",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"cross{k} AS MATERIALIZED (SELECT e.src, e.dst, e.weight,"
+            f" ls.comp AS ecs, ld.comp AS ecd"
+            f" FROM em e JOIN {p} ls ON e.src = ls.id"
+            f" JOIN {p} ld ON e.dst = ld.id WHERE ls.comp <> ld.comp)"
+        )
+        ctes.append(
+            f"per{k} AS MATERIALIZED (SELECT ecs AS comp, src, dst, weight,"
+            f" ecs, ecd FROM cross{k}"
+            f" UNION ALL SELECT ecd AS comp, src, dst, weight, ecs, ecd"
+            f" FROM cross{k})"
+        )
+        ctes.append(
+            f"chosen{k} AS MATERIALIZED (SELECT DISTINCT src, dst, weight,"
+            f" ecs, ecd FROM ("
+            f"SELECT comp, src, dst, weight, ecs, ecd,"
+            f" row_number() OVER (PARTITION BY comp"
+            f" ORDER BY weight, src, dst) AS rn"
+            f" FROM per{k}) t WHERE rn = 1)"
+        )
+        ctes.append(
+            f"msym{k} AS MATERIALIZED (SELECT ecs AS a, ecd AS b FROM chosen{k}"
+            f" UNION ALL SELECT ecd AS a, ecs AS b FROM chosen{k})"
+        )
+        ctes.append(
+            f"reach{k}(c, r) AS ("
+            f"SELECT comp AS c, comp AS r FROM (SELECT DISTINCT comp FROM {p}) t0"
+            f" UNION "
+            f"SELECT m.b AS c, reach{k}.r FROM reach{k}"
+            f" JOIN msym{k} m ON reach{k}.c = m.a)"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, nc.newc AS comp FROM {p} l JOIN"
+            f" (SELECT c, min(r) AS newc FROM reach{k} GROUP BY c) nc"
+            f" ON l.comp = nc.c)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT src, dst, weight FROM chosen{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT src, dst, round(weight, {ROUND}) AS weight"
+        f" FROM ({finals}) allc"
+    )
+
+
+def tsp_local_web_sql(below: int = 60, rounds: int = 60, start: int = 1) -> str:
+    """Greedy TSP tour order — oracle twin of operators/exact.py::greedy_tsp
+    (partial=True): unrolled nearest-unvisited-by-shortest-distance picks
+    over the all-pairs Bellman-Ford table, (dist, id) tie-break, closing
+    return-to-start leg only when every induced vertex was visited."""
+    ctes = _induced_bellman_ctes(below, rounds)
+    ctes.append(
+        f"p0 AS MATERIALIZED (SELECT {start} AS id, 0 AS step,"
+        f" 0.0 AS leg_dist)"
+    )
+    for k in range(1, below):
+        p = f"p{k - 1}"
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT * FROM {p}"
+            f" UNION ALL SELECT * FROM ("
+            f"SELECT d.id, {k} AS step, d.dist AS leg_dist FROM d{rounds} d"
+            f" WHERE d.source = (SELECT id FROM {p} WHERE step = {k - 1})"
+            f" AND d.id NOT IN (SELECT id FROM {p})"
+            f" ORDER BY d.dist, d.id LIMIT 1) pick)"
+        )
+    last = f"p{below - 1}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT step, id, round(leg_dist, {ROUND}) AS leg_dist FROM {last}
+UNION ALL
+SELECT (SELECT max(step) + 1 FROM {last}), {start},
+       round((SELECT dist FROM d{rounds}
+              WHERE source = (SELECT id FROM {last}
+                              WHERE step = (SELECT max(step) FROM {last}))
+              AND id = {start}), {ROUND})
+WHERE (SELECT count(*) FROM {last}) = (SELECT count(*) FROM iv)
+  AND EXISTS (SELECT 1 FROM d{rounds}
+              WHERE source = (SELECT id FROM {last}
+                              WHERE step = (SELECT max(step) FROM {last}))
+              AND id = {start})"""
+    )
+
+
+def treewidth_local_web_sql(below: int = 60) -> str:
+    """Min-degree elimination game — oracle twin of
+    operators/exact.py::treewidth_decomposition(heuristic='min_degree'):
+    unrolled steps, each eliminating the (degree, id)-minimal vertex of the
+    PARTIALLY FILLED-IN graph and adding its neighborhood clique."""
+    ctes = [
+        WEB_EDGES_CTE.strip(),
+        f"te0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        f" greatest(src, dst) AS b FROM edges"
+        f" WHERE src < {below} AND dst < {below} AND src <> dst)",
+        f"tr0 AS MATERIALIZED (SELECT id FROM v WHERE id < {below})",
+    ]
+    picks = []
+    for k in range(1, below):
+        p, e = f"tr{k - 1}", f"te{k - 1}"
+        ctes.append(
+            f"tdeg{k} AS MATERIALIZED (SELECT r.id,"
+            f" (SELECT count(*) FROM {e} WHERE a = r.id OR b = r.id) AS d"
+            f" FROM {p} r)"
+        )
+        ctes.append(
+            f"tpick{k} AS MATERIALIZED (SELECT id, d FROM tdeg{k}"
+            f" ORDER BY d, id LIMIT 1)"
+        )
+        ctes.append(
+            f"tnb{k} AS MATERIALIZED ("
+            f"SELECT b AS v FROM {e} WHERE a = (SELECT id FROM tpick{k})"
+            f" UNION SELECT a FROM {e} WHERE b = (SELECT id FROM tpick{k}))"
+        )
+        ctes.append(
+            f"te{k} AS MATERIALIZED ("
+            f"SELECT a, b FROM {e}"
+            f" WHERE a <> (SELECT id FROM tpick{k})"
+            f" AND b <> (SELECT id FROM tpick{k})"
+            f" UNION SELECT n1.v AS a, n2.v AS b FROM tnb{k} n1, tnb{k} n2"
+            f" WHERE n1.v < n2.v)"
+        )
+        ctes.append(
+            f"tr{k} AS MATERIALIZED (SELECT id FROM {p}"
+            f" WHERE id <> (SELECT id FROM tpick{k}))"
+        )
+        picks.append(
+            f"SELECT {k - 1} AS step, id, CAST(d AS INT) AS deg_at_elim"
+            f" FROM tpick{k}"
+        )
+    # the final remaining vertex (if any) eliminates at degree 0
+    picks.append(
+        f"SELECT {below - 1} AS step, id, 0 AS deg_at_elim FROM tr{below - 1}"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(step AS INT) AS step, id, deg_at_elim FROM ("
+        + " UNION ALL ".join(picks)
+        + ") allp WHERE id IS NOT NULL"
+    )
+
+
 def media_features_sql(below: int = 120) -> str:
     """Twin of the media_features gate: per-id deterministic pixel
     arithmetic → per-channel means, computed WITHOUT any codec.  The Spark

@@ -165,3 +165,85 @@ def test_ida_star_matches_astar(spark):
         # same optimal COST (paths may differ among ties)
         assert b[-1]["dist"] == pytest.approx(a[-1]["dist"])
         assert b[0]["id"] == 0 and b[-1]["id"] == t
+
+
+def test_kruskal_prim_boruvka_same_forest(spark):
+    from graphina_spark.operators.exact import kruskal_msf, prim_msf
+    from graphina_spark.operators.mst import boruvka_msf
+
+    edges, weights = _rand(23, 14, 0.25, directed=False)
+    g = make_graph(spark, edges, n=14, directed=False, weights=weights)
+    k = {(r["src"], r["dst"], r["weight"]) for r in kruskal_msf(g).collect()}
+    p = {(r["src"], r["dst"], r["weight"]) for r in prim_msf(g).collect()}
+    b = {
+        (r["src"], r["dst"], r["weight"]) for r in boruvka_msf(g).collect()
+    }
+    # total-order tie-break => the forest is unique => all three agree
+    assert k == p == b and len(k) > 0
+    # forest invariant: |edges| = |vertices in play| - |components|
+    verts = {v for e in edges for v in e}
+    import collections
+
+    par = {v: v for v in range(14)}
+
+    def find(x):
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for u, v in edges:
+        par[find(u)] = find(v)
+    ncomp = len({find(v) for v in range(14)})
+    assert len(k) == 14 - ncomp
+
+
+def test_greedy_tsp_visits_all_nearest_first(spark):
+    from graphina_spark.operators.exact import greedy_tsp
+
+    # 0-1 (1), 1-2 (1), 0-2 (5), 2-3 (2): from 0 nearest is 1, then 2, then 3
+    g = make_graph(
+        spark, [(0, 1), (1, 2), (0, 2), (2, 3)], n=4, directed=False,
+        weights=[1.0, 1.0, 5.0, 2.0],
+    )
+    t = greedy_tsp(g, 0).orderBy("step").collect()
+    assert [r["id"] for r in t] == [0, 1, 2, 3, 0]
+    assert [r["leg_dist"] for r in t] == [0.0, 1.0, 1.0, 2.0, 4.0]
+
+
+def test_greedy_tsp_partial_and_errors(spark):
+    from graphina_spark.operators.exact import greedy_tsp
+
+    g = make_graph(spark, [(0, 1)], n=3, directed=True, weights=[1.0])
+    with pytest.raises(ValueError, match="unreachable"):
+        greedy_tsp(g, 0)
+    t = greedy_tsp(g, 0, partial=True).orderBy("step").collect()
+    assert [r["id"] for r in t] == [0, 1]  # vertex 2 unreachable, no close
+
+
+def test_treewidth_min_degree_known_values(spark):
+    from graphina_spark.operators.exact import treewidth_decomposition
+
+    # a 4-cycle has treewidth 2: first elimination (deg 2) fills one chord
+    g = make_graph(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 0)], n=4, directed=False
+    )
+    rows = treewidth_decomposition(g, "min_degree").orderBy("step").collect()
+    assert [r["id"] for r in rows] == [0, 1, 2, 3]
+    assert max(r["deg_at_elim"] for r in rows) == 2
+    # a tree has treewidth 1
+    g2 = make_graph(spark, [(0, 1), (1, 2), (1, 3)], n=4, directed=False)
+    rows2 = treewidth_decomposition(g2, "min_degree").collect()
+    assert max(r["deg_at_elim"] for r in rows2) == 1
+
+
+def test_treewidth_min_fill_in_prefers_chordal_elimination(spark):
+    from graphina_spark.operators.exact import treewidth_decomposition
+
+    # K4 minus an edge: min-fill-in eliminates a degree-2 vertex first
+    g = make_graph(
+        spark, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)], n=4, directed=False
+    )
+    rows = treewidth_decomposition(g, "min_fill_in").orderBy("step").collect()
+    assert rows[0]["id"] in (2, 3) and rows[0]["deg_at_elim"] == 2
+    assert max(r["deg_at_elim"] for r in rows) == 2
