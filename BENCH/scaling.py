@@ -71,24 +71,28 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
     lo, hi = max(1, iters // 3), iters
     pagerank(g, fixed_iters=1, tol=None, shards=adj, shards_min_edges=0,
              one_job_supersteps=oj).count()
-    per_iter = []
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
+    t_los, t_his = [], []
     for _ in range(reps):
         t0 = time.time()
         pagerank(g, fixed_iters=lo, tol=None, shards=adj, shards_min_edges=0,
                  one_job_supersteps=oj).count()
-        t_lo = time.time() - t0
+        t_los.append(time.time() - t0)
         t0 = time.time()
         pagerank(g, fixed_iters=hi, tol=None, shards=adj, shards_min_edges=0,
                  one_job_supersteps=oj).count()
-        t_hi = time.time() - t0
-        per_iter.append((t_hi - t_lo) / (hi - lo))
-    # MIN over repetitions: on a shared box, interference (GC storms,
-    # noisy neighbors — measured 3x swings between identical runs) only
-    # ever ADDS time, so the minimum differential is the least-biased
-    # estimate of the kernel's sustained superstep cost.  All samples are
-    # reported for transparency.
-    sec = min(per_iter)
+        t_his.append(time.time() - t0)
+    # Interference-robust differential: on a shared box, noise (GC storms,
+    # other tenants — measured 5x swings between identical runs) only ever
+    # ADDS time to a RAW phase timing, so min(t_hi) and min(t_lo) are each
+    # clean estimates and their difference is a sound differential.  (A min
+    # over per-rep DIFFERENTIALS would be biased LOW — interference landing
+    # in a rep's lo-phase shrinks that rep's differential below truth.)
+    # All raw samples are reported for transparency.
+    per_iter = [
+        (t_his[i] - t_los[i]) / (hi - lo) for i in range(reps)
+    ]
+    sec = (min(t_his) - min(t_los)) / (hi - lo)
     print(
         "WORKER_JSON:"
         + json.dumps(
@@ -101,6 +105,8 @@ def worker(cores: int, pages: int, avg_out: int, iters: int) -> None:
                 "shard_sec": round(shard_s, 2),
                 "superstep_sec": round(sec, 4),
                 "superstep_samples": [round(x, 4) for x in per_iter],
+                "t_lo_samples": [round(x, 3) for x in t_los],
+                "t_hi_samples": [round(x, 3) for x in t_his],
                 "edges_per_sec": round(n_edges / sec, 1),
                 "iters_per_hour": round(3600.0 / sec, 1),
             }
