@@ -37,7 +37,14 @@ def discover() -> list[str]:
     )
 
 
+ORACLE_FILE = "tests/test_oracle_parity.py"
+ORACLE_SPLITS = 4  # the one dominant file; its gates shard via ORACLE_SHARD
+
+
 def split(files: list[str], n: int) -> list[list[str]]:
+    """Greedy LPT over (file, env) work units; the oracle-parity file is
+    pre-split into ORACLE_SPLITS units that run the same file under
+    different ORACLE_SHARD filters."""
     try:
         with open(DUR_PATH) as f:
             dur = json.load(f)
@@ -47,10 +54,27 @@ def split(files: list[str], n: int) -> list[list[str]]:
     def cost(f: str) -> float:
         return dur.get(f) or os.path.getsize(os.path.join(REPO, f)) / 1e4
 
-    shards: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]
-    for f in sorted(files, key=cost, reverse=True):
+    units: list[tuple[str, dict, float]] = []
+    n_osplits = min(ORACLE_SPLITS, n)
+    oracle_units = []
+    for f in files:
+        if f == ORACLE_FILE:
+            for i in range(n_osplits):
+                oracle_units.append(
+                    (f, {"ORACLE_SHARD": f"{i}/{n_osplits}"},
+                     cost(f) / n_osplits)
+                )
+        else:
+            units.append((f, {}, cost(f)))
+
+    shards: list[tuple[float, list]] = [(0.0, []) for _ in range(n)]
+    # env-split units must land on DISTINCT shards (one pytest process can
+    # carry only one ORACLE_SHARD env value) — seed them first
+    for i, u in enumerate(oracle_units):
+        shards[i] = (shards[i][0] + u[2], shards[i][1] + [u])
+    for u in sorted(units, key=lambda u: u[2], reverse=True):
         i = min(range(n), key=lambda k: shards[k][0])
-        shards[i] = (shards[i][0] + cost(f), shards[i][1] + [f])
+        shards[i] = (shards[i][0] + u[2], shards[i][1] + [u])
     return [s[1] for s in shards if s[1]]
 
 
@@ -71,15 +95,22 @@ def main() -> int:
         scratch = os.path.join("/tmp", f"pytest-shard-{os.getpid()}-{i}")
         os.makedirs(scratch, exist_ok=True)
         env["SPARK_LOCAL_DIRS"] = scratch
+        # a shard may mix at most ONE env-split unit with plain files; run
+        # units with identical extra-env in one pytest invocation
+        extra = {}
+        for _f, e, _c in shard:
+            extra.update(e)
+        env.update(extra)
+        shard_files = sorted({f for f, _e, _c in shard})
         cmd = (
             [sys.executable, "-m", "pytest"]
             + a.pytest_args.split()
-            + ["-p", "no:cacheprovider", "--durations=0", *shard]
+            + ["-p", "no:cacheprovider", "--durations=0", *shard_files]
         )
         procs.append(
             (
                 i,
-                shard,
+                shard_files,
                 subprocess.Popen(
                     cmd, cwd=REPO, env=env,
                     stdout=subprocess.PIPE, stderr=subprocess.STDOUT,

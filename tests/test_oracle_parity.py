@@ -43,7 +43,19 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def _shard_names():
+    """All gate names, optionally filtered to one shard (i of n) so the
+    parallel runner (jobs/run_tests.py) can split this file — the single
+    slowest in the suite — across processes: ORACLE_SHARD=i/n."""
+    names = sorted(entrymod.queries().keys())
+    spec = os.environ.get("ORACLE_SHARD")
+    if not spec:
+        return names
+    i, n = (int(x) for x in spec.split("/"))
+    return [nm for k, nm in enumerate(names) if k % n == i]
+
+
+@pytest.mark.parametrize("name", _shard_names())
 def test_parity(spark, sf_dir, name):
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
