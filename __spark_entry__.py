@@ -520,6 +520,25 @@ def _q_incremental_cc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_sharded_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale salted-CSR shard kernel itself (plans/shards.py gather
+    with dangling sink + one-job supersteps), FORCED below the auto-select
+    crossover via shards_min_edges=0 — oracle identical to pagerank_web's
+    unrolled SQL, so the driver certifies the 100 TB execution path, not
+    just the plain-join fallback it delegates to at gate scale."""
+    from graphina_spark.operators.pagerank import pagerank
+    from graphina_spark.plans.shards import build_adj_shards
+
+    g = _web(spark, sf_dir)
+    adj = build_adj_shards(g, salt_cap=50, dangling_sink=True)
+    pr = pagerank(
+        g, damping=0.85, fixed_iters=5, tol=None, shards=adj,
+        shards_min_edges=0,
+    )
+    out = pr.select("id", F.round("rank", ROUND).alias("pr"))
+    return out
+
+
 def _q_pagerank_resume_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule RESUMABILITY contract, driver-certified: PageRank
     runs 2 supersteps with per-iteration checkpoints (parquet state +
@@ -2792,6 +2811,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfs_tree_web": _q_dfs_tree_web,
         "media_features": _q_media_features,
         "pagerank_resume_web": _q_pagerank_resume_web,
+        "pagerank_sharded_web": _q_pagerank_sharded_web,
         "incremental_cc_web": _q_incremental_cc_web,
         "mst_exact_web": _q_mst_exact_web,
         "tsp_local_web": _q_tsp_local_web,
@@ -3053,6 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         "dfs_tree_web": O.dfs_tree_web_sql(),
         "media_features": O.media_features_sql(),
         "pagerank_resume_web": pagerank_web_sql(),
+        "pagerank_sharded_web": pagerank_web_sql(),
         "incremental_cc_web": wcc_web_sql(),
         "mst_exact_web": O.mst_exact_web_sql(),
         "tsp_local_web": O.tsp_local_web_sql(),
