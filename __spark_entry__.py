@@ -1276,6 +1276,21 @@ def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(docs, minhash_lsh_pairs(docs, threshold=0.2))
 
 
+def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive supervision mining: 'pos' rows = LSH near-dup pairs
+    (cosine ≥ 0.4 on this corpus), 'neg' rows = top-3 hardest (highest
+    cosine) neighbors OUTSIDE the anchor's near-dup group, re-ranked after
+    the group filter from a k+margin candidate list (bound mirrored in the
+    oracle)."""
+    from graphina_spark.operators.contrastive import contrastive_pairs
+
+    df = contrastive_pairs(_embs(spark, sf_dir), pos_threshold=0.4, k_neg=3)
+    return df.select(
+        "anchor", "other", "kind", F.round("score", ROUND).alias("score"),
+        "rank",
+    )
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: dedup survivors -> bench carve-out -> quality
     filter -> decontamination, composed from the individually-gated
@@ -2870,6 +2885,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": _q_lsh_recall,
         "embedding_neardup": _q_embedding_neardup,
         "neardup_groups": _q_neardup_groups,
+        "contrastive_pairs": _q_contrastive_pairs,
         "dedup_keep_best": _q_dedup_keep_best,
         "curation_pipeline": _q_curation_pipeline,
         "kcore_web": _q_kcore_web,
@@ -3257,6 +3273,7 @@ def _text_oracles() -> dict[str, str]:
             threshold=0.4, planes=6, tables=2, max_bucket=4096
         ),
         "neardup_groups": T.neardup_groups_sql(threshold=0.2),
+        "contrastive_pairs": T.contrastive_pairs_sql(pos_threshold=0.4, k_neg=3),
         "dedup_keep_best": T.dedup_keep_best_sql(threshold=0.2),
         "curation_pipeline": T.curation_pipeline_sql(contam_k=4, **FILTER_ARGS),
         "doc_split": T.doc_split_sql(),

@@ -2044,3 +2044,85 @@ SELECT round(CASE WHEN p = 0 OR t - p = 0 THEN 0.5
        ELSE (rpos - p * (p + 1) / 2.0) / (p * (t - p)) END, {ROUND}) AS auc,
        CAST(p AS BIGINT) AS npos, CAST(t - p AS BIGINT) AS nneg
 FROM agg"""
+
+
+def contrastive_pairs_sql(
+    pos_threshold: float = 0.4,
+    k_neg: int = 3,
+    margin: int = 10,
+    planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    tables: int = 2,
+    max_bucket: int = 4096,
+) -> str:
+    """Twin of operators/contrastive.py::contrastive_pairs — the same LSH
+    positive candidates, min-id group closure over positives, and
+    candidate-bounded hard-negative re-rank (original (cosine, id) rank ≤
+    k_neg + margin, group filter, re-rank, keep k_neg)."""
+    ctes = []
+    for t in range(tables):
+        mat = hyperplanes(dim, planes, seed + t)
+        buckets = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" CAST({row} AS DOUBLE[])) > 0 THEN {2**p} ELSE 0 END)"
+            for p, row in enumerate(mat)
+        )
+        ctes.append(
+            f"cb{t} AS (SELECT vec_id AS id, {buckets} AS bucket FROM embeddings)"
+        )
+        ctes.append(
+            f"cc{t} AS (SELECT id, bucket FROM (SELECT id, bucket,"
+            f" row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM cb{t})"
+            f" WHERE rn <= {max_bucket})"
+        )
+        ctes.append(
+            f"cp{t} AS (SELECT x.id AS a, y.id AS b"
+            f" FROM cc{t} x JOIN cc{t} y ON x.bucket = y.bucket AND x.id < y.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM cp{t}" for t in range(tables))
+    ctes.append(f"cand AS (SELECT DISTINCT a, b FROM ({union}))")
+    ctes.append(
+        f"posp AS (SELECT p.a, p.b, {_COS} AS cosine"
+        f" FROM cand p JOIN embeddings x ON x.vec_id = p.a"
+        f" JOIN embeddings y ON y.vec_id = p.b"
+        f" WHERE {_COS} >= {pos_threshold})"
+    )
+    ctes.append(
+        "psym AS (SELECT a AS u, b AS w FROM posp"
+        " UNION ALL SELECT b, a FROM posp)"
+    )
+    ctes.append(
+        "reach(id, r) AS ("
+        "SELECT vec_id AS id, vec_id AS r FROM embeddings"
+        " UNION SELECT s.w AS id, reach.r FROM reach JOIN psym s"
+        " ON reach.id = s.u)"
+    )
+    ctes.append("grp AS (SELECT id, min(r) AS grp FROM reach GROUP BY id)")
+    ctes.append(
+        f"scored AS (SELECT x.vec_id AS qid, y.vec_id AS nid, {_COS} AS cosine"
+        f" FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id"
+        f" WHERE {_COS} IS NOT NULL)"
+    )
+    ctes.append(
+        "rnk AS (SELECT qid, nid, cosine,"
+        " row_number() OVER (PARTITION BY qid"
+        " ORDER BY round(cosine, 9) DESC, nid ASC) AS rank FROM scored)"
+    )
+    ctes.append(
+        f"filt AS (SELECT r.qid, r.nid, r.cosine,"
+        f" row_number() OVER (PARTITION BY r.qid ORDER BY r.rank) AS nrank"
+        f" FROM rnk r JOIN grp ga ON ga.id = r.qid"
+        f" JOIN grp gb ON gb.id = r.nid"
+        f" WHERE r.rank <= {k_neg + margin} AND ga.grp <> gb.grp)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a AS anchor, b AS other, 'pos' AS kind,
+       round(cosine, {ROUND}) AS score, 0 AS rank FROM posp
+UNION ALL
+SELECT qid, nid, 'neg', round(cosine, {ROUND}), CAST(nrank AS INT)
+FROM filt WHERE nrank <= {k_neg}"""
+    )
