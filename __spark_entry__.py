@@ -1291,6 +1291,16 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher hard-filter rule family (Rae et al. 2021
+    §A1.1): word-count/word-length bounds, symbol + bullet + ellipsis
+    ratios, alpha-word fraction, required-stopword presence, and the
+    combined pass flag — zero-shuffle column expressions."""
+    from graphina_spark.operators.curation import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: dedup survivors -> bench carve-out -> quality
     filter -> decontamination, composed from the individually-gated
@@ -2886,6 +2896,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "neardup_groups": _q_neardup_groups,
         "contrastive_pairs": _q_contrastive_pairs,
+        "gopher_rules": _q_gopher_rules,
         "dedup_keep_best": _q_dedup_keep_best,
         "curation_pipeline": _q_curation_pipeline,
         "kcore_web": _q_kcore_web,
@@ -3274,6 +3285,7 @@ def _text_oracles() -> dict[str, str]:
         ),
         "neardup_groups": T.neardup_groups_sql(threshold=0.2),
         "contrastive_pairs": T.contrastive_pairs_sql(pos_threshold=0.4, k_neg=3),
+        "gopher_rules": T.gopher_rules_sql(),
         "dedup_keep_best": T.dedup_keep_best_sql(threshold=0.2),
         "curation_pipeline": T.curation_pipeline_sql(contam_k=4, **FILTER_ARGS),
         "doc_split": T.doc_split_sql(),

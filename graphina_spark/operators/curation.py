@@ -178,3 +178,75 @@ def url_blocklist_filter(
         .join(best, "url", "left")
         .select("url", F.col("reason").isNotNull().alias("blocked"), "reason")
     )
+
+
+# the Gopher rule set's required-stopword list (Rae et al. 2021, §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_frac, n_stop, pass) — the Gopher hard-filter
+    rule family (Rae et al. 2021 §A1.1), the published web-corpus quality
+    gate: word-count bounds [50, 100k], mean word length [3, 10], symbol
+    ('#' chars + '...' runs) to word ratio < 0.1, < 90% bullet-started
+    lines, < 30% ellipsis-ended lines, ≥ 80% words containing a letter,
+    and ≥ 2 distinct required stopwords present.
+
+    Pure column expressions over the frozen repo tokenizer
+    (textstats.tokens_col) — zero shuffles, zero UDFs; ratios are exact
+    integer divisions so the DuckDB twin is bit-identical."""
+    from graphina_spark.functions.textstats import tokens_col
+
+    text = F.col(text_col)
+    t = tokens_col(text)
+    n_words = F.size(t).cast("long")
+    word_chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    hashes = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    dots = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (hashes + dots) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda x: F.ltrim(x).rlike("^[-*•]"))
+    )
+    ellipses = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike("(\\.\\.\\.|…)$"))
+    )
+    bullet_frac = F.when(n_lines > 0, bullets / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, ellipses / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), stops)).cast("long")
+    ok = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stop"),
+        ok.alias("pass"),
+    )

@@ -2126,3 +2126,62 @@ UNION ALL
 SELECT qid, nid, 'neg', round(cosine, {ROUND}), CAST(nrank AS INT)
 FROM filt WHERE nrank <= {k_neg}"""
     )
+
+
+def gopher_rules_sql() -> str:
+    """Twin of operators/curation.py::gopher_rules — identical tokenizer,
+    line rules, and thresholds in DuckDB list/string functions."""
+    stops = ", ".join(f"'{s}'" for s in (
+        "the", "be", "to", "of", "and", "that", "have", "with"
+    ))
+    return f"""WITH tok AS (
+   SELECT doc_id AS id, text,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '') AS t
+   FROM documents),
+ base AS (
+   SELECT id, text, t,
+          CAST(len(t) AS BIGINT) AS n_words,
+          CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+               AS BIGINT) AS word_chars,
+          length(text) - length(replace(text, '#', '')) AS hashes,
+          (length(text) - length(replace(text, '...', ''))) / 3.0 AS dots,
+          list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+            AS lines
+   FROM tok),
+ feat AS (
+   SELECT id, n_words,
+          CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE)
+               ELSE 0.0 END AS mwl,
+          CASE WHEN n_words > 0 THEN (hashes + dots) / n_words
+               ELSE 0.0 END AS sym,
+          len(lines) AS n_lines,
+          len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))
+            AS bullets,
+          len(list_filter(lines,
+              x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS ellipses,
+          len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+          CAST(len(list_intersect(list_distinct(t), [{stops}]))
+               AS BIGINT) AS n_stop
+   FROM base),
+ rat AS (
+   SELECT id, n_words, mwl, sym,
+          CASE WHEN n_lines > 0 THEN bullets / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END AS bf,
+          CASE WHEN n_lines > 0 THEN ellipses / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END AS ef,
+          CASE WHEN n_words > 0 THEN alpha / CAST(n_words AS DOUBLE)
+               ELSE 0.0 END AS af,
+          n_stop
+   FROM feat)
+SELECT id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(bf, 6) AS bullet_frac,
+       round(ef, 6) AS ellipsis_frac,
+       round(af, 6) AS alpha_word_frac,
+       n_stop,
+       (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND sym < 0.1 AND bf < 0.9 AND ef < 0.3 AND af >= 0.8
+        AND n_stop >= 2) AS pass
+FROM rat"""

@@ -44,3 +44,25 @@ def test_each_stage_drops(spark):
     assert 4 not in kept          # contaminated vs doc 0
     assert 5 in kept              # clean doc survives
     assert len(kept & {1, 2}) == 1  # exactly one dup survives
+
+
+def test_gopher_rules_pass_and_fail(spark):
+    from graphina_spark.operators.curation import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs off to "
+        "the hills with great energy every single morning before dawn "
+    ) * 5  # ~100 words, normal lengths, stopwords present
+    bullets = "\n".join("- item" for _ in range(10))
+    symbols = "# " * 80
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short)],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in gopher_rules(df).collect()}
+    assert rows[1]["pass"] is True
+    assert rows[1]["n_stop"] >= 2 and rows[1]["alpha_word_frac"] == 1.0
+    assert rows[2]["pass"] is False and rows[2]["bullet_frac"] == 1.0
+    assert rows[3]["pass"] is False and rows[3]["symbol_ratio"] >= 0.1
+    assert rows[4]["pass"] is False and rows[4]["n_words"] < 50
