@@ -12,14 +12,18 @@ training-data-pipeline step that turns a deduplicated corpus into
   and re-ranked after the group filter.  "Hard" = closest non-duplicate —
   the negatives that actually move a contrastive loss (InfoNCE/triplet).
 
-Scale shape: candidate generation is bucketed LSH (positives) and the ANN
-path (negatives — brute-force cosine is the documented exactness baseline
-at gate scale, ``lsh_cosine_topk``/IVF the 100 TB serving path); the group
+Scale shape: BOTH candidate generators are bucketed — positives via
+``embedding_neardup_pairs`` and negatives via the pluggable
+``neg_candidates`` generator (default ``"lsh"`` = ``lsh_cosine_topk``,
+``"ivf"`` = ``ivf_cosine_topk``; ``"exact"`` keeps the brute-force
+``cosine_topk`` as the test-only exactness baseline — it plans a
+BroadcastNestedLoopJoin and must never be the 100 TB path).  The group
 closure runs on the (tiny) positive-pair graph; everything else is
 id-keyed joins + one windowed re-rank per anchor.  ``margin`` bounds how
 many same-group members may crowd an anchor's candidate list before a
 negative can be missed — a documented recall cap, mirrored exactly in the
-DuckDB twin (oracles_text.contrastive_pairs_sql).
+DuckDB twin (oracles_text.contrastive_pairs_sql, which mirrors whichever
+generator the gate configuration selects).
 """
 
 from __future__ import annotations
@@ -38,11 +42,23 @@ def contrastive_pairs(
     planes: int = 6,
     tables: int = 2,
     max_bucket: int = 4096,
+    neg_candidates: str = "lsh",
 ) -> DataFrame:
     """(anchor, other, kind, score, rank) — 'pos' rows (rank 0, canonical
-    anchor < other) and 'neg' rows (rank 1..k_neg per anchor)."""
+    anchor < other) and 'neg' rows (rank 1..k_neg per anchor).
+
+    ``neg_candidates`` selects the hard-negative candidate generator:
+    ``"lsh"`` (default — bucketed, the scale path, shares the positive
+    generator's hyperplanes/tables/cap so the DuckDB twin reuses one
+    bucket table), ``"ivf"`` (inverted-list probe), or ``"exact"``
+    (brute-force cosine — test baseline only; O(n²))."""
     from graphina_spark.graph import LinkGraph
-    from graphina_spark.operators.ann import cosine_topk, embedding_neardup_pairs
+    from graphina_spark.operators.ann import (
+        cosine_topk,
+        embedding_neardup_pairs,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
     from graphina_spark.operators.components import connected_components
 
     pos = embedding_neardup_pairs(
@@ -63,9 +79,24 @@ def contrastive_pairs(
         "id", F.col("component").alias("grp")
     )
 
-    cand = cosine_topk(
-        embs, k=k_neg + margin, id_col=id_col, vec_col=vec_col
-    )
+    if neg_candidates == "lsh":
+        cand = lsh_cosine_topk(
+            embs, k=k_neg + margin, planes=planes, tables=tables,
+            max_bucket=max_bucket, id_col=id_col, vec_col=vec_col,
+        )
+    elif neg_candidates == "ivf":
+        cand = ivf_cosine_topk(
+            embs, k=k_neg + margin, id_col=id_col, vec_col=vec_col
+        )
+    elif neg_candidates == "exact":
+        cand = cosine_topk(
+            embs, k=k_neg + margin, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        raise ValueError(
+            f"neg_candidates must be 'lsh', 'ivf' or 'exact', "
+            f"got {neg_candidates!r}"
+        )
     ga = groups.select(F.col("id").alias("query_id"), F.col("grp").alias("qg"))
     gb = groups.select(
         F.col("id").alias("neighbor_id"), F.col("grp").alias("ng")

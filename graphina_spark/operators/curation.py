@@ -211,9 +211,11 @@ def gopher_rules(
     dots = (
         F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
     ) / F.lit(3)
-    symbol_ratio = F.when(
-        n_words > 0, (hashes + dots) / n_words
-    ).otherwise(F.lit(0.0))
+    # denominator floors at 1 so a pure-symbol doc (tokenizer yields zero
+    # words) still reads as symbol-spam instead of a degenerate 0.0
+    symbol_ratio = (hashes + dots) / F.greatest(
+        n_words, F.lit(1).cast("long")
+    )
     lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
     bullets = F.size(

@@ -330,8 +330,14 @@ def astar_path(
         closed.add(u)
         for v, w in adj[u]:
             nd = du + w
+            # equal-distance pred tie-break only while v is open: once v
+            # closes its pred freezes, which provably rules out mutual
+            # pred cycles via 0-weight edges (the chain loop below would
+            # otherwise spin forever on valid input)
             if nd < dist.get(v, float("inf")) - 1e-15 or (
-                nd == dist.get(v) and pred.get(v, v) > u
+                v not in closed
+                and nd == dist.get(v)
+                and pred.get(v, v) > u
             ):
                 dist[v] = nd
                 pred[v] = u
@@ -438,11 +444,15 @@ def greedy_tsp(
     shortest-path distance (Dijkstra metric, ties broken by min id), repeat.
     ``leg_dist`` is that shortest-path distance (0 for the start row).
 
-    The reference errors when an unvisited vertex is unreachable or the
-    closing direct edge is missing; ``partial=True`` instead stops the tour
-    at the last reachable vertex (the gate contract on an arbitrary induced
-    subgraph).  The closing return-to-start leg is appended only when every
-    vertex was visited and the start is reachable from the last stop."""
+    The reference errors when an unvisited vertex is unreachable, and its
+    tour_cost closes the loop via shortest-path distance too (tsp.rs
+    tour_cost computes every leg, including the closing one, by Dijkstra) —
+    so it errors on the close only when no path back to start exists
+    (infinite tour cost), which this code matches.  ``partial=True``
+    instead stops the tour at the last reachable vertex (the gate contract
+    on an arbitrary induced subgraph).  The closing return-to-start leg is
+    appended only when every vertex was visited and the start is reachable
+    from the last stop."""
     ids, edges = _collect_graph(g, max_vertices, "greedy_tsp")
     if any(w < 0 for _, _, w in edges):
         raise ValueError("greedy_tsp requires non-negative edge weights")

@@ -2055,11 +2055,18 @@ def contrastive_pairs_sql(
     seed: int = 42,
     tables: int = 2,
     max_bucket: int = 4096,
+    neg_candidates: str = "lsh",
 ) -> str:
     """Twin of operators/contrastive.py::contrastive_pairs — the same LSH
     positive candidates, min-id group closure over positives, and
     candidate-bounded hard-negative re-rank (original (cosine, id) rank ≤
-    k_neg + margin, group filter, re-rank, keep k_neg)."""
+    k_neg + margin, group filter, re-rank, keep k_neg).
+
+    ``neg_candidates="lsh"`` (the engine default) mirrors
+    lsh_cosine_topk's bucketed candidate set — and because the engine
+    passes the SAME planes/tables/seed/max_bucket as the positive
+    generator, the negative pairs reuse the cc{t} bucket CTEs verbatim.
+    ``"exact"`` mirrors the brute-force cosine_topk test baseline."""
     ctes = []
     for t in range(tables):
         mat = hyperplanes(dim, planes, seed + t)
@@ -2099,11 +2106,32 @@ def contrastive_pairs_sql(
         " ON reach.id = s.u)"
     )
     ctes.append("grp AS (SELECT id, min(r) AS grp FROM reach GROUP BY id)")
-    ctes.append(
-        f"scored AS (SELECT x.vec_id AS qid, y.vec_id AS nid, {_COS} AS cosine"
-        f" FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id"
-        f" WHERE {_COS} IS NOT NULL)"
-    )
+    if neg_candidates == "lsh":
+        nunion = " UNION ALL ".join(
+            f"SELECT x.id AS qid, y.id AS nid"
+            f" FROM cc{t} x JOIN cc{t} y"
+            f" ON x.bucket = y.bucket AND x.id <> y.id"
+            for t in range(tables)
+        )
+        ctes.append(
+            f"npairs AS (SELECT DISTINCT qid, nid FROM ({nunion}))"
+        )
+        ctes.append(
+            f"scored AS (SELECT p.qid, p.nid, {_COS} AS cosine"
+            f" FROM npairs p JOIN embeddings x ON x.vec_id = p.qid"
+            f" JOIN embeddings y ON y.vec_id = p.nid"
+            f" WHERE {_COS} IS NOT NULL)"
+        )
+    elif neg_candidates == "exact":
+        ctes.append(
+            f"scored AS (SELECT x.vec_id AS qid, y.vec_id AS nid, {_COS} AS cosine"
+            f" FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id"
+            f" WHERE {_COS} IS NOT NULL)"
+        )
+    else:
+        raise ValueError(
+            f"no SQL twin for neg_candidates={neg_candidates!r}"
+        )
     ctes.append(
         "rnk AS (SELECT qid, nid, cosine,"
         " row_number() OVER (PARTITION BY qid"
@@ -2153,8 +2181,7 @@ def gopher_rules_sql() -> str:
    SELECT id, n_words,
           CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE)
                ELSE 0.0 END AS mwl,
-          CASE WHEN n_words > 0 THEN (hashes + dots) / n_words
-               ELSE 0.0 END AS sym,
+          (hashes + dots) / greatest(n_words, 1) AS sym,
           len(lines) AS n_lines,
           len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))
             AS bullets,

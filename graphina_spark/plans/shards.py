@@ -154,7 +154,7 @@ def build_adj_shards(
     dst_t, w_t = ("int", "float") if compact else ("bigint", "double")
     if compact:
         over = g.vertices.where(
-            (F.col("id") >= 2_147_483_647) | (F.col("id") < 0)
+            (F.col("id") >= 2_147_483_648) | (F.col("id") < 0)
         ).limit(1).count()
         if over:
             raise ValueError(

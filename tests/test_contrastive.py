@@ -15,8 +15,12 @@ def test_contrastive_pairs_planted_clusters(spark):
         (4, [0.0, 0.0, 1.0, 0.0]),      # loner
     ]
     embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # exact baseline: near-orthogonal vectors rarely share a sign-LSH
+    # bucket, so the recall-exact assertions below need the brute-force
+    # candidate generator (the lsh default is tested separately)
     out = contrastive_pairs(
-        embs, pos_threshold=0.95, k_neg=2, margin=3, planes=4, tables=3
+        embs, pos_threshold=0.95, k_neg=2, margin=3, planes=4, tables=3,
+        neg_candidates="exact",
     ).collect()
     pos = {(r["anchor"], r["other"]) for r in out if r["kind"] == "pos"}
     assert pos == {(0, 1), (2, 3)}
@@ -57,3 +61,54 @@ def test_contrastive_margin_bounds_candidates(spark):
         embs, pos_threshold=0.99, k_neg=2, margin=2, planes=4, tables=3
     ).collect()
     assert all(r["kind"] == "pos" for r in out) and len(out) > 0
+
+
+def test_contrastive_lsh_default_subset_of_exact(spark):
+    """The default (lsh) negative path is a recall-reduced variant of the
+    exact path: positives are identical between the two (they share one
+    generator), no group constraint is ever violated, and per-anchor
+    negative ranks stay dense 1..n."""
+    import hashlib
+
+    from graphina_spark.operators.contrastive import contrastive_pairs
+
+    def vec(i):
+        # deterministic correlated-ish vectors: same quadrant => frequent
+        # LSH collisions, unlike the orthogonal planted-cluster toy
+        h = hashlib.md5(f"clv:{i}".encode()).digest()
+        return [0.5 + (b / 512.0) for b in h[:4]]
+
+    rows = [(i, vec(i)) for i in range(20)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(pos_threshold=0.998, k_neg=3, margin=5, planes=3, tables=2)
+    lsh = contrastive_pairs(embs, neg_candidates="lsh", **kw).collect()
+    exact = contrastive_pairs(embs, neg_candidates="exact", **kw).collect()
+    lp = {(r["anchor"], r["other"]) for r in lsh if r["kind"] == "pos"}
+    ep = {(r["anchor"], r["other"]) for r in exact if r["kind"] == "pos"}
+    assert lp == ep and len(lp) > 0
+    lneg = [r for r in lsh if r["kind"] == "neg"]
+    assert len(lneg) > 0
+    # group constraint: a positive pair may never appear as a negative
+    sym_pos = lp | {(b, a) for a, b in lp}
+    for r in lneg:
+        assert (r["anchor"], r["other"]) not in sym_pos
+    # ranks well-formed per anchor
+    import collections
+
+    ranks = collections.defaultdict(list)
+    for r in lneg:
+        ranks[r["anchor"]].append(r["rank"])
+    for a, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_contrastive_bad_generator_raises(spark):
+    from graphina_spark.operators.contrastive import contrastive_pairs
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="neg_candidates"):
+        contrastive_pairs(embs, neg_candidates="nope").collect()

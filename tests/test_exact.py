@@ -247,3 +247,20 @@ def test_treewidth_min_fill_in_prefers_chordal_elimination(spark):
     rows = treewidth_decomposition(g, "min_fill_in").orderBy("step").collect()
     assert rows[0]["id"] in (2, 3) and rows[0]["deg_at_elim"] == 2
     assert max(r["deg_at_elim"] for r in rows) == 2
+
+
+def test_astar_zero_weight_equal_dist_no_pred_cycle(spark):
+    # regression: with 0-weight edges both directions between two
+    # equal-distance vertices, the equal-dist pred tie-break used to fire
+    # for already-closed vertices too, making 2 and 3 each other's
+    # predecessor and spinning the chain-reconstruction loop forever
+    from graphina_spark.operators.exact import astar_path
+
+    edges = [(10, 2), (10, 3), (2, 3), (3, 2), (3, 7)]
+    weights = [1.0, 1.0, 0.0, 0.0, 1.0]
+    g = make_graph(spark, edges, weights=weights)
+    p = astar_path(g, 10, 7).orderBy("step").collect()
+    # deterministic under the (f, g-dist, id) heap + open-only tie-break:
+    # 2 closes first, retargets pred[3] to 2 via the 0-weight edge
+    assert [r["id"] for r in p] == [10, 2, 3, 7]
+    assert [r["dist"] for r in p] == [0.0, 1.0, 1.0, 2.0]

@@ -140,3 +140,13 @@ def test_compact_shards_reject_wide_ids(spark):
     )
     with pytest.raises(ValueError, match="2\\^31"):
         build_adj_shards(g, compact=True)
+
+
+def test_compact_shards_accept_int32_max_id(spark):
+    # 2^31-1 is a valid int32 value and inside the documented [0, 2^31)
+    # range — the guard must not reject it (regression: off-by-one)
+    g = make_graph(spark, [(0, 2**31 - 1)], directed=True)
+    cp = build_adj_shards(g, compact=True)
+    row = cp.shards.where(F.col("src") == 0).first()
+    assert row is not None and row["dst_list"] == [2**31 - 1]
+    cp.unpersist()
