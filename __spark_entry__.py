@@ -520,6 +520,65 @@ def _q_incremental_cc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_pr_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental-PageRank kernel, driver-certified: the web
+    graph's weighted edges arrive as 3 deterministic micro-batches
+    ((src+dst)%3), folded through streaming/graphkernels.py::
+    advance_pagerank — the exact pure-batch step the foreachBatch sink
+    runs — with each fold WARM-STARTED from the previous fold's ranks and
+    pinned at 3 fixed supersteps so the DuckDB twin can unroll the whole
+    trajectory (folds x iters).  Certifies the warm-start contract
+    (previous ranks + 1/n for unseen, L1-normalized) on top of the gated
+    dangling-redistribution kernel."""
+    from graphina_spark.plans.materialize import local_materialize
+    from graphina_spark.streaming.graphkernels import PR_EDGES_DDL, advance_pagerank
+
+    g = _web(spark, sf_dir)
+    store = spark.createDataFrame([], PR_EDGES_DDL)
+    ranks = None
+    for b in range(3):
+        batch = g.edges.where((F.col("src") + F.col("dst")) % 3 == b)
+        store, ranks = advance_pagerank(
+            store, ranks, batch, damping=0.85, tol=None, fixed_iters=3
+        )
+        store = store.transform(local_materialize)
+        ranks = ranks.transform(local_materialize)
+    return ranks.select("id", F.round("rank", ROUND).alias("pr"))
+
+
+def _q_incremental_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental-triangles kernel, driver-certified: the
+    web graph's edges arrive as 3 deterministic micro-batches, folded
+    through streaming/triangles.py::merge_triangles (delta anti-join +
+    updated-adjacency wedge closure + sorted-triple dedup — exactly what
+    the foreachBatch sink runs).  Oracle = the batch triangle SQL over the
+    FULL edge set, so parity proves per-vertex counts after incremental
+    folding are identical to a full recompute."""
+    from graphina_spark.plans.materialize import local_materialize
+    from graphina_spark.streaming.triangles import (
+        empty_state,
+        merge_triangles,
+        state_counts,
+    )
+
+    g = _web(spark, sf_dir)
+    state = empty_state(spark)
+    for b in range(3):
+        batch = g.edges.where((F.col("src") + F.col("dst")) % 3 == b).select(
+            "src", "dst"
+        )
+        state = merge_triangles(state, batch).transform(local_materialize)
+    counts = state_counts(state)
+    return (
+        g.vertices.select("id")
+        .join(counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+    )
+
+
 def _q_pagerank_sharded_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale salted-CSR shard kernel itself (plans/shards.py gather
     with dangling sink + one-job supersteps), FORCED below the auto-select
@@ -2760,11 +2819,27 @@ def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Gates that already have a green driver row in CORRECTNESS_r01/r02.
+# Gates that already have a green driver row in CORRECTNESS_r01/r02/r03.
 # queries() rotates these to the END so the driver's 50-entry cap certifies
 # never-driver-checked gates first each round (VERDICT r2, task 1).  The
 # full dict is unchanged in content — only iteration order differs.
 _DRIVER_CERTIFIED = [
+    # --- r3 (CORRECTNESS_r03.json, 50/50 green) ---
+    "sp_tree_web", "sssp_path_web", "fw_local_web", "johnson_neg_web",
+    "astar_local_web", "dfs_tree_web", "media_features",
+    "pagerank_resume_web", "pagerank_sharded_web", "incremental_cc_web",
+    "mst_exact_web", "tsp_local_web", "treewidth_local_web", "coloring_web",
+    "squares_web", "triad_census_web", "simrank_web", "topic_pagerank_web",
+    "structdup_web", "bpe_merges", "freq_tokens", "contamination",
+    "push_ppr_web", "hitting_web", "core_track_web", "cascade_web",
+    "spreading_web", "ck_curve_web", "wl_web", "wl_drift_web",
+    "matching_web", "vertex_cover_web", "large_clique_web",
+    "clique_removal_blocks", "densest_web", "ramsey_web", "validation_web",
+    "events_graph", "pagerank_events", "spectral_clique", "pic_clique",
+    "girvan_newman_bridged", "connectivity_theta", "edge_list_roundtrip",
+    "generators", "pii_scrub", "line_dedup", "len_deciles", "ivf_topk",
+    "lsh_recall",
+    # --- r1/r2 ---
     "anf_web", "ann_cosine_topk", "ann_lsh_topk", "approx_dist_web",
     "assortativity_web", "avg_clustering_web", "betweenness_web",
     "bfs_dist_web", "closeness_web", "clustering_web", "components_block",
@@ -2783,11 +2858,44 @@ _DRIVER_CERTIFIED = [
 ]
 
 
+# Round-4 certification priority (VERDICT r3, task 3): the driver caps at
+# ~50 rows/round, so among the 141 never-certified gates the LLM-pipeline
+# and north-star names go first.  Anything not listed follows in dict
+# order, then all previously-certified gates.
+_R4_PRIORITY = [
+    # new r4 streaming-fold gates (VERDICT r3, task 5)
+    "incremental_pr_web", "incremental_tri_web",
+    # judge-named priorities
+    "neardup_groups", "semdedup", "contrastive_pairs", "curation_pipeline",
+    "dedup_keep_best", "kcore_web", "hits_web", "walks_web", "node2vec_web",
+    "spam_mass_web", "doc_split", "train_classifier", "classifier_scores",
+    "classifier_auc", "classifier_calibration",
+    # gopher_rules changed this round (symbol_ratio fix) — re-gate first
+    "gopher_rules",
+    # LLM-pipeline family
+    "doc_filter", "doc_repetition", "embedding_neardup", "span_dedup",
+    "substring_dup", "winnow_fp", "pack_docs", "chunk_docs", "cdc_chunks",
+    "stratified_docs", "weighted_sample_docs", "mixture_docs",
+    "dsir_weights", "split_contamination", "lm_quality", "tfidf_terms",
+    "bm25_docs", "textrank_docs", "top_ngrams", "pmi_bigrams", "zipf_docs",
+    "vocab_stats", "corpus_stats",
+    # embedding infra
+    "kmeans_emb", "k_center_embs", "pca_emb", "silhouette_emb",
+    "fastrp_web", "sage_agg_web",
+    # north-star web-graph names
+    "ktruss_web", "coreness_web", "salsa_web", "motif4_web",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All gates, never-driver-certified first (driver caps at ~50/round)."""
+    """All gates, never-driver-certified first (driver caps at ~50/round),
+    with _R4_PRIORITY names leading the never-certified block."""
     base = _base_queries()
     certified = set(_DRIVER_CERTIFIED)
-    out = {k: v for k, v in base.items() if k not in certified}
+    out = {k: base[k] for k in _R4_PRIORITY if k in base and k not in certified}
+    out.update(
+        {k: v for k, v in base.items() if k not in certified and k not in out}
+    )
     out.update({k: base[k] for k in _DRIVER_CERTIFIED if k in base})
     return out
 
@@ -2838,6 +2946,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_resume_web": _q_pagerank_resume_web,
         "pagerank_sharded_web": _q_pagerank_sharded_web,
         "incremental_cc_web": _q_incremental_cc_web,
+        "incremental_pr_web": _q_incremental_pr_web,
+        "incremental_tri_web": _q_incremental_tri_web,
         "mst_exact_web": _q_mst_exact_web,
         "tsp_local_web": _q_tsp_local_web,
         "treewidth_local_web": _q_treewidth_local_web,
@@ -3102,6 +3212,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_resume_web": pagerank_web_sql(),
         "pagerank_sharded_web": pagerank_web_sql(),
         "incremental_cc_web": wcc_web_sql(),
+        "incremental_pr_web": O.incremental_pagerank_web_sql(),
+        "incremental_tri_web": O.triangles_web_sql(),
         "mst_exact_web": O.mst_exact_web_sql(),
         "tsp_local_web": O.tsp_local_web_sql(),
         "treewidth_local_web": O.treewidth_local_web_sql(),

@@ -59,6 +59,81 @@ def pagerank_web_sql(
     )
 
 
+def incremental_pagerank_web_sql(
+    folds: int = 3, iters: int = 3, d: float = PR_DAMPING
+) -> str:
+    """Twin of streaming/graphkernels.py::advance_pagerank folded over
+    deterministic micro-batches (batch b appends edges with
+    (src+dst)%folds == b): per fold the vertex set is the accumulated edge
+    store's endpoints, the start vector warm-starts from the previous
+    fold's final ranks (unseen vertices 1/n_b) and is L1-normalized
+    (operators/pagerank.py nstart contract), then ``iters`` fixed
+    supersteps of the standard dangling-redistribution kernel run.
+    Per-round CTEs are MATERIALIZED — d/g reference the previous rank
+    frame twice, and plain CTE inlining across folds*iters rounds goes
+    exponential in DuckDB."""
+    ctes = [WEB_EDGES_CTE.strip()]
+    prev = None
+    for b in range(folds):
+        eb = f"fe{b}"  # "e0" would collide with WEB_EDGES_CTE's own e0
+        ctes.append(
+            f"{eb} AS MATERIALIZED (SELECT src, dst, weight FROM edges"
+            f" WHERE (src + dst) % {folds} <= {b})"
+        )
+        ctes.append(
+            f"v{b} AS MATERIALIZED (SELECT DISTINCT id FROM"
+            f" (SELECT src AS id FROM {eb} UNION SELECT dst FROM {eb}))"
+        )
+        ctes.append(f"n{b} AS (SELECT count(*) AS n FROM v{b})")
+        ctes.append(
+            f"wout{b} AS MATERIALIZED (SELECT src AS id, sum(weight) AS w_out"
+            f" FROM {eb} GROUP BY src)"
+        )
+        ctes.append(
+            f"en{b} AS MATERIALIZED (SELECT e.src, e.dst,"
+            f" e.weight / w.w_out AS w_norm"
+            f" FROM {eb} e JOIN wout{b} w ON e.src = w.id)"
+        )
+        if prev is None:
+            ctes.append(
+                f"s{b} AS MATERIALIZED (SELECT id, 1.0 / n AS pr FROM v{b}, n{b})"
+            )
+        else:
+            ctes.append(
+                f"raw{b} AS MATERIALIZED (SELECT vv.id,"
+                f" coalesce(p.pr, 1.0 / n{b}.n) AS pr"
+                f" FROM v{b} vv LEFT JOIN {prev} p ON vv.id = p.id, n{b})"
+            )
+            ctes.append(f"ss{b} AS (SELECT sum(pr) AS s FROM raw{b})")
+            ctes.append(
+                f"s{b} AS MATERIALIZED (SELECT id, pr / s AS pr FROM raw{b}, ss{b})"
+            )
+        cur = f"s{b}"
+        for k in range(1, iters + 1):
+            ctes.append(
+                f"d{b}_{k} AS (SELECT coalesce(sum(r.pr), 0.0) AS dang"
+                f" FROM {cur} r LEFT JOIN wout{b} w ON r.id = w.id"
+                f" WHERE w.id IS NULL)"
+            )
+            ctes.append(
+                f"g{b}_{k} AS (SELECT en.dst AS id, sum(r.pr * en.w_norm) AS gather"
+                f" FROM {cur} r JOIN en{b} en ON r.id = en.src GROUP BY en.dst)"
+            )
+            ctes.append(
+                f"r{b}_{k} AS MATERIALIZED (SELECT vv.id,"
+                f" {1.0 - d} / n{b}.n + {d} * d{b}_{k}.dang / n{b}.n"
+                f" + {d} * coalesce(g{b}_{k}.gather, 0.0) AS pr"
+                f" FROM v{b} vv LEFT JOIN g{b}_{k} ON vv.id = g{b}_{k}.id,"
+                f" n{b}, d{b}_{k})"
+            )
+            cur = f"r{b}_{k}"
+        prev = cur
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(pr, {ROUND}) AS pr FROM {prev}"
+    )
+
+
 def personalized_pagerank_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     """Unrolled personalized PageRank: teleport AND dangling mass follow the
     normalized personalization vector p (p_i ∝ [id % 10 == 0]) — reference

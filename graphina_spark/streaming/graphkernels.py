@@ -167,6 +167,7 @@ def advance_pagerank(
     tol: float | None = 1e-8,
     max_iter: int = 100,
     stats: dict | None = None,
+    fixed_iters: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a batch of new weighted edges into the accumulated edge store and
     return ``(edge_store', ranks')`` with PageRank re-converged WARM-STARTED
@@ -207,7 +208,8 @@ def advance_pagerank(
             .select("id", F.coalesce("value", F.lit(1.0 / n)).alias("value"))
         )
     ranks = pagerank(
-        g, damping=damping, tol=tol, max_iter=max_iter, nstart=nstart, stats=stats
+        g, damping=damping, tol=tol, max_iter=max_iter, nstart=nstart,
+        stats=stats, fixed_iters=fixed_iters,
     )
     return store2, ranks
 
