@@ -196,13 +196,18 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("tk")
         .agg(F.count("*").alias("f"))
     )
+    # zero-row freq table (every doc tokenizes to nothing): the health
+    # readout says 0, not NULL — sum/max over no rows is NULL in BOTH
+    # engines, a mirrored blind spot the parity gate can't see
+    # (tests/test_readout_edgecases.py)
+    zero = F.lit(0).cast("long")
     return freq.agg(
         F.count("*").alias("vocab_size"),
-        F.sum("f").alias("total_tokens"),
-        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias(
-            "hapax_count"
-        ),
-        F.max("f").alias("max_token_freq"),
+        F.coalesce(F.sum("f"), zero).alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long"), zero
+        ).alias("hapax_count"),
+        F.coalesce(F.max("f"), zero).alias("max_token_freq"),
     )
 
 
@@ -639,9 +644,13 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
-    )
+    # degenerate corpora (0 or 1 distinct tokens): the slope is 0/0 —
+    # DuckDB's double division yields NULL, but Spark's ANSI mode THROWS
+    # DIVIDE_BY_ZERO, so guard to the twin's NULL convention explicitly
+    # (tests/test_readout_edgecases.py)
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    den = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    slope = F.when((F.col("n") > 0) & (den != 0), num / den)
     return s.select(
         F.col("n").cast("long").alias("n_terms"),
         F.round(-slope, 6).alias("alpha"),

@@ -498,9 +498,9 @@ def vocab_stats_sql() -> str:
  flat AS (SELECT unnest(t) AS tk FROM tok),
  freq AS (SELECT tk, count(*) AS f FROM flat GROUP BY tk)
 SELECT CAST(count(*) AS BIGINT) AS vocab_size,
-       CAST(sum(f) AS BIGINT) AS total_tokens,
-       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
-       CAST(max(f) AS BIGINT) AS max_token_freq
+       CAST(coalesce(sum(f), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hapax_count,
+       CAST(coalesce(max(f), 0) AS BIGINT) AS max_token_freq
 FROM freq"""
 
 
