@@ -579,6 +579,36 @@ def _q_incremental_tri_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_sage_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental GraphSAGE export, driver-certified: web
+    edges arrive as 3 deterministic micro-batches folded through
+    streaming/gnnexport.py::merge_sage_export (delta anti-join; only
+    batch-touched vertices recomputed against the accumulated adjacency,
+    untouched export rows carried verbatim — exactly the foreachBatch
+    step).  The deterministic k-neighbor sample depends only on the FINAL
+    edge set, so parity vs the batch sage_agg_web SQL proves the
+    carry/recompute bookkeeping loses nothing."""
+    from graphina_spark.plans.materialize import local_materialize
+    from graphina_spark.streaming.gnnexport import merge_sage_export
+
+    g = _web(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    store = spark.createDataFrame([], "src long, dst long")
+    export = spark.createDataFrame(
+        [], "id long, pos int, mean_val double, n_sampled long"
+    )
+    for b in range(3):
+        batch = g.edges.where((F.col("src") + F.col("dst")) % 3 == b).select(
+            "src", "dst"
+        )
+        store, export = merge_sage_export(store, export, batch, embs, k=3)
+        store = store.transform(local_materialize)
+        export = export.transform(local_materialize)
+    return export.select(
+        "id", "pos", F.round("mean_val", ROUND).alias("mean_val"), "n_sampled"
+    )
+
+
 def _q_pagerank_sharded_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale salted-CSR shard kernel itself (plans/shards.py gather
     with dangling sink + one-job supersteps), FORCED below the auto-select
@@ -2864,7 +2894,7 @@ _DRIVER_CERTIFIED = [
 # order, then all previously-certified gates.
 _R4_PRIORITY = [
     # new r4 streaming-fold gates (VERDICT r3, task 5)
-    "incremental_pr_web", "incremental_tri_web",
+    "incremental_pr_web", "incremental_tri_web", "incremental_sage_web",
     # judge-named priorities
     "neardup_groups", "semdedup", "contrastive_pairs", "curation_pipeline",
     "dedup_keep_best", "kcore_web", "hits_web", "walks_web", "node2vec_web",
@@ -2948,6 +2978,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_web": _q_incremental_cc_web,
         "incremental_pr_web": _q_incremental_pr_web,
         "incremental_tri_web": _q_incremental_tri_web,
+        "incremental_sage_web": _q_incremental_sage_web,
         "mst_exact_web": _q_mst_exact_web,
         "tsp_local_web": _q_tsp_local_web,
         "treewidth_local_web": _q_treewidth_local_web,
@@ -3214,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_cc_web": wcc_web_sql(),
         "incremental_pr_web": O.incremental_pagerank_web_sql(),
         "incremental_tri_web": O.triangles_web_sql(),
+        "incremental_sage_web": O.sage_agg_web_sql(k=3),
         "mst_exact_web": O.mst_exact_web_sql(),
         "tsp_local_web": O.tsp_local_web_sql(),
         "treewidth_local_web": O.treewidth_local_web_sql(),
