@@ -753,6 +753,60 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionAll(outs[1])
 
 
+def _q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the Arrow pipeline: per-id
+    block-constant grayscale pixels are encoded as spec-conformant SOF0
+    streams (flat quant table — constant 8x8 blocks carry only an integer
+    DC coefficient, so the round trip is BIT-EXACT) and decoded back via
+    functions/codecs.py::decode_jpeg inside real_image_features
+    (mapInPandas).  The oracle recomputes the per-image means from block
+    arithmetic alone — parity proves the Huffman/zigzag/DCT plumbing.
+    The non-constant AC path is pinned separately in tests/test_jpeg.py
+    against the codec-free pixel-pipeline twin."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from graphina_spark.functions.multimodal import real_image_features
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .where(F.col("id") < 120)
+    )
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from graphina_spark.functions.codecs import JPEG_QUANT_FLAT, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                bh, bw = 1 + i % 3, 1 + i % 2
+                vals = (
+                    i * 7
+                    + 13 * np.arange(bh)[:, None]
+                    + 31 * np.arange(bw)[None, :]
+                ) % 256
+                img = np.kron(vals, np.ones((8, 8), dtype=int)).astype(
+                    np.uint8
+                )
+                rows.append(
+                    (i, bytearray(encode_jpeg(img, quant=JPEG_QUANT_FLAT)))
+                )
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = ids.mapInPandas(build, "id long, blob binary")
+    f = real_image_features(blobs, id_col="id", blob_col="blob")
+    return f.select(
+        "id", "format", "height", "width",
+        F.round("mean_r", ROUND).alias("mean_r"),
+        F.round("mean_g", ROUND).alias("mean_g"),
+        F.round("mean_b", ROUND).alias("mean_b"),
+    )
+
+
 def _q_closeness_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Wasserman-Faust closeness, exact for a deterministic
     landmark subset (the honest web-scale contract: score the nodes you
@@ -2895,6 +2949,7 @@ _DRIVER_CERTIFIED = [
 _R4_PRIORITY = [
     # new r4 streaming-fold gates (VERDICT r3, task 5)
     "incremental_pr_web", "incremental_tri_web", "incremental_sage_web",
+    "media_jpeg",
     # judge-named priorities
     "neardup_groups", "semdedup", "contrastive_pairs", "curation_pipeline",
     "dedup_keep_best", "kcore_web", "hits_web", "walks_web", "node2vec_web",
@@ -2973,6 +3028,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "astar_local_web": _q_astar_local_web,
         "dfs_tree_web": _q_dfs_tree_web,
         "media_features": _q_media_features,
+        "media_jpeg": _q_media_jpeg,
         "pagerank_resume_web": _q_pagerank_resume_web,
         "pagerank_sharded_web": _q_pagerank_sharded_web,
         "incremental_cc_web": _q_incremental_cc_web,
@@ -3240,6 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         "astar_local_web": O.astar_local_web_sql(),
         "dfs_tree_web": O.dfs_tree_web_sql(),
         "media_features": O.media_features_sql(),
+        "media_jpeg": O.media_jpeg_sql(),
         "pagerank_resume_web": pagerank_web_sql(),
         "pagerank_sharded_web": pagerank_web_sql(),
         "incremental_cc_web": wcc_web_sql(),

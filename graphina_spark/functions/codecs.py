@@ -23,9 +23,11 @@ exist so round-trip gates prove the decoders against spec-conformant
 byte streams built from deterministic pixel arithmetic that a DuckDB
 oracle reproduces without any codec.
 
-Truly library-bound formats (JPEG/MP3/MP4) still raise with the exact
-library call needed — DCT/entropy coding without libjpeg would mean
-vendoring a codec, not writing an operator.
+**JPEG** (baseline sequential SOF0, 8-bit, grayscale or 4:4:4 YCbCr) is
+now a real pure-numpy codec too — generic canonical-Huffman DHT handling,
+zigzag/dequant/IDCT, deterministic rounding; progressive (SOF2), chroma
+subsampling, and arithmetic coding still raise, as do MP3/MP4 (the
+remaining genuinely library-bound boundaries).
 
 Everything is deterministic byte→array arithmetic (no dithering, no color
 management), so tests pin exact pixel/sample values, and the Arrow-batched
@@ -418,9 +420,386 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return head + body + b"\x00\x3b"
 
 
+# --------------------------------------------------------------------- JPEG
+# Baseline sequential DCT (SOF0, ITU-T T.81) — the last library-bound
+# boundary, now a real pure-numpy codec.  Scope (honest contract, like the
+# PNG/GIF lanes): 8-bit baseline, grayscale or 3-component 4:4:4 YCbCr;
+# progressive / subsampled / arithmetic-coded streams still raise.
+#
+# The encoder emits OUR OWN spec-legal canonical Huffman tables (all DC
+# sizes at 4 bits, all 162 run/size AC symbols at 8 bits — counts fit the
+# one-byte BITS fields and the all-ones code stays unused as T.81 requires)
+# instead of transcribing the Annex K defaults; the decoder builds its
+# tables generically from whatever DHT declares, so it reads Annex-K
+# streams just the same.  Everything is float64 DCT arithmetic with a
+# single deterministic np.round per stage, so tests pin decode(encode(x))
+# BIT-EXACTLY against the codec-free pixel pipeline
+# (level-shift -> DCT -> quant -> dequant -> IDCT -> clip).
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The T.81 zigzag scan order, generated (not transcribed): diagonal
+    s = row+col; odd diagonals walk row-increasing from (0,s), even ones
+    row-decreasing from (s,0)."""
+    out = []
+    for s in range(15):
+        idx = range(max(0, s - 7), min(s, 7) + 1)
+        rows = idx if s % 2 == 1 else reversed(idx)
+        out.extend((r, s - r) for r in rows)
+    return out
+
+
+_ZIGZAG = _zigzag()
+
+_DCT_C = None
+
+
+def _dct_mat() -> "np.ndarray":
+    global _DCT_C
+    if _DCT_C is None:
+        x = np.arange(8)
+        c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        c[0, :] /= np.sqrt(2.0)
+        _DCT_C = c
+    return _DCT_C
+
+
+def _fdct(block: "np.ndarray") -> "np.ndarray":
+    c = _dct_mat()
+    return c @ block @ c.T
+
+
+def _idct(coef: "np.ndarray") -> "np.ndarray":
+    c = _dct_mat()
+    return c.T @ coef @ c
+
+
+#: flat quality-1 table: with block-constant pixels the DC coefficient is
+#: an exact integer and reconstruction is bit-exact — the gate fixture.
+JPEG_QUANT_FLAT = [1] * 64
+
+#: Annex-K-shaped (but much milder) test table exercising real rounding.
+JPEG_QUANT_MILD = [1 + ((r + c) // 2) for r, c in
+                   [(i // 8, i % 8) for i in range(64)]]
+
+
+def _huff_spec_dc():
+    # 12 size symbols, all 4-bit canonical codes (12 < 16: all-ones free)
+    return [0, 0, 0, 12] + [0] * 12, list(range(12))
+
+
+def _huff_spec_ac():
+    # the 162 baseline run/size symbols, all 8-bit codes (162 < 256)
+    vals = [0x00, 0xF0]
+    vals += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    vals.sort()
+    return [0] * 7 + [162] + [0] * 8, vals
+
+
+def _canonical_codes(bits, vals):
+    """BITS/HUFFVAL -> {symbol: (code, length)} per T.81 C.2."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """T.81 magnitude category: (size, amplitude bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    amp = v if v > 0 else v + (1 << size) - 1
+    return size, amp
+
+
+def encode_jpeg(img: "np.ndarray", quant=None) -> bytes:
+    """Minimal baseline JPEG encoder: 8-bit grayscale (h, w) or RGB
+    (h, w, 3) encoded 4:4:4 (no subsampling); dimensions NEED NOT be
+    multiples of 8 (edge blocks replicate the last row/column, the
+    standard practice).  ``quant`` is a 64-entry natural-order table
+    (default JPEG_QUANT_FLAT: with block-constant inputs the round trip
+    is bit-exact — the oracle fixture)."""
+    q = np.array(quant if quant is not None else JPEG_QUANT_FLAT,
+                 dtype=np.float64).reshape(8, 8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        comps = [img.astype(np.float64)]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+        cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+        comps = [np.clip(c, 0, 255) for c in (y, cb, cr)]
+
+    dc_bits, dc_vals = _huff_spec_dc()
+    ac_bits, ac_vals = _huff_spec_ac()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    bh, bwd = (h + 7) // 8, (w + 7) // 8
+    for by in range(bh):
+        for bx in range(bwd):
+            for ci, plane in enumerate(comps):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                if blk.shape != (8, 8):  # edge replicate
+                    blk = np.pad(blk, ((0, 8 - blk.shape[0]),
+                                       (0, 8 - blk.shape[1])), mode="edge")
+                coef = np.round(_fdct(blk - 128.0) / q).astype(np.int64)
+                dc = int(coef[0, 0])
+                size, amp = _mag_bits(dc - preds[ci])
+                preds[ci] = dc
+                code, ln = dc_codes[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(amp, size)
+                zz = [int(coef[r, c]) for r, c in _ZIGZAG[1:]]
+                run = 0
+                last = max((i for i, v in enumerate(zz) if v), default=-1)
+                for i, v in enumerate(zz):
+                    if i > last:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size, amp = _mag_bits(v)
+                    code, ln = ac_codes[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(amp, size)
+                    run = 0
+                if last < 62:
+                    code, ln = ac_codes[0x00]
+                    bw.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = bytes([0]) + bytes(
+        int(q[r, c]) for r, c in _ZIGZAG
+    )
+    out = b"\xff\xd8" + seg(0xDB, qz)
+    nf = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for ci in range(nf):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    return out + bw.flush() + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: "_BitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> "np.ndarray":
+    """Baseline JPEG decoder (SOF0, 8-bit, Huffman): grayscale -> (h, w)
+    uint8, 3-component 4:4:4 -> (h, w, 3) RGB uint8 (JFIF YCbCr inverse
+    with deterministic rounding).  Progressive (SOF2), subsampled, or
+    arithmetic-coded streams raise NotImplementedError — the same honest
+    boundary convention as the other codecs."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = struct.unpack(">H", blob[pos:pos + 2])[0]
+        body = blob[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i:i + n]
+                i += n
+                vals = (struct.unpack(f">{64}H", raw) if pq
+                        else list(raw))
+                t = np.zeros((8, 8))
+                for v, (r, c) in zip(vals, _ZIGZAG):
+                    t[r, c] = v
+                quant[tq] = t
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                i += 17 + nv
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {(c, l): sym for sym, (c, l) in codes.items()}
+        elif marker == 0xC0:
+            prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for ci in range(nf):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling needs PIL — only 4:4:4 here"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) is supported"
+            )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            stabs = {}
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                stabs[cid] = (tt >> 4, tt & 0x0F)
+            h, w, comps = frame
+            data = blob[pos:]
+            br = _BitReader(data)
+            bh, bwd = (h + 7) // 8, (w + 7) // 8
+            planes = [np.zeros((bh * 8, bwd * 8)) for _ in comps]
+            preds = [0] * len(comps)
+            for by in range(bh):
+                for bx in range(bwd):
+                    for ci, (cid, tq) in enumerate(comps):
+                        dct, act = stabs[cid]
+                        size = _huff_decode(br, huff[(0, dct)])
+                        diff = _extend(br.bits(size), size) if size else 0
+                        preds[ci] += diff
+                        coef = np.zeros((8, 8))
+                        coef[0, 0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, huff[(1, act)])
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0x0F
+                            r, c = _ZIGZAG[k]
+                            coef[r, c] = _extend(br.bits(size), size)
+                            k += 1
+                        blk = np.round(
+                            _idct(coef * quant[tq]) + 128.0
+                        )
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = blk
+            planes = [np.clip(p[:h, :w], 0, 255) for p in planes]
+            if len(planes) == 1:
+                # (h, w, 1) — same single-channel carrier as decode_png
+                return planes[0][..., None].astype(np.uint8)
+            y, cb, cr = planes
+            r = np.round(y + 1.402 * (cr - 128.0))
+            g = np.round(y - 0.344136 * (cb - 128.0)
+                         - 0.714136 * (cr - 128.0))
+            b = np.round(y + 1.772 * (cb - 128.0))
+            return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(
+                np.uint8
+            )
+    raise ValueError("no SOS segment found")
+
+
 def decode_image(blob: bytes) -> np.ndarray:
-    """Dispatch: real decode for PPM/BMP/PNG/GIF; actionable error for the
-    library-bound formats (JPEG)."""
+    """Dispatch: real decode for PPM/BMP/PNG/GIF/JPEG(baseline);
+    actionable error for anything else."""
     kind = sniff_format(blob)
     if kind == "ppm":
         return decode_ppm(blob)
@@ -430,6 +809,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_png(blob)
     if kind == "gif":
         return decode_gif(blob)
+    if kind == "jpeg":
+        return decode_jpeg(blob)
     raise NotImplementedError(
         f"decoding {kind!r} needs PIL.Image.open(io.BytesIO(blob)) — "
         "library not available in this container"

@@ -183,6 +183,12 @@ def real_image_features(
                     if resize_to is not None:
                         img = resize_nearest(img, *resize_to)
                     h, w, c, means, stds = image_stats(img)
+                    # 1-channel (gray) / 2-channel (gray+alpha) images:
+                    # replicate luma into r/g/b instead of under-filling
+                    # the row (which killed the whole Arrow batch)
+                    if c < 3:
+                        means = [means[0]] * 3
+                        stds = [stds[0]] * 3
                     rows.append((mid, fmt, h, w, c, *means[:3], *stds[:3], True, ""))
                 except (NotImplementedError, ValueError) as e:
                     rows.append(

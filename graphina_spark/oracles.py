@@ -1106,6 +1106,29 @@ def media_features_sql(below: int = 120) -> str:
 SELECT * FROM png UNION ALL SELECT * FROM gif"""
 
 
+def media_jpeg_sql(below: int = 120) -> str:
+    """Twin of the media_jpeg gate: block-constant pixel arithmetic ->
+    per-image mean, no codec anywhere.  The Spark side encodes the same
+    blocks as real baseline-JPEG bytes (flat quant: the integer DC is the
+    only surviving coefficient, reconstruction bit-exact) and decodes
+    through functions/codecs.py::decode_jpeg — parity proves the decoder.
+    Grayscale luma is replicated into mean_r/g/b by the
+    real_image_features convention."""
+    return f"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+ ids AS (SELECT id FROM v WHERE id < {below}),
+ dims AS (SELECT id, 1 + id % 3 AS bh, 1 + id % 2 AS bw FROM ids),
+ blocks AS (SELECT d.id, d.bh, d.bw, rr.r AS by, cc.c AS bx
+            FROM dims d, range(0, 3) rr(r), range(0, 2) cc(c)
+            WHERE rr.r < d.bh AND cc.c < d.bw),
+ m AS (SELECT id, CAST(8 * bh AS INT) AS height, CAST(8 * bw AS INT) AS width,
+       avg((id * 7 + by * 13 + bx * 31) % 256) AS mn
+       FROM blocks GROUP BY id, bh, bw)
+SELECT id, 'jpeg' AS format, height, width,
+       round(mn, {ROUND}) AS mean_r, round(mn, {ROUND}) AS mean_g,
+       round(mn, {ROUND}) AS mean_b
+FROM m"""
+
+
 def sp_tree_web_sql(rounds: int = 30, src_mod: int = 199) -> str:
     """(source, id, dist, pred) weighted shortest-path tree — oracle twin of
     operators/paths.py::shortest_path_tree (post-hoc min-id predecessor over

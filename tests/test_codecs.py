@@ -84,8 +84,13 @@ def test_sniff_and_unsupported():
     assert sniff_format(b"\xff\xd8\xff\xe0junk") == "jpeg"
     from graphina_spark.functions.codecs import decode_image
 
-    with pytest.raises(NotImplementedError):
+    # jpeg now really decodes (tests/test_jpeg.py); a garbage stream with a
+    # jpeg magic is a parse error, not a library boundary
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0junk")
+    # genuinely unknown formats keep the actionable library-boundary error
+    with pytest.raises(NotImplementedError):
+        decode_image(b"junkjunkjunk")
 
 
 def test_resize_nearest_exact():
@@ -112,7 +117,9 @@ def test_real_image_features_spark(spark):
         assert r["ok"] and (r["height"], r["width"], r["channels"]) == (2, 3, 3)
         assert r["mean_r"] == pytest.approx(means[0])
         assert r["std_b"] == pytest.approx(stds[2])
-    assert not got[3]["ok"] and "PIL" in got[3]["err"]
+    # malformed jpeg: decoded path now raises a parse error that lands as
+    # ok=false with the message (batch survives, as before)
+    assert not got[3]["ok"] and got[3]["err"] != ""
     assert got[3]["format"] == "jpeg"
 
 

@@ -1,0 +1,158 @@
+"""Baseline JPEG codec (functions/codecs.py) — entropy-coding losslessness
+and honest-boundary tests.
+
+The decode oracle is the codec-free pixel pipeline: level-shift -> 8x8 DCT
+-> quantize(round) -> dequantize -> IDCT -> round+clip, computed with the
+same float64 matrix arithmetic the codec uses.  Huffman/zigzag/marker
+plumbing is LOSSLESS, so decode(encode(img)) must equal the pipeline
+BIT-EXACTLY — any coding bug shows up as a pixel diff.  Block-constant
+images additionally reconstruct the ORIGINAL exactly at flat quant (the
+driver-gate fixture class, independently checkable by plain arithmetic).
+"""
+
+import numpy as np
+import pytest
+from struct import error as struct_error
+
+from graphina_spark.functions.codecs import (
+    JPEG_QUANT_FLAT,
+    JPEG_QUANT_MILD,
+    _fdct,
+    _idct,
+    decode_image,
+    decode_jpeg,
+    encode_jpeg,
+    sniff_format,
+)
+
+
+def _pipeline_gray(img: np.ndarray, quant) -> np.ndarray:
+    """The lossy-part twin: what a correct decoder must return, computed
+    without any entropy coding."""
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    h, w = img.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw * 8))
+    for by in range(bh):
+        for bx in range(bw):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(np.float64)
+            if blk.shape != (8, 8):
+                blk = np.pad(
+                    blk,
+                    ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])),
+                    mode="edge",
+                )
+            coef = np.round(_fdct(blk - 128.0) / q)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.round(
+                _idct(coef * q) + 128.0
+            )
+    return np.clip(out[:h, :w], 0, 255).astype(np.uint8)
+
+
+def _planted(h, w, seed=0):
+    # deterministic busy image: every AC frequency band gets energy
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    return ((seed + 7 * r * r + 13 * c + 5 * r * c) % 256).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_matches_pipeline_flat_quant():
+    img = _planted(24, 16)
+    got = decode_jpeg(encode_jpeg(img, quant=JPEG_QUANT_FLAT))
+    assert got.shape == (24, 16, 1)
+    np.testing.assert_array_equal(
+        got[:, :, 0], _pipeline_gray(img, JPEG_QUANT_FLAT)
+    )
+
+
+def test_jpeg_gray_roundtrip_matches_pipeline_mild_quant():
+    img = _planted(17, 23, seed=3)  # non-multiple-of-8 dims: edge blocks
+    got = decode_jpeg(encode_jpeg(img, quant=JPEG_QUANT_MILD))
+    np.testing.assert_array_equal(
+        got[:, :, 0], _pipeline_gray(img, JPEG_QUANT_MILD)
+    )
+
+
+def test_jpeg_block_constant_is_exact():
+    # constant 8x8 blocks + flat quant: only an integer DC coefficient
+    # survives, so the round trip reproduces the ORIGINAL bytes — the
+    # arithmetic the driver-gate oracle recomputes without the codec
+    vals = np.array([[10, 200], [255, 0], [128, 77]])
+    img = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quant=JPEG_QUANT_FLAT))
+    np.testing.assert_array_equal(got[:, :, 0], img)
+
+
+def test_jpeg_color_roundtrip_matches_pipeline():
+    rgb = np.stack(
+        [_planted(16, 16, s) for s in (0, 11, 29)], axis=-1
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(rgb, quant=JPEG_QUANT_FLAT))
+    assert got.shape == (16, 16, 3)
+    # twin: forward color transform (encoder's exact rounding), per-plane
+    # pipeline, inverse transform with the decoder's exact rounding
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(
+        np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255
+    )
+    cr = np.clip(
+        np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255
+    )
+    yy, cbb, crr = (
+        _pipeline_gray(p.astype(np.uint8), JPEG_QUANT_FLAT).astype(np.float64)
+        for p in (y, cb, cr)
+    )
+    er = np.round(yy + 1.402 * (crr - 128.0))
+    eg = np.round(yy - 0.344136 * (cbb - 128.0) - 0.714136 * (crr - 128.0))
+    eb = np.round(yy + 1.772 * (cbb - 128.0))
+    exp = np.clip(np.stack([er, eg, eb], axis=-1), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_jpeg_sniff_and_dispatch():
+    img = _planted(8, 8)
+    blob = encode_jpeg(img)
+    assert sniff_format(blob) == "jpeg"
+    out = decode_image(blob)  # dispatch no longer raises for jpeg
+    np.testing.assert_array_equal(
+        out[:, :, 0], _pipeline_gray(img, JPEG_QUANT_FLAT)
+    )
+
+
+def test_jpeg_progressive_raises():
+    blob = bytearray(encode_jpeg(_planted(8, 8)))
+    # rewrite the SOF0 marker (FFC0) to SOF2 (progressive)
+    i = bytes(blob).find(b"\xff\xc0")
+    assert i > 0
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_truncated_raises():
+    blob = encode_jpeg(_planted(16, 16))
+    with pytest.raises((ValueError, IndexError, struct_error)):
+        decode_jpeg(blob[: len(blob) // 2])
+
+
+def test_real_image_features_grayscale_png_does_not_crash(spark):
+    # 1-channel images used to under-fill the 13-column feature row
+    # (*means[:3] with one mean) and kill the whole Arrow batch — the
+    # crash-class cousin of the mirrored-readout blind spots
+    from graphina_spark.functions.codecs import encode_png
+    from graphina_spark.functions.multimodal import real_image_features
+
+    gray = _planted(6, 5)[:, :, None]  # (h, w, 1) — PNG color type 0
+    blob = encode_png(gray)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, blob binary"
+    )
+    row = real_image_features(df).collect()[0]
+    assert row["ok"] is True
+    assert row["channels"] == 1
+    m = float(gray.astype(np.float64).mean())
+    # luma replicated into r/g/b by convention
+    assert row["mean_r"] == pytest.approx(m)
+    assert row["mean_g"] == pytest.approx(m)
+    assert row["mean_b"] == pytest.approx(m)
