@@ -64,10 +64,17 @@ def k_center_seeds(embs: DataFrame, k: int, qbits: int = 12) -> DataFrame:
     deterministic start); each later seed maximizes the squared distance to
     the already-chosen set (``d2``, its selection radius — non-increasing;
     ties → smaller vec_id).  d2 of seed 0 is 0 by convention.
+
+    Chosen points leave the candidate pool, so seeds are DISTINCT even on
+    degenerate inputs where every remaining distance is 0 (grid-coincident
+    embeddings), and ``k > n`` caps at n seeds instead of re-listing the
+    min-id point — both were mirrored blind spots (twin updated together;
+    tests/test_readout_edgecases.py pins the planted cases).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     q = quantize_embeddings(embs, qbits=qbits).transform(_mat)
+    n = q.count()
     first = q.agg(F.min("vec_id")).first()[0]
     if first is None:
         raise ValueError("empty embedding table")
@@ -76,11 +83,12 @@ def k_center_seeds(embs: DataFrame, k: int, qbits: int = 12) -> DataFrame:
         F.col("qv").alias("cv")
     )
     mind = (
-        q.crossJoin(F.broadcast(center))
+        q.where(F.col("vec_id") != first)
+        .crossJoin(F.broadcast(center))
         .select("vec_id", "qv", _d2(F.col("qv"), F.col("cv")).alias("d"))
         .transform(_mat)
     )
-    for rank in range(1, k):
+    for rank in range(1, min(k, n)):
         top = (
             mind.agg(
                 F.max(F.struct(F.col("d"), (-F.col("vec_id")).alias("nid"))).alias("m")
@@ -92,7 +100,8 @@ def k_center_seeds(embs: DataFrame, k: int, qbits: int = 12) -> DataFrame:
         seeds.append((rank, vid, d))
         center = q.where(F.col("vec_id") == vid).select(F.col("qv").alias("cv"))
         mind = (
-            mind.crossJoin(F.broadcast(center))
+            mind.where(F.col("vec_id") != vid)
+            .crossJoin(F.broadcast(center))
             .select(
                 "vec_id",
                 "qv",

@@ -4455,7 +4455,9 @@ _D2 = (
 def k_center_embs_sql(k: int = 6, qbits: int = 12) -> str:
     """Mirror of operators/coreset.py::k_center_seeds — unrolled Gonzalez
     farthest-point rounds over the floor(x·2^qbits) integer grid (selection
-    is integer arithmetic end to end, bit-exact across engines)."""
+    is integer arithmetic end to end, bit-exact across engines).  Chosen
+    points are removed from the pool each round, mirroring the engine's
+    distinct-seed guarantee on degenerate inputs."""
     scale = 1 << qbits
     ctes = [
         "q AS MATERIALIZED (SELECT vec_id, list_transform("
@@ -4464,7 +4466,8 @@ def k_center_embs_sql(k: int = 6, qbits: int = 12) -> str:
         "s0 AS (SELECT min(vec_id) AS vid FROM q)",
         "m0 AS MATERIALIZED (SELECT a.vec_id, a.qv, "
         + _D2.format(a="a.qv", b="c.qv")
-        + " AS d FROM q a, (SELECT qv FROM q, s0 WHERE vec_id = s0.vid) c)",
+        + " AS d FROM q a, (SELECT qv FROM q, s0 WHERE vec_id = s0.vid) c"
+        " WHERE a.vec_id <> (SELECT vid FROM s0))",
     ]
     sel = ["SELECT 0 AS seed_rank, s0.vid AS vec_id, CAST(0 AS BIGINT) AS d2 FROM s0"]
     for r in range(1, k):
@@ -4481,7 +4484,8 @@ def k_center_embs_sql(k: int = 6, qbits: int = 12) -> str:
                 f"m{r} AS MATERIALIZED (SELECT m.vec_id, m.qv,"
                 f" least(m.d, " + _D2.format(a="m.qv", b="c.qv") + ") AS d"
                 f" FROM m{r - 1} m,"
-                f" (SELECT qv FROM q, s{r} WHERE vec_id = s{r}.vid) c)"
+                f" (SELECT qv FROM q, s{r} WHERE vec_id = s{r}.vid) c"
+                f" WHERE m.vec_id <> (SELECT vid FROM s{r}))"
             )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
 

@@ -188,3 +188,36 @@ def test_attack_robustness_zero_edge_graph(spark):
         assert rows[k]["n_left"] == 5
         assert rows[k]["giant_size"] == 1
         assert rows[k]["n_components"] == 5
+
+
+# --------------------------------------------------------- k_center_seeds
+
+
+def test_k_center_seeds_k_exceeds_population(spark):
+    from graphina_spark.operators.coreset import k_center_seeds
+
+    embs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (5, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = k_center_seeds(embs, k=10).orderBy("seed_rank").collect()
+    # capped at the population: 3 distinct seeds, never a re-listed point
+    assert len(rows) == 3
+    assert len({r["vec_id"] for r in rows}) == 3
+    assert rows[0]["vec_id"] == 0 and rows[0]["d2"] == 0
+
+
+def test_k_center_seeds_identical_points_stay_distinct(spark):
+    from graphina_spark.operators.coreset import k_center_seeds
+
+    # all vectors land on the same grid cell: every selection radius is 0,
+    # but the seeds must still be DISTINCT ids (old code re-picked the
+    # min-id point every round — a mirrored blind spot, twin shared it)
+    embs = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in (3, 7, 11, 20)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = k_center_seeds(embs, k=3).orderBy("seed_rank").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert ids == [3, 7, 11]
+    assert all(r["d2"] == 0 for r in rows[1:])
