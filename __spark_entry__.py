@@ -520,6 +520,32 @@ def _q_incremental_cc_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_uniform_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNWEIGHTED at-scale shard kernel: w_list is never stored — the
+    gather computes w_norm = 1/degree on the fly (plans/shards.py uniform
+    mode, auto-detected from the constant edge weight), cutting the
+    per-superstep adjacency scan to 4 B/edge with compact=True.  This is
+    the Common-Crawl serving shape (link graphs are unweighted).  Oracle =
+    the standard unrolled PageRank SQL over the unit-weight edge set, so
+    the driver certifies the computed-1/degree arithmetic exactly."""
+    from graphina_spark.graph import LinkGraph
+    from graphina_spark.operators.pagerank import pagerank
+    from graphina_spark.plans.shards import build_adj_shards
+
+    g = _web(spark, sf_dir)
+    gu = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.select("src", "dst", F.lit(1.0).alias("weight")),
+        directed=True,
+    )
+    adj = build_adj_shards(gu, salt_cap=50, dangling_sink=True, compact=True)
+    pr = pagerank(
+        gu, damping=0.85, fixed_iters=5, tol=None, shards=adj,
+        shards_min_edges=0,
+    )
+    return pr.select("id", F.round("rank", ROUND).alias("pr"))
+
+
 def _q_incremental_pr_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming incremental-PageRank kernel, driver-certified: the web
     graph's weighted edges arrive as 3 deterministic micro-batches
@@ -2948,6 +2974,7 @@ _DRIVER_CERTIFIED = [
 # order, then all previously-certified gates.
 _R4_PRIORITY = [
     # new r4 streaming-fold gates (VERDICT r3, task 5)
+    "pagerank_uniform_web",
     "incremental_pr_web", "incremental_tri_web", "incremental_sage_web",
     "media_jpeg",
     # judge-named priorities
@@ -3032,6 +3059,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_resume_web": _q_pagerank_resume_web,
         "pagerank_sharded_web": _q_pagerank_sharded_web,
         "incremental_cc_web": _q_incremental_cc_web,
+        "pagerank_uniform_web": _q_pagerank_uniform_web,
         "incremental_pr_web": _q_incremental_pr_web,
         "incremental_tri_web": _q_incremental_tri_web,
         "incremental_sage_web": _q_incremental_sage_web,
@@ -3300,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_resume_web": pagerank_web_sql(),
         "pagerank_sharded_web": pagerank_web_sql(),
         "incremental_cc_web": wcc_web_sql(),
+        "pagerank_uniform_web": O.pagerank_uniform_web_sql(),
         "incremental_pr_web": O.incremental_pagerank_web_sql(),
         "incremental_tri_web": O.triangles_web_sql(),
         "incremental_sage_web": O.sage_agg_web_sql(k=3),

@@ -59,6 +59,16 @@ def pagerank_web_sql(
     )
 
 
+def pagerank_uniform_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Twin of the pagerank_uniform_web gate: the standard unrolled kernel
+    over the web edge set with every weight forced to 1.0 — certifies the
+    uniform shards' computed-1/degree gather."""
+    unit_cte = WEB_EDGES_CTE.replace(
+        "edges AS (", "edges_w AS ("
+    ) + ",\n  edges AS (SELECT src, dst, 1.0 AS weight FROM edges_w)"
+    return pagerank_web_sql(iters=iters, d=d, edges_cte=unit_cte)
+
+
 def incremental_pagerank_web_sql(
     folds: int = 3, iters: int = 3, d: float = PR_DAMPING
 ) -> str:

@@ -53,6 +53,11 @@ class AdjShards:
     dangling_sink: bool = False  # True: dangling vertices carry one virtual
     # edge to id -1 w=1.0, so Σ dangling rank rides the gather shuffle as the
     # sink's aggregation group (PageRank's dangling mass, no extra rank pass)
+    uniform: bool = False  # True: w_list is NOT stored — every edge of a
+    # src carries w_norm = 1/degree (unweighted graphs under normalize=True).
+    # Cuts per-superstep adjacency scan traffic to 4 B/edge with compact=True
+    # (vs 12 weighted-compact / 16 plain) — the memory-bus term that caps
+    # single-box scaling; Common-Crawl link graphs are exactly this shape.
 
     def unpersist(self) -> None:
         for df in (self.shards, self.salt_map, self.wout):
@@ -74,6 +79,25 @@ class AdjShards:
                 ).alias("salt"),
             )
         )
+        if self.uniform:
+            # w_norm = 1/degree computed, never scanned; dangling-sink rows
+            # (degree 0, virtual w 1.0) pass the rank through unscaled
+            return (
+                self.shards.join(replicated, ["src", "salt"])
+                .select(
+                    F.explode("dst_list").alias("_dst"),
+                    F.col("_v"),
+                    F.col("degree"),
+                )
+                .select(
+                    F.col("_dst").cast("bigint").alias("id"),
+                    F.when(
+                        F.col("degree") > 0, F.col("_v") / F.col("degree")
+                    ).otherwise(F.col("_v")).alias("_c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("_c").alias("gather"))
+            )
         return (
             self.shards.join(replicated, ["src", "salt"])
             .select(
@@ -98,6 +122,7 @@ def build_adj_shards(
     normalize: bool = True,
     dangling_sink: bool = False,
     compact: bool = False,
+    uniform: bool | None = None,
 ) -> AdjShards:
     """Group the (symmetrized) edge set into capped, salted CSR rows.
 
@@ -128,6 +153,20 @@ def build_adj_shards(
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = g.symmetric_edges()
+    if uniform and not normalize:
+        raise ValueError(
+            "uniform shards require normalize=True (w_norm = 1/degree)"
+        )
+    if uniform is None:
+        # auto-detect: constant edge weight + normalize => w_norm is
+        # exactly 1/degree, so w_list need not be stored or scanned
+        if normalize:
+            mm = sym.agg(
+                F.min("weight").alias("lo"), F.max("weight").alias("hi")
+            ).first()
+            uniform = mm["lo"] is not None and mm["lo"] == mm["hi"]
+        else:
+            uniform = False
     wout = (
         sym.groupBy("src")
         .agg(F.sum("weight").alias("w_out"), F.count("*").alias("degree"))
@@ -161,24 +200,32 @@ def build_adj_shards(
                 "build_adj_shards(compact=True) requires vertex ids in "
                 "[0, 2^31); use compact=False for wider id spaces"
             )
-    grouped = e.groupBy("src", "salt").agg(
+    aggs = [
         F.collect_list(F.col("dst").cast(dst_t)).alias("dst_list"),
-        F.collect_list(F.col("w_norm").cast(w_t)).alias("w_list"),
         F.first("degree").alias("degree"),
         F.first("w_out").alias("w_out"),
-    )
+    ]
+    if not uniform:
+        aggs.insert(
+            1, F.collect_list(F.col("w_norm").cast(w_t)).alias("w_list")
+        )
+    grouped = e.groupBy("src", "salt").agg(*aggs)
     if dangling_sink:
+        sink_cols = [
+            F.col("src"),
+            F.lit(0).cast("int").alias("salt"),
+            F.array(F.lit(-1).cast(dst_t)).alias("dst_list"),
+            F.lit(0).cast("long").alias("degree"),
+            F.lit(0.0).alias("w_out"),
+        ]
+        if not uniform:
+            sink_cols.insert(
+                3, F.array(F.lit(1.0).cast(w_t)).alias("w_list")
+            )
         sink_rows = (
             g.vertices.select(F.col("id").alias("src"))
             .join(wout.select("src"), "src", "left_anti")
-            .select(
-                "src",
-                F.lit(0).cast("int").alias("salt"),
-                F.array(F.lit(-1).cast(dst_t)).alias("dst_list"),
-                F.array(F.lit(1.0).cast(w_t)).alias("w_list"),
-                F.lit(0).cast("long").alias("degree"),
-                F.lit(0.0).alias("w_out"),
-            )
+            .select(*sink_cols)
         )
         grouped = grouped.unionByName(sink_rows)
     shards = (
@@ -197,4 +244,5 @@ def build_adj_shards(
         wout=wout,
         salt_cap=salt_cap,
         dangling_sink=dangling_sink,
+        uniform=bool(uniform),
     )

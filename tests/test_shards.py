@@ -150,3 +150,40 @@ def test_compact_shards_accept_int32_max_id(spark):
     row = cp.shards.where(F.col("src") == 0).first()
     assert row is not None and row["dst_list"] == [2**31 - 1]
     cp.unpersist()
+
+
+def test_uniform_shards_auto_detect_and_match_plain(spark, sf_dir):
+    # unit-weight projection: auto-detect drops w_list (4 B/edge compact
+    # scan) and the computed 1/degree gather matches the plain float64
+    # kernel to ~1 ulp (far inside the 1e-6 contract)
+    from graphina_spark.graph import LinkGraph
+
+    g = web_graph(spark, sf_dir)
+    gu = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.select("src", "dst", F.lit(1.0).alias("weight")),
+        directed=True,
+    )
+    adj = build_adj_shards(gu, dangling_sink=True, compact=True)
+    assert adj.uniform is True
+    assert "w_list" not in adj.shards.columns
+    plain = _pr_map(pagerank(gu, fixed_iters=5, tol=None))
+    sharded = _pr_map(
+        pagerank(gu, fixed_iters=5, tol=None, shards=adj, shards_min_edges=0)
+    )
+    assert plain.keys() == sharded.keys()
+    assert all(abs(plain[k] - sharded[k]) < 1e-12 for k in plain)
+    adj.unpersist()
+
+
+def test_uniform_shards_not_detected_on_weighted(spark, sf_dir):
+    g = web_graph(spark, sf_dir)  # weights 1..5
+    adj = build_adj_shards(g, dangling_sink=True)
+    assert adj.uniform is False and "w_list" in adj.shards.columns
+    adj.unpersist()
+
+
+def test_uniform_requires_normalize(spark):
+    g = make_graph(spark, [(0, 1)], n=2, directed=True)
+    with pytest.raises(ValueError, match="normalize"):
+        build_adj_shards(g, normalize=False, uniform=True)
