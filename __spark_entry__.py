@@ -631,7 +631,11 @@ def _q_incremental_sage_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = store.transform(local_materialize)
         export = export.transform(local_materialize)
     return export.select(
-        "id", "pos", F.round("mean_val", ROUND).alias("mean_val"), "n_sampled"
+        "id",
+        "pos",
+        # + 0.0 collapses IEEE −0.0 (r4 hash-red root cause) — twin does too
+        (F.round("mean_val", ROUND) + F.lit(0.0)).alias("mean_val"),
+        "n_sampled",
     )
 
 
@@ -2925,15 +2929,35 @@ def _q_sage_agg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         _web(spark, sf_dir), _embs(spark, sf_dir), k=3, directed=False
     )
     return df.select(
-        "id", "pos", F.round("mean_val", ROUND).alias("mean_val"), "n_sampled"
+        "id",
+        "pos",
+        # + 0.0 collapses IEEE −0.0 (r4 hash-red root cause) — twin does too
+        (F.round("mean_val", ROUND) + F.lit(0.0)).alias("mean_val"),
+        "n_sampled",
     )
 
 
-# Gates that already have a green driver row in CORRECTNESS_r01/r02/r03.
+# Gates that already have a green driver row in CORRECTNESS_r01..r04.
 # queries() rotates these to the END so the driver's 50-entry cap certifies
 # never-driver-checked gates first each round (VERDICT r2, task 1).  The
 # full dict is unchanged in content — only iteration order differs.
 _DRIVER_CERTIFIED = [
+    # --- r4 (CORRECTNESS_r04.json, 48/50 green; the 2 hash-red sage gates
+    # are NOT listed — they re-certify first in _R5_PRIORITY after the
+    # signed-zero fix) ---
+    "pagerank_uniform_web", "incremental_pr_web", "incremental_tri_web",
+    "media_jpeg", "neardup_groups", "semdedup", "contrastive_pairs",
+    "curation_pipeline", "dedup_keep_best", "kcore_web", "hits_web",
+    "walks_web", "node2vec_web", "spam_mass_web", "doc_split",
+    "train_classifier", "classifier_scores", "classifier_auc",
+    "classifier_calibration", "gopher_rules", "doc_filter",
+    "doc_repetition", "embedding_neardup", "span_dedup", "substring_dup",
+    "winnow_fp", "pack_docs", "chunk_docs", "cdc_chunks", "stratified_docs",
+    "weighted_sample_docs", "mixture_docs", "dsir_weights",
+    "split_contamination", "lm_quality", "tfidf_terms", "bm25_docs",
+    "textrank_docs", "top_ngrams", "pmi_bigrams", "zipf_docs",
+    "vocab_stats", "corpus_stats", "kmeans_emb", "k_center_embs",
+    "pca_emb", "silhouette_emb", "fastrp_web",
     # --- r3 (CORRECTNESS_r03.json, 50/50 green) ---
     "sp_tree_web", "sssp_path_web", "fw_local_web", "johnson_neg_web",
     "astar_local_web", "dfs_tree_web", "media_features",
@@ -2968,43 +2992,45 @@ _DRIVER_CERTIFIED = [
 ]
 
 
-# Round-4 certification priority (VERDICT r3, task 3): the driver caps at
-# ~50 rows/round, so among the 141 never-certified gates the LLM-pipeline
-# and north-star names go first.  Anything not listed follows in dict
-# order, then all previously-certified gates.
-_R4_PRIORITY = [
-    # new r4 streaming-fold gates (VERDICT r3, task 5)
-    "pagerank_uniform_web",
-    "incremental_pr_web", "incremental_tri_web", "incremental_sage_web",
-    "media_jpeg",
-    # judge-named priorities
-    "neardup_groups", "semdedup", "contrastive_pairs", "curation_pipeline",
-    "dedup_keep_best", "kcore_web", "hits_web", "walks_web", "node2vec_web",
-    "spam_mass_web", "doc_split", "train_classifier", "classifier_scores",
-    "classifier_auc", "classifier_calibration",
-    # gopher_rules changed this round (symbol_ratio fix) — re-gate first
-    "gopher_rules",
-    # LLM-pipeline family
-    "doc_filter", "doc_repetition", "embedding_neardup", "span_dedup",
-    "substring_dup", "winnow_fp", "pack_docs", "chunk_docs", "cdc_chunks",
-    "stratified_docs", "weighted_sample_docs", "mixture_docs",
-    "dsir_weights", "split_contamination", "lm_quality", "tfidf_terms",
-    "bm25_docs", "textrank_docs", "top_ngrams", "pmi_bigrams", "zipf_docs",
-    "vocab_stats", "corpus_stats",
-    # embedding infra
-    "kmeans_emb", "k_center_embs", "pca_emb", "silhouette_emb",
-    "fastrp_web", "sage_agg_web",
-    # north-star web-graph names
+# Round-5 (final) certification priority (VERDICT r4, task 3): the driver
+# caps at ~50 rows/round and 98 gates have never had a driver row, so the
+# two signed-zero re-gates lead, then the cap-bumped north-star names,
+# then the structural/web/eval, retrieval/embedding, events, and infra
+# families users hit most.  Anything not listed follows in dict order,
+# then all previously-certified gates.
+_R5_PRIORITY = [
+    # the 2 r4 hash-red gates, re-certified after the −0.0 normalization
+    "sage_agg_web", "incremental_sage_web",
+    # cap-bumped north-star web-graph names (r4 parity-green)
     "ktruss_web", "coreness_web", "salsa_web", "motif4_web",
+    # structural / web / eval gates
+    "bowtie_web", "host_graph_web", "cocitation_web", "percolation_web",
+    "onion_web", "sweep_cut_web", "sweep_cut_block", "seeded_lpa_web",
+    "conductance_web", "linkpred_auc_web", "nmi_block", "ari_block",
+    "reciprocity_web", "degree_hist_web", "powerlaw_web",
+    "eccentricity_web", "rich_club_web", "wcc_sizes_web",
+    # retrieval / embedding serving shapes
+    "ivfpq_topk", "pq_recall", "opq_recall", "quant_recall",
+    "matryoshka_recall", "hybrid_rrf", "nbr_emb_web",
+    # events family
+    "funnel_events", "retention_events", "transitions_events",
+    "butterflies_events", "asof_purchase_events", "range_purchase_ctx",
+    "session_stats", "rfm_events", "snapshot_events", "zorder_events",
+    # streaming / web infra
+    "cms_cells", "cms_probe", "warc_roundtrip", "bloom_seen_web",
+    "canon_urls", "redirects_web", "robots_web", "blocklist_web",
+    # remaining judge-parity-sampled names, in case the cap runs deeper
+    "refex_web", "temporal_web", "icws_sig", "st_dist_web",
+    "khop_frontier_web", "plsi_topics",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All gates, never-driver-certified first (driver caps at ~50/round),
-    with _R4_PRIORITY names leading the never-certified block."""
+    with _R5_PRIORITY names leading the never-certified block."""
     base = _base_queries()
     certified = set(_DRIVER_CERTIFIED)
-    out = {k: base[k] for k in _R4_PRIORITY if k in base and k not in certified}
+    out = {k: base[k] for k in _R5_PRIORITY if k in base and k not in certified}
     out.update(
         {k: v for k, v in base.items() if k not in certified and k not in out}
     )

@@ -548,6 +548,9 @@ def encode_jpeg(img: "np.ndarray", quant=None) -> bytes:
     is bit-exact — the oracle fixture)."""
     q = np.array(quant if quant is not None else JPEG_QUANT_FLAT,
                  dtype=np.float64).reshape(8, 8)
+    if not ((q >= 1) & (q <= 255)).all():
+        # 0 divides by zero; >255 overflows the one-byte DQT field
+        raise ValueError("quant table entries must be in [1, 255]")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -636,9 +639,13 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan: bit reader ran past end")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan: dangling 0xFF")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1
@@ -676,8 +683,9 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> "np.ndarray":
-    """Baseline JPEG decoder (SOF0, 8-bit, Huffman): grayscale -> (h, w)
-    uint8, 3-component 4:4:4 -> (h, w, 3) RGB uint8 (JFIF YCbCr inverse
+    """Baseline JPEG decoder (SOF0, 8-bit, Huffman): grayscale -> (h, w, 1)
+    uint8 (the decode_png single-channel carrier convention),
+    3-component 4:4:4 -> (h, w, 3) RGB uint8 (JFIF YCbCr inverse
     with deterministic rounding).  Progressive (SOF2), subsampled, or
     arithmetic-coded streams raise NotImplementedError — the same honest
     boundary convention as the other codecs."""
@@ -773,6 +781,8 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                                 k += 16
                                 continue
                             k += sym >> 4
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
                             size = sym & 0x0F
                             r, c = _ZIGZAG[k]
                             coef[r, c] = _extend(br.bits(size), size)

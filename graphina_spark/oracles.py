@@ -62,11 +62,12 @@ def pagerank_web_sql(
 def pagerank_uniform_web_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     """Twin of the pagerank_uniform_web gate: the standard unrolled kernel
     over the web edge set with every weight forced to 1.0 — certifies the
-    uniform shards' computed-1/degree gather."""
-    unit_cte = WEB_EDGES_CTE.replace(
-        "edges AS (", "edges_w AS ("
-    ) + ",\n  edges AS (SELECT src, dst, 1.0 AS weight FROM edges_w)"
-    return pagerank_web_sql(iters=iters, d=d, edges_cte=unit_cte)
+    uniform shards' computed-1/degree gather.  PAGES_EDGES_CTE is the
+    pre-built unit-weight twin of WEB_EDGES_CTE (same topology, weight
+    forced to 1.0) — no string surgery needed."""
+    from graphina_spark.sources.derived import PAGES_EDGES_CTE
+
+    return pagerank_web_sql(iters=iters, d=d, edges_cte=PAGES_EDGES_CTE)
 
 
 def incremental_pagerank_web_sql(
@@ -4236,7 +4237,10 @@ def sage_agg_web_sql(k: int = 3) -> str:
     """Mirror of operators/gnnprep.py::sage_neighbor_mean over the web graph
     + embeddings table.  Single-window top-k (selection under a total order
     equals the Spark side's two-phase form); float32 upcast to DOUBLE before
-    avg so the ≤k-term mean is exact in both engines."""
+    avg so the ≤k-term mean is exact in both engines.  `+ 0.0` collapses
+    IEEE −0.0 to +0.0 (a tiny negative mean rounds to signed zero, which is
+    numerically equal but byte-hashes differently across engines) — the
+    engine side applies the same normalization at the gate boundary."""
     from graphina_spark.operators.approximation import PRI_A1, PRI_A2, PRI_B
     from graphina_spark.operators.distmetrics import ANF_P
 
@@ -4257,7 +4261,8 @@ def sage_agg_web_sql(k: int = 3) -> str:
                unnest(CAST(e.embedding AS DOUBLE[])) AS val
         FROM samp s JOIN embeddings e
           ON e.vec_id = s.dst % (SELECT n FROM nv))
-SELECT id, CAST(pos AS INT) AS pos, round(avg(val), {ROUND}) AS mean_val,
+SELECT id, CAST(pos AS INT) AS pos,
+       round(avg(val), {ROUND}) + 0.0 AS mean_val,
        count(*) AS n_sampled
 FROM fx GROUP BY id, pos"""
 

@@ -48,7 +48,9 @@ class AdjShards:
 
     shards: DataFrame  # (bucket, salt, src, dst_list, w_list, degree, w_out)
     salt_map: DataFrame  # (src, n_salt) — hubs only (n_salt > 1); broadcast side
-    wout: DataFrame  # (src, w_out, degree) — all scatter-active vertices
+    wout: DataFrame  # (src, w_out, degree[, _wlo, _whi]) — scatter-active
+    # vertices; the underscore cols exist only when the builder auto-
+    # detected uniform weights (they rode along on the wout aggregation)
     salt_cap: int
     dangling_sink: bool = False  # True: dangling vertices carry one virtual
     # edge to id -1 w=1.0, so Σ dangling rank rides the gather shuffle as the
@@ -137,6 +139,13 @@ def build_adj_shards(
     rows — dangling vertices keep w_out absent, so vinfo dangling flags stay
     correct.
 
+    ``uniform`` — True: weights are known constant, store no w_list and
+    gather with 1/degree; False: always store w_list (skips auto-detect
+    entirely — pass this when weights are known non-constant); None
+    (default): auto-detect constant weights via per-src extrema folded
+    into the wout aggregation (no extra edge scan; one tiny reduce over
+    the per-src frame).
+
     ``compact=True`` stores ``dst_list`` as array<int> and ``w_list`` as
     array<float> — 12 bytes/edge of superstep scan traffic instead of 16 at
     identical row counts (every superstep re-reads the whole cached
@@ -157,21 +166,32 @@ def build_adj_shards(
         raise ValueError(
             "uniform shards require normalize=True (w_norm = 1/degree)"
         )
+    detect = uniform is None and normalize
+    wout_aggs = [
+        F.sum("weight").alias("w_out"),
+        F.count("*").alias("degree"),
+    ]
+    if detect:
+        # per-src weight extrema piggyback on the wout aggregation, so the
+        # constant-weight auto-detect folds into the edge pass that
+        # materializes the wout cache anyway — no extra scan of sym
+        # (callers that know their weights can skip even the small
+        # global reduce below by passing uniform=True/False explicitly)
+        wout_aggs += [
+            F.min("weight").alias("_wlo"),
+            F.max("weight").alias("_whi"),
+        ]
+    wout = sym.groupBy("src").agg(*wout_aggs).cache()
     if uniform is None:
         # auto-detect: constant edge weight + normalize => w_norm is
         # exactly 1/degree, so w_list need not be stored or scanned
-        if normalize:
-            mm = sym.agg(
-                F.min("weight").alias("lo"), F.max("weight").alias("hi")
+        if detect:
+            mm = wout.agg(
+                F.min("_wlo").alias("lo"), F.max("_whi").alias("hi")
             ).first()
             uniform = mm["lo"] is not None and mm["lo"] == mm["hi"]
         else:
             uniform = False
-    wout = (
-        sym.groupBy("src")
-        .agg(F.sum("weight").alias("w_out"), F.count("*").alias("degree"))
-        .cache()
-    )
     from pyspark.sql import Window
 
     rn = F.row_number().over(Window.partitionBy("src").orderBy("dst", "weight"))

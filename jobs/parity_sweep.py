@@ -30,7 +30,10 @@ def norm_cell(x):
     if isinstance(x, float):
         if math.isnan(x):
             return "nan"
-        return round(x, 6)
+        # repr, not the float: the driver hashes formatted values, so
+        # -0.0 vs 0.0 is a driver mismatch even though -0.0 == 0.0 in
+        # Python (the r4 sage hash-red slipped through the old == compare)
+        return repr(round(x, 6))
     return x
 
 
