@@ -31,8 +31,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: identifies the superstep-kernel generation; a change resets the
 #: per-level best-of history (efficiencies are only comparable within one
-#: kernel version)
-KERNEL_TAG = "uniform-1degree-r4"
+#: kernel version).  r5: superstep kernel unchanged from r4; the tag is
+#: bumped so the round-5 record is a single-session triple (all levels
+#: measured back-to-back on a quiet box, per the judge's protocol) rather
+#: than a best-of merge across days.
+KERNEL_TAG = "uniform-1degree-r5"
 sys.path.insert(0, REPO)
 
 

@@ -497,12 +497,18 @@ def _huff_spec_ac():
 
 def _canonical_codes(bits, vals):
     """BITS/HUFFVAL -> {symbol: (code, length)} per T.81 C.2."""
+    if len(vals) < sum(bits):
+        raise ValueError("truncated DHT: fewer HUFFVAL symbols than BITS")
     out, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             out[vals[k]] = (code, ln)
             code += 1
             k += 1
+        if code > (1 << ln):
+            # canonical code space at length ln is [0, 2^ln); a BITS table
+            # that exhausts it would assign overlapping codes downstream
+            raise ValueError("over-subscribed Huffman BITS table")
         code <<= 1
     return out
 
@@ -749,6 +755,15 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             raise NotImplementedError(
                 "only baseline sequential (SOF0) is supported"
             )
+        elif marker == 0xDD:
+            # DRI: the scan reader has no restart-marker resync, so a
+            # nonzero interval is an honest NotImplementedError boundary
+            # (silently skipping it used to surface as a confusing
+            # "unexpected marker 0xFFDx in scan" mid-decode)
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise NotImplementedError(
+                    "restart intervals (DRI) are not supported"
+                )
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF0")

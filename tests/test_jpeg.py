@@ -156,3 +156,101 @@ def test_real_image_features_grayscale_png_does_not_crash(spark):
     assert row["mean_r"] == pytest.approx(m)
     assert row["mean_g"] == pytest.approx(m)
     assert row["mean_b"] == pytest.approx(m)
+
+
+# ------------------------------------------------- r5 adversarial fixtures
+# (VERDICT r4, task 7: codec boundary conditions the roundtrip tests and
+# the DuckDB gate can't see — full-size DHT, restart markers, odd dims,
+# truncated scans)
+
+
+def test_jpeg_odd_dimensions_roundtrip():
+    # edge blocks replicate; 13x9 exercises both partial-row and
+    # partial-column padding simultaneously
+    img = _planted(13, 9, seed=3)
+    got = decode_jpeg(encode_jpeg(img, quant=JPEG_QUANT_MILD))[:, :, 0]
+    np.testing.assert_array_equal(got, _pipeline_gray(img, JPEG_QUANT_MILD))
+
+
+def test_jpeg_odd_dimensions_color_roundtrip():
+    g = _planted(11, 7, seed=5)
+    img = np.stack([g, np.roll(g, 1, axis=0), np.roll(g, 1, axis=1)], axis=-1)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (11, 7, 3)
+
+
+def _segment(marker: int, body: bytes) -> bytes:
+    import struct as _s
+    return b"\xff" + bytes([marker]) + _s.pack(">H", len(body) + 2) + body
+
+
+def test_jpeg_max_size_dht_parses():
+    # a FULL 256-symbol table (all 256 HUFFVALs at code length 16) is the
+    # largest legal DHT; the parser must accept it and fail only on the
+    # absent SOS — not on the table itself
+    # BITS bytes are each <=255, so the 256-symbol maximum is encoded as
+    # 1 code at length 15 + 255 at length 16
+    bits = [0] * 14 + [1, 255]
+    body = bytes([0x10]) + bytes(bits) + bytes(range(256))
+    blob = b"\xff\xd8" + _segment(0xC4, body) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(blob)
+
+
+def test_jpeg_truncated_dht_raises_valueerror():
+    # BITS claims 5 symbols but only 2 HUFFVALs follow — must be a clean
+    # ValueError, not a silent short table or a raw IndexError
+    bits = [0, 5] + [0] * 14
+    body = bytes([0x00]) + bytes(bits) + bytes([1, 2])
+    blob = b"\xff\xd8" + _segment(0xC4, body) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated DHT"):
+        decode_jpeg(blob)
+
+
+def test_jpeg_oversubscribed_dht_raises_valueerror():
+    # 3 codes of length 1 exceed the 2-code space — overlapping canonical
+    # codes downstream would decode garbage silently
+    bits = [3] + [0] * 15
+    body = bytes([0x00]) + bytes(bits) + bytes([1, 2, 3])
+    blob = b"\xff\xd8" + _segment(0xC4, body) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="over-subscribed"):
+        decode_jpeg(blob)
+
+
+def test_jpeg_restart_interval_raises_notimplemented():
+    # inject a nonzero DRI into a valid stream: the scan reader has no
+    # RSTn resync, so this must be an up-front honest boundary
+    blob = encode_jpeg(_planted(8, 8))
+    i = blob.find(b"\xff\xc4")  # before the first DHT
+    assert i > 0
+    dri = _segment(0xDD, b"\x00\x04")
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(blob[:i] + dri + blob[i:])
+
+
+def test_jpeg_zero_restart_interval_ignored():
+    # DRI with interval 0 is a no-op per T.81 — stream stays decodable
+    blob = encode_jpeg(_planted(8, 8))
+    i = blob.find(b"\xff\xc4")
+    dri = _segment(0xDD, b"\x00\x00")
+    got = decode_jpeg(blob[:i] + dri + blob[i:])[:, :, 0]
+    np.testing.assert_array_equal(
+        got, _pipeline_gray(_planted(8, 8), JPEG_QUANT_FLAT)
+    )
+
+
+def test_jpeg_truncated_scan_is_valueerror():
+    # chop mid-scan: the bit reader must raise the codec ValueError
+    # convention, never a raw IndexError (ADVICE r4)
+    blob = encode_jpeg(_planted(16, 16))
+    for cut in (len(blob) - 4, len(blob) - 8):
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])
+
+
+def test_jpeg_quant_table_validation():
+    img = _planted(8, 8)
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg(img, quant=[0] * 64)  # zero divides
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg(img, quant=[256] * 64)  # overflows 1-byte DQT
