@@ -43,10 +43,10 @@ from graphina_spark.functions.textstats import tokens_col
 N_BUCKETS = 256
 
 
-def hashed_feature_counts(
+def _feature_arrays(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, b, n): per-document hashed feature counts — unigram buckets
+    """(id, fs): per-document hashed feature-bucket array — unigram buckets
     md5('u:'‖tok) and bigram buckets md5('b:'‖tok1‖' '‖tok2), 2-hex-prefix."""
     toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
     uni = F.transform(F.col("t"), lambda x: F.substring(F.md5(F.concat(F.lit("u:"), x)), 1, 2))
@@ -57,7 +57,14 @@ def hashed_feature_counts(
             " i -> substring(md5(concat('b:', t[i-1], ' ', t[i])), 1, 2))"
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    feats = toks.select("id", F.concat(uni, bi).alias("fs"))
+    return toks.select("id", F.concat(uni, bi).alias("fs"))
+
+
+def hashed_feature_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, b, n): per-document hashed feature counts (see _feature_arrays)."""
+    feats = _feature_arrays(df, id_col, text_col)
     return (
         feats.select("id", F.explode("fs").alias("b"))
         .groupBy("id", "b")
@@ -132,10 +139,18 @@ def training_features(
     inference convention) plus a constant ``__bias__`` feature of 1.0, so
     the bias trains as just another weight and the whole model stays one
     (b, w) frame.  Documents with zero features emit only their bias row."""
-    counts = hashed_feature_counts(df, id_col, text_col)
-    nf = counts.groupBy("id").agg(F.sum("n").alias("nf"))
-    x = counts.join(nf, "id").select(
-        "id", "b", (F.col("n") / F.col("nf")).alias("x")
+    feats = _feature_arrays(df, id_col, text_col)
+    # the mean-pool denominator nf = Σ_b n(id,b) is simply |fs| — known
+    # BEFORE the explode, so carrying it through the one groupBy(id, b)
+    # replaces the groupBy(id) + re-join passes (2 shuffles saved; the
+    # division sees the identical integers, so values are bit-identical)
+    exploded = feats.select(
+        "id", F.size("fs").alias("nf"), F.explode("fs").alias("b")
+    )
+    x = (
+        exploded.groupBy("id", "b")
+        .agg(F.count("*").alias("n"), F.first("nf").alias("nf"))
+        .select("id", "b", (F.col("n") / F.col("nf")).alias("x"))
     )
     ids = df.select(F.col(id_col).alias("id")).distinct()
     return x.unionAll(
