@@ -34,11 +34,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HISTORY = {
     "train_classifier_3ep": {"r3": 10.47, "r4": 12.97},
     "icws_sig_8": {"r3": 1.12, "r4": 1.38},
+    # round-5 session check: quiet-box bench.py showed these two >1.2x
+    # over their BENCH_r04 values with no kernel change (r3 7.964/0.383,
+    # r4 5.714/0.333) — same investigation discipline
+    "minhash_lsh": {"r3": 7.964, "r4": 5.714},
+    "text_stats": {"r3": 0.383, "r4": 0.333},
 }
 
 CELLS = {
     "train_classifier_3ep": "train_classifier",
     "icws_sig_8": "icws_sig",
+    "minhash_lsh": "minhash_lsh",
+    "text_stats": "text_stats",
 }
 
 
