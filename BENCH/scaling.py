@@ -291,7 +291,16 @@ Measurement notes (single-box caveats a real N→4N *cluster* does not have):
 Regenerate: `python BENCH/scaling.py` (results_scaling.json holds the raw
 numbers; per-round single-level numbers come from `python bench.py`).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # hand-written session narrative below the marker survives regeneration
+    # (a re-run must never silently drop the measurement-protocol record)
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- session notes — hand-written, preserved by scaling.py -->"
+    if os.path.exists(out):
+        with open(out) as f:
+            prior = f.read()
+        if marker in prior:
+            md += "\n" + marker + prior.split(marker, 1)[1]
+    with open(out, "w") as f:
         f.write(md)
 
 
