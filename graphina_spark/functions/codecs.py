@@ -36,10 +36,49 @@ management), so tests pin exact pixel/sample values, and the Arrow-batched
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
+
+#: Decode-side pixel budget (≈8192×8192).  Crawled bytes are untrusted: a
+#: header that CLAIMS huge dimensions (crafted or bit-flipped) must fail
+#: fast with ValueError, not allocate tens of GB inside an executor — at
+#: pipeline scale one decompression/allocation bomb per million documents
+#: is a certainty, and the Arrow batch wrappers rely on decoders failing
+#: per-document, not per-executor.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(h: int, w: int, fmt: str) -> None:
+    if h < 0 or w < 0:
+        raise ValueError(f"{fmt}: negative dimensions {h}x{w}")
+    if h * w > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt}: {h}x{w} exceeds MAX_DECODE_PIXELS ({MAX_DECODE_PIXELS})"
+        )
+
+
+def _corrupt_guard(fn):
+    """Decoder boundary contract: malformed/truncated input surfaces as the
+    documented ValueError (or NotImplementedError for honest feature
+    boundaries) — never as a raw IndexError / KeyError / struct.error /
+    zlib.error from whatever slice or table lookup happened to fail first.
+    Callers (the Arrow batch wrappers, the curation filters) branch on
+    exactly these two types to drop a bad document and keep the batch."""
+
+    @functools.wraps(fn)
+    def wrapper(blob, *args, **kwargs):
+        try:
+            return fn(blob, *args, **kwargs)
+        except (IndexError, KeyError, struct.error, zlib.error,
+                OverflowError) as e:
+            raise ValueError(
+                f"corrupt stream for {fn.__name__}: {type(e).__name__}: {e}"
+            ) from e
+
+    return wrapper
 
 
 def sniff_format(blob: bytes) -> str:
@@ -61,6 +100,7 @@ def sniff_format(blob: bytes) -> str:
     return "unknown"
 
 
+@_corrupt_guard
 def decode_ppm(blob: bytes) -> np.ndarray:
     """(h, w, 3) uint8 array from a P6 (binary) or P3 (ASCII) PPM."""
     magic = blob[:2]
@@ -82,6 +122,7 @@ def decode_ppm(blob: bytes) -> np.ndarray:
             tokens.append(int(blob[i:j]))
             i = j
     w, h, maxval = tokens
+    _check_dims(h, w, "PPM")
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     if magic == b"P6":
@@ -92,6 +133,7 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
+@_corrupt_guard
 def decode_bmp(blob: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB from an uncompressed 24-bit BI_RGB BMP
     (bottom-up or top-down; row stride padded to 4 bytes; BGR on disk)."""
@@ -105,6 +147,7 @@ def decode_bmp(blob: bytes) -> np.ndarray:
         raise ValueError("only uncompressed 24-bit BI_RGB supported")
     bottom_up = h > 0
     h = abs(h)
+    _check_dims(h, w, "BMP")
     stride = (w * 3 + 3) & ~3
     rows = []
     for r in range(h):
@@ -115,6 +158,7 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return img[::-1] if bottom_up else img
 
 
+@_corrupt_guard
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """(samples[int16, shape (n, channels)], sample_rate) from RIFF PCM16."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -151,6 +195,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_corrupt_guard
 def decode_png(blob: bytes) -> np.ndarray:
     """(h, w, channels) uint8 from a non-interlaced 8-bit-depth PNG
     (color types 0/2/3/4/6; palette expanded to RGB).  Raises ValueError
@@ -184,9 +229,15 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    _check_dims(h, w, "PNG")
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: cap the decompressor at the geometry-implied raw
+    # size so a crafted high-ratio IDAT (decompression bomb) fails at
+    # expected+1 bytes instead of expanding to whatever it claims
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG scanline data size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = ch  # bytes per pixel at depth 8
@@ -316,6 +367,7 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_corrupt_guard
 def decode_gif(blob: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB — the FIRST frame of a GIF87a/89a stream
     (global or local palette, interlaced or sequential rows)."""
@@ -339,6 +391,7 @@ def decode_gif(blob: bytes) -> np.ndarray:
             i += 1
         elif b0 == 0x2C:  # image descriptor
             _lx, _ty, iw, ih, iflags = struct.unpack("<HHHHB", blob[i + 1:i + 10])
+            _check_dims(ih, iw, "GIF")
             i += 10
             pal = gpal
             if iflags & 0x80:
@@ -688,6 +741,7 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@_corrupt_guard
 def decode_jpeg(blob: bytes) -> "np.ndarray":
     """Baseline JPEG decoder (SOF0, 8-bit, Huffman): grayscale -> (h, w, 1)
     uint8 (the decode_png single-channel carrier convention),
@@ -741,6 +795,7 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            _check_dims(h, w, "JPEG")
             comps = []
             for ci in range(nf):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
