@@ -99,11 +99,29 @@ def _parse_blob(blob: bytes) -> Iterator[tuple[str, str, str, bytes]]:
         if hdr_end < 0:
             break
         headers: dict[str, str] = {}
-        for line in blob[j + len(ver) : hdr_end].decode("utf-8").split("\r\n"):
+        # errors="replace": real crawl headers are occasionally non-UTF-8
+        # (Latin-1 URIs); a strict decode would kill the whole Arrow batch
+        # for one bad record.  Valid streams decode identically either way.
+        for line in (
+            blob[j + len(ver) : hdr_end]
+            .decode("utf-8", errors="replace")
+            .split("\r\n")
+        ):
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = -1
+        if length < 0:
+            # malformed/crafted Content-Length: skip this header block and
+            # rescan.  Without the guard a negative length moved the cursor
+            # BACKWARD (i = hdr_end + 4 + length), re-finding the same
+            # version line forever — an executor hang + unbounded yields on
+            # one crafted record.  Both branches strictly advance i past j.
+            i = hdr_end + 4
+            continue
         payload = blob[hdr_end + 4 : hdr_end + 4 + length]
         yield (
             headers.get("warc-type", ""),
