@@ -291,3 +291,34 @@ def test_cap_is_sane():
     # 4K video frames and 8K stills decode; beyond that is out of contract
     assert 3840 * 2160 < MAX_DECODE_PIXELS
     assert 8192 * 8192 == MAX_DECODE_PIXELS
+
+
+# ----------------- end-to-end: bad blobs inside an Arrow batch -----------------
+
+def test_killer_blobs_do_not_kill_the_batch(spark):
+    """The exact pre-guard executor-killers, through the real Spark batch
+    path: a truncated JPEG ending in a lone 0xFF leaked IndexError past
+    the wrapper's (ValueError, NotImplementedError) catch and killed every
+    document in the batch; a bit-flipped SOF0 claiming 65535x65535 tried a
+    multi-GB allocation.  Both must land as ok=false rows while the valid
+    neighbors decode."""
+    from graphina_spark.functions.multimodal import real_image_features
+
+    good = _rng_img(21, 4, 5, 3)
+    jp = STREAMS["jpeg"]
+    # lone trailing 0xFF right where a marker is expected
+    truncated = jp[: jp.find(b"\xff\xda")] + b"\xff"
+    bomb = bytearray(jp)
+    sof = bytes(bomb).find(b"\xff\xc0")
+    struct.pack_into(">HH", bomb, sof + 5, 65535, 65535)
+    rows = [
+        (1, bytearray(encode_png(good))),
+        (2, bytearray(truncated)),
+        (3, bytearray(bytes(bomb))),
+        (4, bytearray(_ppm(good))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in real_image_features(df).collect()}
+    assert got[1]["ok"] and got[4]["ok"]
+    assert not got[2]["ok"] and got[2]["err"] != ""
+    assert not got[3]["ok"] and "MAX_DECODE_PIXELS" in got[3]["err"]
